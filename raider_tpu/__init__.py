@@ -1,0 +1,32 @@
+"""raider-tpu: TPU-native tropospheric delay estimation for radar (InSAR/GNSS).
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of RAiDER
+(raytracing atmospheric delay estimation): computes wet + hydrostatic
+tropospheric delays from numerical weather models in zenith (ZTD), projected
+slant, and raytraced slant (STD) modes.
+
+Design notes (TPU-first):
+  * Geodesy and orbit geometry run in float64 (XLA-emulated on TPU, exact on
+    host CPU); the hot integration kernels run in float32 over refractivity
+    cubes resident in HBM.
+  * All CRS transforms (geographic / geocentric / Lambert conformal conic /
+    polar stereographic / transverse Mercator) are closed-form JAX functions,
+    so the entire delay pipeline stays on-device and jit-compilable; no
+    pyproj in the compute path.
+  * Ray batches are flattened (z, y, x) -> N and sharded across a device mesh
+    with jax.sharding; integration is a fused sample-interpolate-accumulate
+    kernel per shard, with no cross-device communication until final output.
+
+Reference capability parity: dbekaert/RAiDER (see SURVEY.md for the map of
+reference components; docstrings cite reference behavior as file:line).
+"""
+
+import jax
+
+# Geodesy (ECEF coordinates ~6.4e6 m) requires f64 for sub-mm precision.
+# Hot kernels opt in to f32 explicitly; see raider_tpu.delay.
+jax.config.update('jax_enable_x64', True)
+
+__version__ = '0.1.0'
+
+from raider_tpu.constants import _ZMIN, _ZREF  # noqa: F401,E402
