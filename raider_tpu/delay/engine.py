@@ -1,0 +1,355 @@
+"""Top-level tropospheric delay calculation.
+
+API parity with the reference's ``tropo_delay`` (reference:
+tools/RAiDER/delay.py:35-130): zenith (ZTD), projected slant, and raytraced
+slant (STD) delays on a cube or at query points, from a processed weather
+model file.
+
+TPU-first redesign vs the reference:
+  * ZTD cube build: all output height levels interpolate in ONE device op.
+    When the output CRS matches the weather-model CRS the trilinear
+    interpolation is separable and runs as three dense MXU contractions
+    (reference loops height slices through scipy, delay.py:205-214).
+  * Raytracing: per output height, look vectors come from one batched
+    geo2rdr solve, level intersections from one batched Newton solve, and
+    the whole (level x segment x pixel) integration from one fused kernel
+    (reference: delay.py:256-323 triple loop).
+"""
+
+import datetime as dt
+import os
+from typing import Optional, Union
+
+import numpy as np
+
+from raider_tpu.constants import MAX_SEGMENT_LENGTH
+from raider_tpu.geodesy import (
+    Geocentric,
+    Geographic,
+    crs_from_cf,
+    crs_from_user,
+    get_Re,
+    transform_points,
+)
+from raider_tpu.geodesy.ellipsoid import ecef2lla, lla2ecef
+from raider_tpu.geometry.aoi import AOI, BoundingBox, Geocube
+from raider_tpu.geometry.los import LOS
+from raider_tpu.geometry.rays import build_ray
+from raider_tpu.io import Dataset, read_nc
+from raider_tpu.io.ncdf import Variable
+from raider_tpu.logger import logger
+from raider_tpu.ops import grid_weights, interp3d_points, interp3d_separable
+from raider_tpu.delay.raytrace import integrate_rays
+
+
+class WeatherCube:
+    """In-memory view of a processed weather-model file."""
+
+    def __init__(self, path_or_ds: Union[str, Dataset]) -> None:
+        ds = path_or_ds if isinstance(path_or_ds, Dataset) else read_nc(path_or_ds)
+        self.ds = ds
+        self.xs = np.asarray(ds.coords['x'].data, dtype=np.float64)
+        self.ys = np.asarray(ds.coords['y'].data, dtype=np.float64)
+        self.zs = np.asarray(ds.coords['z'].data, dtype=np.float64)
+        # normalize all axes to ascending (interp kernels require it)
+        self._flip_x = self.xs.size > 1 and self.xs[0] > self.xs[-1]
+        self._flip_y = self.ys.size > 1 and self.ys[0] > self.ys[-1]
+        self._flip_z = self.zs.size > 1 and self.zs[0] > self.zs[-1]
+        if self._flip_x:
+            self.xs = self.xs[::-1].copy()
+        if self._flip_y:
+            self.ys = self.ys[::-1].copy()
+        if self._flip_z:
+            self.zs = self.zs[::-1].copy()
+        try:
+            self.crs = crs_from_cf(ds['proj'].attrs)
+        except (KeyError, ValueError):
+            logger.warning(
+                "WARNING: I can't find a CRS in the weather model file, "
+                'so I will assume you are using WGS84'
+            )
+            self.crs = Geographic()
+
+    def field(self, name: str, dtype=np.float64) -> np.ndarray:
+        arr = np.asarray(self.ds[name].data, dtype=dtype)  # (z, y, x)
+        if self._flip_z:
+            arr = arr[::-1]
+        if self._flip_y:
+            arr = arr[:, ::-1]
+        if self._flip_x:
+            arr = arr[:, :, ::-1]
+        return np.ascontiguousarray(arr)
+
+
+def tropo_delay(
+    datetime: dt.datetime,
+    weather_model_file: str,
+    aoi: AOI,
+    los: LOS,
+    height_levels: Optional[list] = None,
+    out_proj: Union[int, str] = 4326,
+    zref: Optional[float] = None,
+    compute_dtype=np.float64,
+):
+    """Calculate integrated delays on query points (reference: delay.py:35-130).
+
+    Returns (Dataset, None) for cube-type AOIs, else (wet, hydro) arrays at
+    the AOI's query points.
+    """
+    crs = crs_from_user(out_proj)
+    wm = WeatherCube(weather_model_file)
+
+    wm_levels = wm.zs
+    toa = wm_levels.max() - 1
+
+    if height_levels is None:
+        if isinstance(aoi, Geocube):
+            height_levels = aoi.readZ()
+        else:
+            height_levels = wm_levels
+
+    if zref is None:
+        zref = toa
+    if zref > toa:
+        zref = toa
+        logger.warning(
+            'Requested integration height (zref) is higher than top of weather model. '
+            f'Forcing to top ({toa}).'
+        )
+
+    ds = _get_delays_on_cube(
+        datetime, wm, weather_model_file, aoi, height_levels, los, crs, zref,
+        compute_dtype=compute_dtype,
+    )
+
+    if isinstance(aoi, (BoundingBox, Geocube)):
+        return ds, None
+
+    # point-type AOI: sample the delay cube at the query points
+    # (reference: delay.py:98-129)
+    lats, lons = aoi.readLL()
+    hgts = aoi.readZ()
+    pnt_proj = Geographic()
+    if crs == pnt_proj:
+        pts_y, pts_x, pts_z = lats, lons, hgts
+    else:
+        xo, yo, zo = transform_points(pnt_proj, crs, lons, lats, hgts)
+        pts_y, pts_x, pts_z = np.asarray(yo), np.asarray(xo), np.asarray(zo)
+
+    cube_y = np.asarray(ds.coords['y'].data, dtype=np.float64)
+    cube_x = np.asarray(ds.coords['x'].data, dtype=np.float64)
+    cube_z = np.asarray(ds.coords['z'].data, dtype=np.float64)
+    # cube axes must be ascending for interpolation; y is written N->S
+    wet3 = np.asarray(ds['wet'].data, dtype=compute_dtype)
+    hydro3 = np.asarray(ds['hydro'].data, dtype=compute_dtype)
+    if cube_y[0] > cube_y[-1]:
+        cube_y = cube_y[::-1].copy()
+        wet3 = wet3[:, ::-1, :]
+        hydro3 = hydro3[:, ::-1, :]
+
+    wetDelay = np.asarray(interp3d_points(wet3, cube_y, cube_x, cube_z, pts_y, pts_x, pts_z))
+    hydroDelay = np.asarray(interp3d_points(hydro3, cube_y, cube_x, cube_z, pts_y, pts_x, pts_z))
+
+    if los.is_Projected():
+        los.setTime(datetime)
+        los.setPoints(lats, lons, hgts)
+        wetDelay = los(wetDelay)
+        hydroDelay = los(hydroDelay)
+
+    return wetDelay, hydroDelay
+
+
+def _get_delays_on_cube(datetime, wm: WeatherCube, weather_model_file, aoi,
+                        heights, los, crs, zref, compute_dtype=np.float64):
+    """Build the delay cube (reference: delay.py:133-193)."""
+    zpts = np.array(heights, dtype=np.float64)
+
+    if not hasattr(aoi, 'xpts'):
+        x_spacing = np.diff(wm.xs).mean()
+        y_spacing = np.diff(wm.ys).mean()
+        aoi.set_output_spacing(ll_res=float(min(x_spacing, y_spacing)))
+        aoi.set_output_xygrid(crs)
+
+    if los.is_Zenith() or los.is_Projected():
+        out_type = 'zenith' if los.is_Zenith() else 'slant - projected'
+        wetDelay, hydroDelay = _build_cube(
+            wm, aoi.xpts, aoi.ypts, zpts, crs, ('wet_total', 'hydro_total'), compute_dtype
+        )
+    else:
+        out_type = 'slant - raytracing'
+        wetDelay, hydroDelay = _build_cube_ray(
+            wm, aoi.xpts, aoi.ypts, zpts, los, crs,
+            zref=zref, compute_dtype=compute_dtype,
+        )
+
+    if np.isnan(wetDelay).any() or np.isnan(hydroDelay).any():
+        logger.critical('There are missing delay values. Check your inputs.')
+
+    return writeResultsToDataset(
+        datetime, aoi.xpts, aoi.ypts, zpts, crs, wetDelay, hydroDelay,
+        weather_model_file, out_type,
+    )
+
+
+def _build_cube(wm: WeatherCube, xpts, ypts, zpts, pts_crs, fields, compute_dtype):
+    """ZTD/projected cube: interpolate the integrated-delay fields onto the
+    output grid, all height levels in one device op (reference loops per
+    level: delay.py:196-216)."""
+    cubes = [wm.field(f, compute_dtype) for f in fields]
+
+    # the separable path touches every cube entry per contraction line, so a
+    # single NaN would poison whole rows; gate it on NaN-free cubes
+    if wm.crs == pts_crs and not any(np.isnan(c).any() for c in cubes):
+        # separable fast path: three dense contractions on the MXU
+        w_y = grid_weights(wm.ys, ypts)
+        w_x = grid_weights(wm.xs, xpts)
+        w_z = grid_weights(wm.zs, zpts)
+        return [
+            np.asarray(interp3d_separable(c, w_z, w_y, w_x)) for c in cubes
+        ]
+
+    # general path: transform the grid into the model CRS once, batch all
+    # levels through the gather kernel
+    xx, yy = np.meshgrid(xpts, ypts)
+    lon, lat = (np.asarray(v) for v in pts_crs.inverse(xx, yy))
+    mx, my = (np.asarray(v) for v in wm.crs.forward(lon, lat))
+    pts_y = np.broadcast_to(my, (zpts.size,) + my.shape)
+    pts_x = np.broadcast_to(mx, (zpts.size,) + mx.shape)
+    pts_z = np.broadcast_to(zpts[:, None, None], pts_y.shape)
+    return [
+        np.asarray(interp3d_points(c, wm.ys, wm.xs, wm.zs, pts_y, pts_x, pts_z))
+        for c in cubes
+    ]
+
+
+def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
+                    zref, compute_dtype=np.float64,
+                    max_segment_length: float = MAX_SEGMENT_LENGTH):
+    """Raytraced cube (reference: delay.py:219-326), vectorized.
+
+    Host (f64): pixel ECEF positions, batched geo2rdr look vectors, batched
+    level intersections, endpoint transforms into model CRS.
+    Device: the fused sample-interpolate-accumulate kernel per height slice.
+    """
+    model_zs = wm.zs
+    cube_wet = wm.field('wet', compute_dtype)
+    cube_hydro = wm.field('hydro', compute_dtype)
+
+    xx, yy = np.meshgrid(xpts, ypts)
+    npix = xx.size
+
+    outputArrs = [
+        np.zeros((zpts.size, ypts.size, xpts.size)) for _ in range(2)
+    ]
+
+    geographic = Geographic()
+    for hh, ht in enumerate(zpts):
+        logger.info(f'Processing slice {hh + 1} / {len(zpts)}: {ht}')
+
+        # Step 1: output grid -> llh and ECEF
+        if pts_crs != geographic:
+            lon, lat = (np.asarray(v) for v in pts_crs.inverse(xx, yy))
+        else:
+            lon, lat = xx, yy
+        hts = np.full(lat.shape, ht, dtype=np.float64)
+        x_e, y_e, z_e = (np.asarray(v) for v in lla2ecef(lat, lon, hts))
+        xyz = np.stack([x_e, y_e, z_e], axis=-1)
+
+        # Step 2: look vectors (batched geo2rdr)
+        look = los.getLookVectors(ht, [lon, lat, hts], xyz, yy)
+
+        # Step 3: level intersections (batched Newton)
+        ray_lengths, low_xyzs, high_xyzs = build_ray(model_zs, ht, xyz, look, zref)
+
+        if ray_lengths is None:
+            if ht == zpts[-1]:
+                continue
+            raise ValueError(f'No model levels contribute at height {ht}')
+        if np.isnan(ray_lengths).all():
+            raise ValueError('geo2rdr did not converge. Check orbit coverage')
+
+        # Step 4: endpoints -> model CRS (f64, host; L+1 unique points)
+        def to_model(pts_xyz):
+            gx, gy, gz = (
+                np.asarray(v) for v in transform_points(
+                    Geocentric(), wm.crs,
+                    pts_xyz[..., 0], pts_xyz[..., 1], pts_xyz[..., 2],
+                )
+            )
+            # interpolator ordering is (y, x, z)
+            return np.stack([gy, gx, gz], axis=-1)
+
+        low_yxz = to_model(low_xyzs).reshape(ray_lengths.shape[0], npix, 3)
+        high_yxz = to_model(high_xyzs).reshape(ray_lengths.shape[0], npix, 3)
+        seg_flat = ray_lengths.reshape(ray_lengths.shape[0], npix)
+
+        # squared horizontal chord for the sagitta correction
+        chord2 = np.sum((high_xyzs - low_xyzs) ** 2, axis=-1).reshape(seg_flat.shape)
+        dz = high_yxz[..., 2] - low_yxz[..., 2]
+        d2 = np.maximum(chord2 - dz**2, 0.0)
+        re_local = np.asarray(get_Re(lat)).reshape(npix)
+
+        with np.errstate(invalid='ignore'):
+            per_level_max = np.nanmax(ray_lengths.reshape(seg_flat.shape), axis=1)
+
+        wet, hydro = integrate_rays(
+            cube_wet.astype(compute_dtype), cube_hydro.astype(compute_dtype),
+            wm.ys, wm.xs, wm.zs,
+            low_yxz.astype(compute_dtype), high_yxz.astype(compute_dtype),
+            d2.astype(compute_dtype), seg_flat.astype(compute_dtype),
+            re_local.astype(compute_dtype),
+            per_level_max,
+            max_segment_length=max_segment_length,
+        )
+        outputArrs[0][hh] = np.asarray(wet).reshape(ypts.size, xpts.size)
+        outputArrs[1][hh] = np.asarray(hydro).reshape(ypts.size, xpts.size)
+
+    return outputArrs
+
+
+def writeResultsToDataset(datetime, xpts, ypts, zpts, crs, wetDelay, hydroDelay,
+                          weather_model_file, out_type) -> Dataset:
+    """CF-1.7 delay cube (reference writer: delay.py:329-401)."""
+    attrs = {
+        'Conventions': 'CF-1.7',
+        'title': 'raider-tpu geo cube',
+        'source': os.path.basename(str(weather_model_file)),
+        'history': str(dt.datetime.now(tz=dt.timezone.utc)) + ' raider-tpu',
+        'description': f'raider-tpu geo cube - {out_type}',
+        'reference_time': datetime.strftime('%Y%m%dT%H:%M:%S'),
+    }
+    coords = {
+        'x': Variable(('x',), np.asarray(xpts), {}),
+        'y': Variable(('y',), np.asarray(ypts), {}),
+        'z': Variable(('z',), np.asarray(zpts),
+                      {'axis': 'Z', 'units': 'm', 'description': 'height above ellipsoid'}),
+    }
+    if crs.is_geographic:
+        coords['y'].attrs.update(units='degrees_north', standard_name='latitude', long_name='latitude')
+        coords['x'].attrs.update(units='degrees_east', standard_name='longitude', long_name='longitude')
+    else:
+        coords['y'].attrs.update(axis='Y', standard_name='projection_y_coordinate',
+                                 long_name='y-coordinate in projected coordinate system', units='m')
+        coords['x'].attrs.update(axis='X', standard_name='projection_x_coordinate',
+                                 long_name='x-coordinate in projected coordinate system', units='m')
+
+    crs_attrs = dict(crs.to_cf())
+    variables = {
+        'wet': Variable(('z', 'y', 'x'), np.asarray(wetDelay),
+                        {'units': 'm', 'description': f'wet {out_type} delay',
+                         'grid_mapping': 'crs'}),
+        'hydro': Variable(('z', 'y', 'x'), np.asarray(hydroDelay),
+                          {'units': 'm', 'description': f'hydrostatic {out_type} delay',
+                           'grid_mapping': 'crs'}),
+        'crs': Variable((), np.int64(-2147483647), crs_attrs),
+    }
+    return Dataset(coords=coords, variables=variables, attrs=attrs)
+
+
+def transformPoints(lats, lons, hgts, old_proj, new_proj) -> np.ndarray:
+    """Stacked-triplet point transform (reference: delay.py:404-436);
+    returns (..., 3) in (y, x, z) order."""
+    old_crs = crs_from_user(old_proj)
+    new_crs = crs_from_user(new_proj)
+    res = transform_points(old_crs, new_crs, lons, lats, hgts)
+    return np.stack([np.asarray(res[1]), np.asarray(res[0]), np.asarray(res[2])], axis=-1)

@@ -1,0 +1,121 @@
+"""Ray construction: intersections of look rays with weather-model levels.
+
+Vectorized JAX equivalents of the reference's per-level Python loop
+(reference: tools/RAiDER/losreader.py:706-835): every pixel's ray is
+intersected with every contributing model level in one batched Newton solve
+on the host CPU backend (f64), producing the per-level segment endpoints the
+TPU integration kernel consumes.
+"""
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from raider_tpu.constants import _ZREF
+from raider_tpu.geodesy.ellipsoid import ecef2lla
+from raider_tpu.utils.jaxutils import host_jit
+
+
+@host_jit(static_argnames=('max_iter',))
+def _toa_newton(xyz, look_vecs, toaheight, factor, max_iter: int):
+    pos = xyz + toaheight * look_vecs
+    for _ in range(max_iter):
+        llh_h = ecef2lla(pos[..., 0], pos[..., 1], pos[..., 2])[2]
+        pos = pos + look_vecs * ((toaheight - llh_h) / factor)[..., None]
+    return pos
+
+
+def get_top_of_atmosphere(xyz, look_vecs, toaheight, factor=None):
+    """Intersection of rays with the ellipsoidal height level ``toaheight``.
+
+    Newton-Raphson in ECEF; with a cos(incidence) ``factor`` 3 iterations
+    suffice, otherwise 10 (reference: losreader.py:706-733).
+    """
+    xyz = jnp.asarray(xyz, dtype=jnp.float64)
+    look_vecs = jnp.asarray(look_vecs, dtype=jnp.float64)
+    if factor is not None:
+        return _toa_newton(xyz, look_vecs, jnp.float64(toaheight), jnp.asarray(factor, jnp.float64), 3)
+    ones = jnp.ones(xyz.shape[:-1], dtype=jnp.float64)
+    return _toa_newton(xyz, look_vecs, jnp.float64(toaheight), ones, 10)
+
+
+def level_heights(model_zs, ht: float, max_tropo_height: float = float(_ZREF)) -> Optional[np.ndarray]:
+    """The chain of clamped level heights a ray starting at ``ht`` crosses.
+
+    Host-side (static) computation reproducing the reference's per-level
+    clamping rules (losreader.py:772-835):
+      * the topmost model level is nudged down by 0.01 m
+      * levels entirely below ``ht`` or above ``max_tropo_height`` drop out
+      * interval ends clamp to [ht, max_tropo_height]
+      * intervals thinner than 1 m drop out
+
+    Returns an (L+1,) ascending array of unique interval boundary heights, or
+    None if no level contributes.
+    """
+    model_zs = np.asarray(model_zs, dtype=np.float64)
+    bounds = []
+    for zz in range(model_zs.size - 1):
+        low_ht = model_zs[zz]
+        high_ht = model_zs[zz + 1]
+        if high_ht == model_zs[-1]:
+            high_ht = high_ht - 0.01
+        if (high_ht < ht) or (low_ht >= max_tropo_height):
+            continue
+        if low_ht < ht:
+            low_ht = ht
+        if high_ht > max_tropo_height:
+            high_ht = max_tropo_height
+        if abs(high_ht - low_ht) < 1.0:
+            continue
+        bounds.append((float(low_ht), float(high_ht)))
+    if not bounds:
+        return None
+    # The chain is [first interval's low, then every interval's high]: the
+    # reference reuses the previous interval's upper intersection as the next
+    # lower endpoint even across skipped (<1 m) intervals
+    # (losreader.py:811-815), so later lows never get their own intersection.
+    heights = [bounds[0][0]] + [hi for _, hi in bounds]
+    return np.asarray(heights, dtype=np.float64)
+
+
+def build_ray(model_zs, ht: float, xyz, look_vecs,
+              max_tropo_height: float = float(_ZREF)) -> Tuple:
+    """Per-level ray segment lengths and ECEF endpoints for all pixels.
+
+    Vectorized equivalent of reference build_ray (losreader.py:772-835):
+    the first two boundary intersections run the full 10-iteration Newton,
+    the cos-factor speedup covers the rest, matching reference numerics.
+
+    Args:
+        model_zs:  (nz,) ascending model level heights
+        ht:        output level height (scalar)
+        xyz:       (..., 3) pixel ECEF positions at height ``ht``
+        look_vecs: (..., 3) unit look vectors (ground -> sensor, ECEF)
+
+    Returns:
+        (ray_lengths (L, ...), low_xyzs (L, ..., 3), high_xyzs (L, ..., 3))
+        or (None, None, None) when nothing contributes.
+    """
+    heights = level_heights(model_zs, ht, max_tropo_height)
+    if heights is None:
+        return None, None, None
+
+    xyz = np.asarray(xyz, dtype=np.float64)
+    look = np.asarray(look_vecs, dtype=np.float64)
+
+    p0 = np.asarray(get_top_of_atmosphere(xyz, look, heights[0]))
+    p1 = np.asarray(get_top_of_atmosphere(xyz, look, heights[1]))
+    seg0 = np.linalg.norm(p1 - p0, axis=-1)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        cos_factor = (heights[1] - heights[0]) / seg0
+
+    pts = [p0, p1]
+    for h in heights[2:]:
+        pts.append(np.asarray(get_top_of_atmosphere(xyz, look, h, factor=cos_factor)))
+    pts = np.stack(pts, axis=0)  # (L+1, ..., 3)
+
+    low_xyzs = pts[:-1]
+    high_xyzs = pts[1:]
+    ray_lengths = np.linalg.norm(high_xyzs - low_xyzs, axis=-1)
+    return ray_lengths, low_xyzs, high_xyzs

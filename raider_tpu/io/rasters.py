@@ -1,0 +1,234 @@
+"""Minimal raster IO without rasterio/GDAL.
+
+Supports the formats the framework actually needs:
+  * ENVI flat-binary rasters with .hdr sidecars (ISCE lat/lon/los .rdr files,
+    and the reference's default delay raster output format,
+    reference: tools/RAiDER/utilFcns.py:257-304)
+  * GeoTIFF via a small pure-python reader for uncompressed/deflate tiles is
+    NOT implemented; GeoTIFF paths raise with a clear message.
+
+The profile dict mimics the rasterio profile keys used by the reference
+(width, height, count, dtype, transform, crs, nodata).
+"""
+
+import os
+import re
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from raider_tpu.geodesy import CRS, Geographic, crs_from_epsg
+from raider_tpu.logger import logger
+
+_ENVI_DTYPES = {
+    '1': np.uint8, '2': np.int16, '3': np.int32, '4': np.float32,
+    '5': np.float64, '6': np.complex64, '9': np.complex128,
+    '12': np.uint16, '13': np.uint32, '14': np.int64, '15': np.uint64,
+}
+_ENVI_CODES = {np.dtype(v).name: k for k, v in _ENVI_DTYPES.items()}
+
+
+class GDALAffine(tuple):
+    """GDAL-style geotransform (x0, dx, rx, y0, ry, dy) with to_gdal()."""
+
+    def to_gdal(self):
+        return tuple(self)
+
+
+def _parse_envi_header(hdr_path: str) -> dict:
+    text = Path(hdr_path).read_text()
+    # collapse { ... } blocks
+    text = re.sub(r'\{([^}]*)\}', lambda m: m.group(1).replace('\n', ' '), text)
+    fields = {}
+    for line in text.splitlines():
+        if '=' in line:
+            k, v = line.split('=', 1)
+            fields[k.strip().lower()] = v.strip()
+    return fields
+
+
+def _find_envi_header(path: str) -> Optional[str]:
+    p = Path(path)
+    for cand in (p.with_suffix(p.suffix + '.hdr'), p.with_suffix('.hdr'),
+                 Path(str(p) + '.hdr')):
+        if cand.exists():
+            return str(cand)
+    return None
+
+
+def read_envi(path: str) -> Tuple[np.ndarray, dict]:
+    hdr = _find_envi_header(path)
+    if hdr is None:
+        raise OSError(f'No ENVI header found for {path}')
+    fields = _parse_envi_header(hdr)
+    samples = int(fields['samples'])
+    lines = int(fields['lines'])
+    bands = int(fields.get('bands', 1))
+    dtype = _ENVI_DTYPES[fields.get('data type', '4')]
+    interleave = fields.get('interleave', 'bsq').lower()
+    byte_order = int(fields.get('byte order', 0))
+
+    data = np.fromfile(path, dtype=dtype)
+    if byte_order == 1:
+        data = data.byteswap()
+    need = samples * lines * bands
+    data = data[:need]
+    if interleave == 'bil':
+        data = data.reshape(lines, bands, samples).transpose(1, 0, 2)
+    elif interleave == 'bip':
+        data = data.reshape(lines, samples, bands).transpose(2, 0, 1)
+    else:  # bsq
+        data = data.reshape(bands, lines, samples)
+
+    transform = None
+    if 'map info' in fields:
+        parts = [p.strip() for p in fields['map info'].split(',')]
+        # ENVI map info: proj, ref x pix, ref y pix, x0, y0, dx, dy, ...
+        try:
+            x0, y0 = float(parts[3]), float(parts[4])
+            dx, dy = float(parts[5]), float(parts[6])
+            transform = GDALAffine((x0, dx, 0.0, y0, 0.0, -dy))
+        except (IndexError, ValueError):
+            pass
+
+    profile = {
+        'width': samples,
+        'height': lines,
+        'count': bands,
+        'dtype': np.dtype(dtype).name,
+        'transform': transform,
+        'crs': None,
+        'nodata': float(fields['data ignore value']) if 'data ignore value' in fields else None,
+        'driver': 'ENVI',
+    }
+    return data, profile
+
+
+def write_envi(array: np.ndarray, path: str, transform=None, nodata: float = 0.0) -> None:
+    array = np.atleast_3d(array.T).T if array.ndim == 2 else array
+    bands, lines, samples = (1,) + array.shape if array.ndim == 2 else array.shape
+    arr = array.reshape(bands, lines, samples)
+    arr.astype(arr.dtype).tofile(path)
+    hdr_lines = [
+        'ENVI',
+        f'samples = {samples}',
+        f'lines = {lines}',
+        f'bands = {bands}',
+        'header offset = 0',
+        'file type = ENVI Standard',
+        f'data type = {_ENVI_CODES[np.dtype(arr.dtype).name]}',
+        'interleave = bsq',
+        'byte order = 0',
+        f'data ignore value = {nodata}',
+    ]
+    if transform is not None:
+        gt = transform.to_gdal() if hasattr(transform, 'to_gdal') else tuple(transform)
+        hdr_lines.append(
+            'map info = {Geographic Lat/Lon, 1, 1, %s, %s, %s, %s, WGS-84}'
+            % (gt[0], gt[3], gt[1], -gt[5])
+        )
+    Path(str(path) + '.hdr').write_text('\n'.join(hdr_lines) + '\n')
+
+
+def rio_open(path, userNDV: Optional[float] = None, band: Optional[int] = None):
+    """Read a raster (ENVI binary + .hdr) -> (data, profile)
+    (capability parity: reference utilFcns.py:164-202)."""
+    path = str(path)
+    if not os.path.exists(path):
+        raise OSError(f'{path} not found')
+    if path.endswith(('.tif', '.tiff')):
+        raise OSError(
+            'GeoTIFF reading requires rasterio/GDAL which is not available in '
+            'this build; convert to ENVI format.'
+        )
+    data, profile = read_envi(path)
+
+    ndvs = [userNDV, profile.get('nodata')]
+    if band is not None:
+        out = data[band - 1].astype(np.float64)
+    else:
+        out = data.squeeze().astype(np.float64)
+    for v in ndvs:
+        if v is not None:
+            out[out == v] = np.nan
+    return out, profile
+
+
+def rio_profile(path) -> dict:
+    _, profile = read_envi(str(path))
+    return profile
+
+
+def rio_stats(path, band: int = 1):
+    data, profile = read_envi(str(path))
+    b = data[band - 1].astype(np.float64)
+    nodata = profile.get('nodata')
+    if nodata is not None:
+        b = np.where(b == nodata, np.nan, b)
+
+    class _Stats:
+        min = float(np.nanmin(b))
+        max = float(np.nanmax(b))
+        mean = float(np.nanmean(b))
+        std = float(np.nanstd(b))
+
+    gt = profile['transform'].to_gdal() if profile['transform'] is not None else None
+    return _Stats(), profile.get('crs'), gt
+
+
+def rio_extents(profile: dict):
+    """SNWE bounds from a profile (reference: utilFcns.py:154-161)."""
+    gt = profile['transform'].to_gdal()
+    x_size = profile['width']
+    y_size = profile['height']
+    w = gt[0]
+    e = gt[0] + (x_size - 1) * gt[1] + (y_size - 1) * gt[2]
+    n = gt[3]
+    s = gt[3] + (x_size - 1) * gt[4] + (y_size - 1) * gt[5]
+    return min(s, n), max(s, n), min(w, e), max(w, e)
+
+
+def bounds_from_latlon_rasters(lat_filestr: str, lon_filestr: str):
+    """SNWE + CRS + geotransform from lat/lon rasters
+    (reference: llreader.py:397-420)."""
+    lat_file, lat_band = get_file_and_band(lat_filestr)
+    lon_file, lon_band = get_file_and_band(lon_filestr)
+    lat_stats, lat_proj, lat_gt = rio_stats(lat_file, band=lat_band)
+    lon_stats, lon_proj, lon_gt = rio_stats(lon_file, band=lon_band)
+    if lat_proj != lon_proj:
+        raise ValueError('Projection information for Latitude and Longitude files does not match')
+    if lat_gt != lon_gt:
+        raise ValueError('Affine transform for Latitude and Longitude files does not match')
+    snwe = (lat_stats.min, lat_stats.max, lon_stats.min, lon_stats.max)
+    if lat_proj is None:
+        logger.debug('Assuming lat/lon files are in EPSG:4326')
+        lat_proj = Geographic()
+    return snwe, lat_proj, lat_gt
+
+
+def get_file_and_band(filestr: str):
+    """Parse 'file;band' strings (reference: utilFcns.py:244-254)."""
+    parts = str(filestr).split(';')
+    if len(parts) == 1:
+        return parts[0].strip(), 1
+    if len(parts) == 2:
+        return parts[0].strip(), int(parts[1].strip())
+    raise ValueError(f'Cannot interpret {filestr} as valid filename')
+
+
+def writeArrayToRaster(array, path, noDataValue: float = 0.0, fmt: str = 'ENVI',
+                       proj: Optional[CRS] = None, gt=None) -> None:
+    """Write a 2-D array to a raster (reference: utilFcns.py:257-304)."""
+    if np.ndim(array) != 2:
+        raise RuntimeError(f'writeArrayToRaster: cannot write shape {np.shape(array)}')
+    if 'complex' in str(array.dtype):
+        array = array.astype(np.complex64)
+    elif 'float' in str(array.dtype):
+        array = array.astype(np.float32)
+    else:
+        array = array.astype(np.uint8)
+    if fmt.lower() not in ('envi', 'nc', 'gtiff'):
+        raise ValueError(f'Unsupported raster format {fmt}')
+    write_envi(array, str(path), transform=gt, nodata=noDataValue)
+    logger.info('Wrote: %s', path)

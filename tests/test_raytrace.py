@@ -1,0 +1,178 @@
+"""Raytracing correctness: synthetic closure + full parity vs reference
+semantics.
+
+Closure tests follow the reference's strategy (test/test_synthetic.py): with
+constant refractivity N, the raytraced delay must equal N * 1e-6 * (total ray
+length), to ~1e-6 relative.
+
+The parity test reimplements the reference's _build_cube_ray exactly (scipy
+interpolator, per-level/per-fraction loops, ECEF-lerped sample points
+reprojected per sample; reference: tools/RAiDER/delay.py:219-326) in float64
+and requires the fused engine to agree to < 0.1 mm.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from scipy.interpolate import RegularGridInterpolator
+
+from raider_tpu.delay.engine import WeatherCube, _build_cube_ray, tropo_delay
+from raider_tpu.geodesy import Geographic
+from raider_tpu.geodesy.ellipsoid import ecef2lla, lla2ecef
+from raider_tpu.geometry.aoi import BoundingBox
+from raider_tpu.geometry.los import Raytracing
+from raider_tpu.geometry.rays import build_ray
+from raider_tpu.io import Dataset
+from raider_tpu.io.ncdf import Variable
+
+from tests.test_orbit import synthetic_orbit
+
+
+def synthetic_wm_dataset(wet_value=1.0, hydro_value=2.0, wet_cube=None, hydro_cube=None):
+    """Processed weather-model dataset over the LA test area."""
+    ys = np.arange(32.0, 35.01, 0.25)
+    xs = np.arange(-120.0, -115.99, 0.25)
+    zs = np.concatenate([
+        np.arange(-500.0, 3000.0, 250.0),
+        np.arange(3000.0, 10000.0, 500.0),
+        np.arange(10000.0, 30001.0, 1000.0),
+    ])
+    shape = (zs.size, ys.size, xs.size)
+    wet = np.full(shape, wet_value) if wet_cube is None else wet_cube
+    hydro = np.full(shape, hydro_value) if hydro_cube is None else hydro_cube
+    coords = {
+        'x': Variable(('x',), xs, {}),
+        'y': Variable(('y',), ys, {}),
+        'z': Variable(('z',), zs, {}),
+    }
+    variables = {
+        'wet': Variable(('z', 'y', 'x'), wet, {}),
+        'hydro': Variable(('z', 'y', 'x'), hydro, {}),
+        'wet_total': Variable(('z', 'y', 'x'), np.zeros(shape), {}),
+        'hydro_total': Variable(('z', 'y', 'x'), np.zeros(shape), {}),
+        'proj': Variable((), np.int64(0), Geographic().to_cf()),
+    }
+    return Dataset(coords=coords, variables=variables, attrs={})
+
+
+@pytest.fixture(scope='module')
+def la_orbit():
+    return synthetic_orbit(dt.datetime(2020, 1, 30, 13, 52, 45))
+
+
+@pytest.fixture(scope='module')
+def la_los(la_orbit):
+    return Raytracing(orbit=la_orbit, time=dt.datetime(2020, 1, 30, 13, 52, 45))
+
+
+def _length_of_ray(xpts, ypts, hgt_lvls, model_zs, los, max_height):
+    """Independent total ray length per pixel (reference:
+    test/test_synthetic.py:75-97)."""
+    xx, yy = np.meshgrid(xpts, ypts)
+    out = np.zeros((len(hgt_lvls), len(ypts), len(xpts)))
+    for hh, ht in enumerate(hgt_lvls):
+        hts = np.full(yy.shape, float(ht))
+        x, y, z = (np.asarray(v) for v in lla2ecef(yy, xx, hts))
+        xyz = np.stack([x, y, z], axis=-1)
+        look = los.getLookVectors(ht, [xx, yy, hts], xyz, yy)
+        ray_lengths = build_ray(model_zs, float(ht), xyz, look, max_height)[0]
+        out[hh] = ray_lengths.sum(0)
+    return out
+
+
+class TestClosure:
+    def test_constant_refractivity(self, la_los, tmp_path):
+        """Constant N => delay = N * 1e-6 * ray_length (both channels)."""
+        ds = synthetic_wm_dataset(wet_value=1.0, hydro_value=2.0)
+        wm = WeatherCube(ds)
+
+        aoi = BoundingBox([33, 34, -118.25, -117.25], cube_spacing_in_m=10000.0)
+        aoi.add_buffer(0.25)
+        aoi.set_output_xygrid(4326)
+
+        heights = np.arange(-500.0, 9500.0, 2000.0)
+        max_h = wm.zs[-1] - 1
+
+        wet, hydro = _build_cube_ray(wm, aoi.xpts, aoi.ypts, heights, la_los,
+                                     Geographic(), zref=max_h)
+        lengths = _length_of_ray(aoi.xpts, aoi.ypts, heights, wm.zs, la_los, max_h)
+
+        assert np.all(np.abs(lengths) > 1)
+        resid_wet = (lengths * 1.0 - np.asarray(wet) * 1e6) / lengths
+        resid_hydro = (lengths * 2.0 - np.asarray(hydro) * 1e6) / (2 * lengths)
+        np.testing.assert_almost_equal(0, resid_wet, decimal=6)
+        np.testing.assert_almost_equal(0, resid_hydro, decimal=6)
+
+
+def _reference_build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, zref,
+                              max_segment_length=1000.0):
+    """Float64 reimplementation of the reference triple loop
+    (delay.py:219-326) with scipy interpolators and per-sample ECEF->model
+    reprojection."""
+    if_wet = RegularGridInterpolator((wm.ys, wm.xs, wm.zs),
+                                     wm.field('wet').transpose(1, 2, 0),
+                                     bounds_error=False, fill_value=np.nan)
+    if_hydro = RegularGridInterpolator((wm.ys, wm.xs, wm.zs),
+                                       wm.field('hydro').transpose(1, 2, 0),
+                                       bounds_error=False, fill_value=np.nan)
+    xx, yy = np.meshgrid(xpts, ypts)
+    outs = [np.zeros((len(zpts), len(ypts), len(xpts))) for _ in range(2)]
+    for hh, ht in enumerate(zpts):
+        hts = np.full(yy.shape, float(ht))
+        x, y, z = (np.asarray(v) for v in lla2ecef(yy, xx, hts))
+        xyz = np.stack([x, y, z], axis=-1)
+        look = los.getLookVectors(ht, [xx, yy, hts], xyz, yy)
+        ray_lengths, low_xyzs, high_xyzs = build_ray(wm.zs, float(ht), xyz, look, zref)
+        if ray_lengths is None:
+            continue
+        n_parts = np.ceil(ray_lengths.max((1, 2)) / max_segment_length).astype(int) + 1
+        for zz, nparts in enumerate(n_parts):
+            fracs = np.linspace(0.0, 1.0, num=nparts)
+            for findex, ff in enumerate(fracs):
+                pts_xyz = low_xyzs[zz] + ff * (high_xyzs[zz] - low_xyzs[zz])
+                lat, lon, hgt = (np.asarray(v) for v in ecef2lla(
+                    pts_xyz[..., 0], pts_xyz[..., 1], pts_xyz[..., 2]))
+                pts = np.stack((lat, lon, hgt), axis=-1)
+                if (pts[:, :, -1] < wm.zs.min()).all():
+                    pts[:, :, -1] = wm.zs.min()
+                if (pts[:, :, -1] > wm.zs.max()).all():
+                    pts[:, :, -1] = wm.zs.max()
+                wt = 0.5 if findex in (0, fracs.size - 1) else 1.0
+                wt = wt * ray_lengths[zz] * 1.0e-6 / (nparts - 1.0)
+                outs[0][hh] += wt * if_wet(pts)
+                outs[1][hh] += wt * if_hydro(pts)
+    return outs
+
+
+class TestParityVsReference:
+    def test_varying_field_parity(self, la_los, rng):
+        """Smoothly varying refractivity cubes: fused engine vs the exact
+        reference reimplementation, < 0.1 mm everywhere."""
+        ys = np.arange(32.0, 35.01, 0.25)
+        xs = np.arange(-120.0, -115.99, 0.25)
+        zs = np.concatenate([
+            np.arange(-500.0, 3000.0, 250.0),
+            np.arange(3000.0, 10000.0, 500.0),
+            np.arange(10000.0, 30001.0, 1000.0),
+        ])
+        zz, yy2, xx2 = np.meshgrid(zs, ys, xs, indexing='ij')
+        # exponential-ish wet, linear-ish hydro with horizontal gradients
+        wet = 100.0 * np.exp(-zz / 2000.0) * (1 + 0.05 * (yy2 - 33.5) + 0.03 * (xx2 + 118))
+        hydro = 270.0 * np.exp(-zz / 8000.0) * (1 + 0.02 * (yy2 - 33.5))
+        ds = synthetic_wm_dataset(wet_cube=wet, hydro_cube=hydro)
+        wm = WeatherCube(ds)
+
+        xpts = np.arange(-118.2, -117.4, 0.2)
+        ypts = np.arange(34.0, 33.2, -0.2)
+        heights = np.array([-100.0, 500.0, 3000.0])
+        max_h = wm.zs[-1] - 1
+
+        wet_ours, hydro_ours = _build_cube_ray(wm, xpts, ypts, heights, la_los,
+                                               Geographic(), zref=max_h)
+        wet_ref, hydro_ref = _reference_build_cube_ray(wm, xpts, ypts, heights,
+                                                       la_los, zref=max_h)
+        assert np.nanmax(np.abs(np.asarray(wet_ours) - wet_ref)) < 1e-4
+        assert np.nanmax(np.abs(np.asarray(hydro_ours) - hydro_ref)) < 1e-4
+        # and the delays themselves are meaningfully large
+        assert np.nanmean(wet_ref) > 0.05
