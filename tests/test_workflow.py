@@ -1,0 +1,158 @@
+"""Full calcDelays workflow from YAML configs, against reference goldens.
+
+Mirrors the reference's integration tests (test/test_slant.py,
+test/test_intersect.py): the processed weather file is discovered through the
+cache-key filename convention, exactly like the reference's
+prepareWeatherModel reuse path.
+"""
+
+import datetime as dt
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from tests.conftest import REF_WM_DIR, REFERENCE_DIR
+
+pytestmark = pytest.mark.skipif(not REF_WM_DIR.exists(), reason='reference data unavailable')
+
+
+def _write_cfg(tmp_path, grp: dict) -> str:
+    base = {
+        'look_dir': 'right',
+        'date_group': {},
+        'time_group': {},
+        'aoi_group': {},
+        'height_group': {},
+        'los_group': {},
+        'runtime_group': {},
+        'weather_model': 'ERA5',
+    }
+    base.update(grp)
+    p = tmp_path / 'cfg.yaml'
+    p.write_text(yaml.dump(base))
+    return str(p)
+
+
+def test_bbox_cube_golden(tmp_path, monkeypatch):
+    """ZTD cube via the full workflow; golden point from the reference
+    (test/test_slant.py:49-57: 2.333865144 m at (33.4, -117.8, 0))."""
+    from raider_tpu.workflows.calc_delays import calcDelays
+    from raider_tpu.io import read_nc
+
+    cfg = _write_cfg(tmp_path, {
+        'date_group': {'date_start': 20200130},
+        'height_group': {'height_levels': [0, 100, 500, 1000]},
+        'time_group': {'time': '13:52:45', 'interpolate_time': 'none'},
+        'aoi_group': {'bounding_box': [33, 34, -118.25, -116.75]},
+        'runtime_group': {
+            'output_directory': str(tmp_path),
+            'weather_model_directory': str(REF_WM_DIR),
+            'verbose': False,
+        },
+    })
+    monkeypatch.chdir(tmp_path)
+    paths = calcDelays([cfg])
+    assert len(paths) == 1
+
+    ds = read_nc(paths[0])
+    y = np.asarray(ds.coords['y'].data)
+    x = np.asarray(ds.coords['x'].data)
+    iy = np.abs(y - 33.4).argmin()
+    ix = np.abs(x - (-117.8)).argmin()
+    total = float(ds['wet'].data[0, iy, ix] + ds['hydro'].data[0, iy, ix])
+    np.testing.assert_almost_equal(total, 2.333865144, decimal=5)
+    assert ds.attrs['model_name'] == 'ERA-5'
+    assert ds.attrs['interpolation_method'] == 'none'
+
+
+def test_station_csv_golden(tmp_path, monkeypatch):
+    """GNSS station workflow; golden from the reference
+    (test/test_intersect.py:103-111: TORP total ZTD 2.34514 m)."""
+    from raider_tpu.workflows.calc_delays import calcDelays
+
+    src = REFERENCE_DIR / 'test' / 'scenario_6' / 'stations.csv'
+    stations = tmp_path / 'stations.csv'
+    stations.write_text(src.read_text())
+
+    cfg = _write_cfg(tmp_path, {
+        'date_group': {'date_start': 20200130},
+        'time_group': {'time': '13:52:45', 'interpolate_time': 'none'},
+        'aoi_group': {'station_file': str(stations)},
+        'runtime_group': {
+            'output_directory': str(tmp_path),
+            'weather_model_directory': str(REF_WM_DIR),
+            'verbose': False,
+        },
+    })
+    monkeypatch.chdir(tmp_path)
+    paths = calcDelays([cfg])
+    assert len(paths) == 1 and str(paths[0]).endswith('.csv')
+
+    df = pd.read_csv(paths[0])
+    td = df.loc[df['ID'] == 'TORP', 'totalDelay'].item()
+    np.testing.assert_almost_equal(td, 2.34514, decimal=4)
+
+
+def test_config_validation_errors(tmp_path):
+    from raider_tpu.workflows.config import parse_bbox, read_run_config_file
+
+    with pytest.raises(ValueError):
+        parse_bbox([34, 33, -118, -117])  # N <= S
+    with pytest.raises(ValueError):
+        parse_bbox([33, 34, -118])  # wrong length
+    with pytest.raises(ValueError):
+        parse_bbox([33, 34, 170, 190])  # lon > 180
+
+    cfg = _write_cfg(tmp_path, {
+        'date_group': {'date_start': 20200130},
+        'time_group': {'time': '13:52:45'},
+        # no AOI at all
+    })
+    with pytest.raises(ValueError):
+        read_run_config_file(cfg)
+
+
+def test_time_interp_none_vs_center(tmp_path):
+    """get_nearest_wmtimes + weight math (reference: utilFcns docstring values)."""
+    from raider_tpu.utils.timeutils import get_nearest_wmtimes
+    from raider_tpu.workflows.calc_delays import get_weights_time_interp
+
+    t0 = dt.datetime(2020, 1, 1, 11, 35, 0)
+    times = get_nearest_wmtimes(t0, 3)
+    assert times == [dt.datetime(2020, 1, 1, 9, 0), dt.datetime(2020, 1, 1, 12, 0)]
+
+    wgts = get_weights_time_interp(times, t0)
+    np.testing.assert_allclose(sum(wgts), 1.0)
+    assert wgts[1] > wgts[0]  # closer to 12:00
+
+
+def test_azimuth_timing_helpers():
+    from raider_tpu.workflows.s1_timing import (
+        get_inverse_weights_for_dates,
+        get_n_closest_datetimes,
+        get_times_for_azimuth_interpolation,
+    )
+
+    t = dt.datetime(2023, 1, 1, 11, 0, 0)
+    out = get_n_closest_datetimes(t, 3, 6)
+    assert out == [
+        dt.datetime(2023, 1, 1, 12), dt.datetime(2023, 1, 1, 6), dt.datetime(2023, 1, 1, 18)
+    ]
+
+    t = dt.datetime(2023, 1, 1, 11, 1, 0)
+    out = get_times_for_azimuth_interpolation(t, 1)
+    assert out == [
+        dt.datetime(2023, 1, 1, 11), dt.datetime(2023, 1, 1, 12), dt.datetime(2023, 1, 1, 10)
+    ]
+    t = dt.datetime(2023, 1, 1, 11, 30, 0)
+    out = get_times_for_azimuth_interpolation(t, 1)
+    assert out == [dt.datetime(2023, 1, 1, 11), dt.datetime(2023, 1, 1, 12)]
+
+    dates = [dt.datetime(2023, 1, 1, 11), dt.datetime(2023, 1, 1, 12)]
+    az = np.array([np.datetime64('2023-01-01T11:15:00', 'ms')] * 4).reshape(2, 2)
+    wgts = get_inverse_weights_for_dates(az, dates)
+    np.testing.assert_allclose(wgts[0] + wgts[1], 1.0)
+    assert np.all(wgts[0] > wgts[1])  # 11:15 is closer to 11:00
