@@ -1,0 +1,226 @@
+"""GUNW packaging and GNSS parsing/merging workflows on synthetic data."""
+
+import datetime as dt
+import gzip
+import io
+import zipfile
+from pathlib import Path
+
+import h5py
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def make_synthetic_gunw(path: Path) -> None:
+    """Minimal GUNW-shaped HDF5 with the groups the workflow reads."""
+    wkt = ('POLYGON ((-118.5 33.0, -116.7 33.2, -116.9 34.9, -118.7 34.7, '
+           '-118.5 33.0))')
+    slcs_ref = [
+        b'S1B_IW_SLC__1SDV_20200130T135154_20200130T135221_030090_037069_BBDD.zip',
+    ]
+    slcs_sec = [
+        b'S1B_IW_SLC__1SDV_20200124T135154_20200124T135221_030003_036EA4_CCEE.zip',
+    ]
+    with h5py.File(path, 'w') as f:
+        f.create_dataset('productBoundingBox', data=np.array([wkt.encode()]))
+        md = f.create_group('science/radarMetaData')
+        md.create_dataset('wavelength', data=0.05546576)
+        md.create_dataset('inputSLC/reference/L1InputGranules', data=np.array(slcs_ref))
+        md.create_dataset('inputSLC/secondary/L1InputGranules', data=np.array(slcs_sec))
+        gd = f.create_group('science/grids/data')
+        lats = np.linspace(33.0, 34.9, 20)
+        lons = np.linspace(-118.7, -116.7, 25)
+        d = gd.create_dataset('latitude', data=lats)
+        d.make_scale('latitude')
+        d = gd.create_dataset('longitude', data=lons)
+        d.make_scale('longitude')
+        f.create_group('science/grids/corrections/external/troposphere')
+
+
+@pytest.fixture
+def gunw_file(tmp_path):
+    name = 'S1-GUNW-D-R-071-tops-20200130_20200124-135156-34956N_32979N-PP-913f-v2_0_4.nc'
+    p = tmp_path / name
+    make_synthetic_gunw(p)
+    return p
+
+
+class TestGunwPrep:
+    def test_metadata_extraction(self, gunw_file, tmp_path, monkeypatch):
+        from raider_tpu.workflows import gunw as G
+
+        monkeypatch.setattr(G.GUNW, 'get_orbit_file', lambda self: ['orbit.EOF'])
+        obj = G.GUNW(str(gunw_file), 'ERA5', str(tmp_path))
+        s, n, w, e = obj.SNWE
+        assert s == pytest.approx(33.0) and n == pytest.approx(34.9)
+        assert w == pytest.approx(-118.7) and e == pytest.approx(-116.7)
+        assert obj.dates == [20200130, 20200124]
+        assert obj.mid_time == '13:52:07'  # midpoint of 135154-135221
+        assert obj.look_dir == 'right'
+        assert obj.wavelength == pytest.approx(0.05546576)
+        assert obj.spacing_m == 10000
+
+    def test_acq_time_from_id(self):
+        from raider_tpu.workflows.gunw import _get_acq_time_from_gunw_id
+
+        gid = 'S1-GUNW-A-R-106-tops-20220115_20211222-225947-00078W_00041N-PP-4be8-v3_0_0'
+        assert _get_acq_time_from_gunw_id(gid, 'reference') == dt.datetime(2022, 1, 15, 22, 59, 47)
+        assert _get_acq_time_from_gunw_id(gid, 'secondary') == dt.datetime(2021, 12, 22, 22, 59, 47)
+
+    def test_weather_model_availability(self, gunw_file):
+        from raider_tpu.workflows.gunw import check_weather_model_availability
+
+        assert check_weather_model_availability(gunw_file, 'ERA5')
+        assert check_weather_model_availability(gunw_file, 'GMAO')
+        # ERA-I ends 2019-08-31 -> not available for 2020 GUNW
+        assert not check_weather_model_availability(gunw_file, 'ERAI')
+
+    def test_identify_which_hrrr(self, gunw_file):
+        from raider_tpu.workflows.gunw import identify_which_hrrr
+
+        assert identify_which_hrrr(gunw_file) == 'HRRR'
+
+
+class TestGunwPackaging:
+    def test_tropo_gunw_slc(self, gunw_file, tmp_path):
+        """Two delay cubes -> phase -> packaged into the GUNW."""
+        from raider_tpu.delay.engine import writeResultsToDataset
+        from raider_tpu.geodesy import Geographic
+        from raider_tpu.io import write_nc
+        from raider_tpu.workflows.gunw import TROPO_GROUP, tropo_gunw_slc
+
+        xpts = np.linspace(-118.7, -116.7, 12)
+        ypts = np.linspace(34.9, 33.0, 10)
+        zpts = np.arange(-500.0, 9500.0, 1000.0)
+        rng = np.random.default_rng(3)
+        cube_paths = []
+        for datestr in ('20200124', '20200130'):
+            wet = rng.uniform(0.01, 0.3, (zpts.size, ypts.size, xpts.size))
+            hydro = rng.uniform(1.0, 2.5, (zpts.size, ypts.size, xpts.size))
+            ds = writeResultsToDataset(
+                dt.datetime.strptime(datestr, '%Y%m%d'), xpts, ypts, zpts,
+                Geographic(), wet, hydro, 'wm.nc', 'slant - raytracing',
+            )
+            ds.attrs['model_times_used'] = [datestr]
+            ds.attrs['interpolation_method'] = 'none'
+            p = tmp_path / f'ERA5_tropo_{datestr}T135207_ray.nc'
+            write_nc(ds, p)
+            cube_paths.append(p)
+
+        wavelength = 0.05546576
+        model, arrays = tropo_gunw_slc(cube_paths, gunw_file, wavelength)
+        assert model == 'ERA5'
+
+        with h5py.File(gunw_file, 'r') as f:
+            grp = f[f'{TROPO_GROUP}/ERA5']
+            for rs in ('reference', 'secondary'):
+                for name in ('troposphereWet', 'troposphereHydrostatic'):
+                    data = grp[f'{rs}/{name}'][()]
+                    assert data.shape == (zpts.size, ypts.size, xpts.size)
+                    assert np.isfinite(data).all()
+                assert grp[f'{rs}/crs'] is not None
+            # phase = delay * (-4 pi / lambda): signs flip
+            wet_ref = grp['reference/troposphereWet'][()]
+            assert np.all(wet_ref < 0)
+            assert f.attrs['version'] == b'1c'
+
+    def test_phase_conversion_value(self, tmp_path):
+        from raider_tpu.workflows.gunw import compute_delays_slc
+        from raider_tpu.delay.engine import writeResultsToDataset
+        from raider_tpu.geodesy import Geographic
+        from raider_tpu.io import write_nc
+
+        xpts = np.array([0.0, 1.0])
+        ypts = np.array([1.0, 0.0])
+        zpts = np.array([0.0, 100.0])
+        paths = []
+        for datestr in ('20200101', '20200113'):
+            ds = writeResultsToDataset(
+                dt.datetime.strptime(datestr, '%Y%m%d'), xpts, ypts, zpts,
+                Geographic(), np.full((2, 2, 2), 0.1), np.full((2, 2, 2), 2.0),
+                'wm.nc', 'slant - raytracing')
+            ds.attrs['model_times_used'] = [datestr]
+            ds.attrs['interpolation_method'] = 'none'
+            p = tmp_path / f'HRRR_tropo_{datestr}T000000_ray.nc'
+            write_nc(ds, p)
+            paths.append(p)
+        lam = 0.055
+        model, arrays, coords, crs_attrs, attrs = compute_delays_slc(paths, lam)
+        expected = 0.1 * (-4 * np.pi) / lam
+        np.testing.assert_allclose(arrays['reference_troposphereWet'], expected)
+
+
+class TestGnssParsing:
+    def _make_trop_zip(self, path: Path, station: str = 'TORP', year: int = 2020, doy: int = 30):
+        """Synthetic UNR SINEX-trop archive: zip of gzipped daily files."""
+        lines = ['%=TRO\n', '+TROP/SOLUTION\n',
+                 '*SITE EPOCH TROTOT STDDEV TRWET TGETOT STDDEV TGNTOT STDDEV WVAPOR STDDEV MTEMP\n']
+        for k, sec in enumerate(range(0, 86400, 300)):
+            trotot = 2400.0 + k * 0.1   # mm
+            trwet = 100.0 + k * 0.05
+            lines.append(
+                f' {station} {year}:{doy:03d}:{sec:05d} {trotot:.1f} 1.1 {trwet:.1f} '
+                f'0.2 0.1 -0.3 0.1 12.0 0.5 280.0\n'
+            )
+        lines.append('-TROP/SOLUTION\n')
+        inner = gzip.compress(''.join(lines).encode())
+        with zipfile.ZipFile(path, 'w') as z:
+            z.writestr(f'{station}.{year}.{doy:03d}.trop.gz', inner)
+
+    def test_get_delays_unr(self, tmp_path):
+        from raider_tpu.workflows.gnss import get_delays_UNR
+
+        zpath = tmp_path / 'TORP.2020.trop.zip'
+        self._make_trop_zip(zpath)
+        out_csv = tmp_path / 'TORP_ztd.csv'
+        get_delays_UNR(str(zpath), out_csv, ['2020-01-30'], returnTime=None)
+        df = pd.read_csv(out_csv)
+        assert len(df) == 288
+        np.testing.assert_allclose(df['ZTD'].iloc[0], 2.4)          # m
+        np.testing.assert_allclose(df['wet_delay'].iloc[0], 0.1)
+        np.testing.assert_allclose(df['hydrostatic_delay'].iloc[0], 2.3)
+
+        # specific return time: nearest 300 s slot
+        out2 = tmp_path / 'TORP_one.csv'
+        get_delays_UNR(str(zpath), out2, ['2020-01-30'], returnTime=3600)
+        df2 = pd.read_csv(out2)
+        assert len(df2) == 1 and df2['times'].iloc[0] == 3600
+
+    def test_combine_and_merge(self, tmp_path):
+        from raider_tpu.workflows.gnss_combine import combineDelayFiles, main
+
+        # model delay CSVs for two dates
+        model_dir = tmp_path / 'model'
+        model_dir.mkdir()
+        for datestr in ('20200130', '20200131'):
+            df = pd.DataFrame({
+                'ID': ['TORP', 'HOOT'],
+                'Lat': [33.8, 33.1],
+                'Lon': [-118.3, -116.8],
+                'Hgt_m': [-5.2, 617.2],
+                'wetDelay': [0.1, 0.12],
+                'hydroDelay': [2.3, 2.2],
+                'totalDelay': [2.4, 2.32],
+            })
+            df.to_csv(model_dir / f'ERA5_Delay_{datestr}T120000_ztd.csv', index=False)
+        combined = tmp_path / 'raider_combined.csv'
+        combineDelayFiles(combined, loc=model_dir)
+        dfc = pd.read_csv(combined)
+        assert len(dfc) == 4 and 'Datetime' in dfc
+
+        # GNSS ZTD file
+        gnss = pd.DataFrame({
+            'ID': ['TORP', 'HOOT'],
+            'Date': ['2020-01-30', '2020-01-30'],
+            'times': [43200, 43200],
+            'ZTD': [2.40123, 2.31999],
+            'sigZTD': [0.004, 0.005],
+        })
+        gnss_file = tmp_path / 'gnss.csv'
+        gnss.to_csv(gnss_file, index=False)
+
+        merged = main(combined, gnss_file, out_path=None)
+        assert 'ZTD_minus_RAiDER' in merged
+        torp = merged[merged['ID'] == 'TORP']
+        np.testing.assert_allclose(torp['ZTD_minus_RAiDER'].iloc[0], 2.40123 - 2.4, atol=1e-9)
