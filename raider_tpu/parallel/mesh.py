@@ -1,0 +1,86 @@
+"""Device-mesh utilities for sharding ray batches across TPU chips.
+
+The framework's scaling dimension is the number of rays (flattened query
+points): the weather cube is small and replicated in each chip's HBM, the
+ray batch is sharded over the ICI mesh, and every ray's integral is computed
+locally - no cross-chip communication until outputs are gathered (the
+distributed design the reference lacks entirely; its parallelism is
+std::async threads, reference: tools/bindings/interpolate/src/module.cpp:73-87).
+"""
+
+import math
+from functools import lru_cache
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+RAY_AXIS = 'rays'
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host TPU-pod initialization (jax.distributed); single-host runs
+    are a no-op."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+@lru_cache(maxsize=None)
+def get_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh over the available devices; the single axis is the ray batch."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]).reshape(n), (RAY_AXIS,))
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0):
+    """Pad an axis up to a multiple (static shapes for even sharding).
+
+    Returns (padded, original_length)."""
+    n = arr.shape[axis]
+    target = math.ceil(n / multiple) * multiple
+    if target == n:
+        return arr, n
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, target - n)
+    return np.pad(arr, widths, mode='edge'), n
+
+
+def shard_rays(fn: Callable, mesh: Optional[Mesh] = None, ray_axis_argnums=(),
+               replicated_argnums=()) -> Callable:
+    """Wrap a ray-batched function so the listed args shard over the mesh.
+
+    ``fn(*args)`` must be jittable with the ray axis as the leading axis of
+    each arg in ``ray_axis_argnums``; all other args are replicated. The
+    output's leading axis is the ray axis (sharded).
+    """
+    mesh = mesh or get_mesh()
+    n_dev = mesh.devices.size
+
+    def call(*args):
+        jitted = jax.jit(fn)
+        placed = []
+        orig_n = None
+        for i, a in enumerate(args):
+            if i in ray_axis_argnums:
+                a = np.asarray(a)
+                a, n = pad_to_multiple(a, n_dev, axis=0)
+                orig_n = n if orig_n is None else orig_n
+                sharding = NamedSharding(mesh, P(RAY_AXIS, *([None] * (a.ndim - 1))))
+                placed.append(jax.device_put(a, sharding))
+            else:
+                placed.append(jax.device_put(a, NamedSharding(mesh, P())))
+        out = jitted(*placed)
+        if orig_n is None:
+            return out
+        return jax.tree_util.tree_map(lambda x: x[:orig_n], out)
+
+    return call

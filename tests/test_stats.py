@@ -1,0 +1,111 @@
+"""Stats subsystem: gridding, seasonal harmonic fits, variograms."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raider_tpu.workflows.stats import (
+    RaiderStats,
+    empirical_variogram,
+    fit_variogram,
+    grid_statistic,
+    make_grid,
+    seasonal_fit,
+)
+
+
+def synthetic_gnss_csv(path, n_stations=25, n_days=365, seed=7):
+    """Stations with a known annual cycle: v = mean + A sin(2 pi t + phi)."""
+    rng = np.random.default_rng(seed)
+    lats = rng.uniform(33, 37, n_stations)
+    lons = rng.uniform(-120, -115, n_stations)
+    amps = rng.uniform(0.01, 0.05, n_stations)
+    rows = []
+    t0 = dt.datetime(2020, 1, 1)
+    for d in range(0, n_days, 5):
+        t = t0 + dt.timedelta(days=d)
+        frac_year = d / 365.25
+        for k in range(n_stations):
+            v = 2.3 + amps[k] * np.sin(2 * np.pi * frac_year)
+            rows.append({
+                'ID': f'ST{k:03d}', 'Lat': lats[k], 'Lon': lons[k], 'Hgt_m': 100.0,
+                'Datetime': t, 'ZTD': v + rng.normal(0, 1e-4), 'sigZTD': 0.004,
+            })
+    df = pd.DataFrame(rows)
+    df.to_csv(path, index=False)
+    return amps
+
+
+def test_grid_statistic_mean():
+    lat_e, lon_e = make_grid([0, 2, 0, 2], 1.0)
+    lats = np.array([0.5, 0.6, 1.5])
+    lons = np.array([0.5, 0.4, 1.5])
+    vals = np.array([1.0, 3.0, 10.0])
+    g = grid_statistic(lats, lons, vals, lat_e, lon_e, 'mean')
+    assert g.shape == (2, 2)
+    np.testing.assert_allclose(g[0, 0], 2.0)
+    np.testing.assert_allclose(g[1, 1], 10.0)
+    assert np.isnan(g[0, 1])
+    c = grid_statistic(lats, lons, vals, lat_e, lon_e, 'count')
+    assert c[0, 0] == 2 and c[1, 1] == 1
+
+
+def test_seasonal_fit_recovers_amplitude():
+    t = np.arange(0, 3 * 365, 3) * 86400.0
+    truth_amp, truth_phase = 0.04, 0.7
+    v = 2.3 + truth_amp * np.sin(2 * np.pi * t / (365.25 * 86400.0) + truth_phase)
+    fit = seasonal_fit(t, v, np.zeros(t.size, dtype=int), 1)
+    np.testing.assert_allclose(fit['amplitude'][0, 0], truth_amp, rtol=1e-3)
+    np.testing.assert_allclose(fit['mean'][0], 2.3, atol=1e-3)
+    # phase convention: a sin + b cos = A sin(x + phi) with phi = atan2(b, a)
+    np.testing.assert_allclose(fit['phase'][0, 0], truth_phase, atol=1e-3)
+
+
+def test_variogram_recovers_sill():
+    rng = np.random.default_rng(1)
+    n = 800
+    x = rng.uniform(0, 10, n)
+    y = rng.uniform(0, 10, n)
+    v = rng.normal(0, 1.0, n)  # pure nugget: semivariance ~ variance
+    centers, gamma, counts = empirical_variogram(x, y, v, n_bins=12)
+    assert np.nanmean(gamma[2:]) == pytest.approx(1.0, rel=0.15)
+    sill, rng_len = fit_variogram(centers, gamma, 'exponential')
+    assert sill == pytest.approx(1.0, rel=0.3)
+
+
+class TestRaiderStats:
+    def test_end_to_end(self, tmp_path):
+        csv = tmp_path / 'combined.csv'
+        amps = synthetic_gnss_csv(csv)
+        st = RaiderStats(str(csv), workdir=str(tmp_path), spacing=1.0)
+
+        sm = st.station_means()
+        assert len(sm) == 25
+        np.testing.assert_allclose(sm['mean'].mean(), 2.3, atol=0.01)
+
+        grid = st.grid_map('mean')
+        assert np.nanmin(grid) > 2.2 and np.nanmax(grid) < 2.4
+
+        fits = st.seasonal_amplitude_phase()
+        ours = fits.sort_values('ID')['annual_amplitude'].to_numpy()
+        np.testing.assert_allclose(ours, amps, rtol=0.05)
+
+        out = st.plot_station_distribution()
+        assert (tmp_path / 'station_distribution.png').exists()
+        st.plot_grid('mean')
+        assert (tmp_path / 'grid_mean.png').exists()
+
+    def test_cli(self, tmp_path):
+        from raider_tpu.workflows.stats import stats_analyses
+
+        csv = tmp_path / 'combined.csv'
+        synthetic_gnss_csv(csv, n_stations=8, n_days=100)
+        stats_analyses([
+            '-f', str(csv), '-w', str(tmp_path),
+            '--station_distribution', '--grid_delay_mean',
+            '--grid_seasonal_amplitude',
+        ])
+        assert (tmp_path / 'seasonal_fits.csv').exists()
+        assert (tmp_path / 'grid_mean.png').exists()
