@@ -170,17 +170,21 @@ def _get_delays_on_cube(datetime, wm: WeatherCube, weather_model_file, aoi,
         aoi.set_output_spacing(ll_res=float(min(x_spacing, y_spacing)))
         aoi.set_output_xygrid(crs)
 
+    from raider_tpu.utils.profiling import stage
+
     if los.is_Zenith() or los.is_Projected():
         out_type = 'zenith' if los.is_Zenith() else 'slant - projected'
-        wetDelay, hydroDelay = _build_cube(
-            wm, aoi.xpts, aoi.ypts, zpts, crs, ('wet_total', 'hydro_total'), compute_dtype
-        )
+        with stage('delay.ztd_cube'):
+            wetDelay, hydroDelay = _build_cube(
+                wm, aoi.xpts, aoi.ypts, zpts, crs, ('wet_total', 'hydro_total'), compute_dtype
+            )
     else:
         out_type = 'slant - raytracing'
-        wetDelay, hydroDelay = _build_cube_ray(
-            wm, aoi.xpts, aoi.ypts, zpts, los, crs,
-            zref=zref, compute_dtype=compute_dtype,
-        )
+        with stage('delay.raytrace_cube'):
+            wetDelay, hydroDelay = _build_cube_ray(
+                wm, aoi.xpts, aoi.ypts, zpts, los, crs,
+                zref=zref, compute_dtype=compute_dtype,
+            )
 
     if np.isnan(wetDelay).any() or np.isnan(hydroDelay).any():
         logger.critical('There are missing delay values. Check your inputs.')
@@ -231,9 +235,14 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     level intersections, endpoint transforms into model CRS.
     Device: the fused sample-interpolate-accumulate kernel per height slice.
     """
+    from raider_tpu.delay.raytrace import pack_cubes
+
     model_zs = wm.zs
     cube_wet = wm.field('wet', compute_dtype)
     cube_hydro = wm.field('hydro', compute_dtype)
+    # pack both fields + trilinear corners into gather rows once, reused by
+    # every height slice (the kernel is gather-count bound)
+    packed2d, pack_mode = pack_cubes(cube_wet, cube_hydro)
 
     xx, yy = np.meshgrid(xpts, ypts)
     npix = xx.size
@@ -241,6 +250,8 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     outputArrs = [
         np.zeros((zpts.size, ypts.size, xpts.size)) for _ in range(2)
     ]
+
+    from raider_tpu.utils.profiling import stage
 
     geographic = Geographic()
     for hh, ht in enumerate(zpts):
@@ -256,10 +267,12 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         xyz = np.stack([x_e, y_e, z_e], axis=-1)
 
         # Step 2: look vectors (batched geo2rdr)
-        look = los.getLookVectors(ht, [lon, lat, hts], xyz, yy)
+        with stage('raytrace.look_vectors', log=False):
+            look = los.getLookVectors(ht, [lon, lat, hts], xyz, yy)
 
         # Step 3: level intersections (batched Newton)
-        ray_lengths, low_xyzs, high_xyzs = build_ray(model_zs, ht, xyz, look, zref)
+        with stage('raytrace.build_ray', log=False):
+            ray_lengths, low_xyzs, high_xyzs = build_ray(model_zs, ht, xyz, look, zref)
 
         if ray_lengths is None:
             if ht == zpts[-1]:
@@ -292,15 +305,17 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         with np.errstate(invalid='ignore'):
             per_level_max = np.nanmax(ray_lengths.reshape(seg_flat.shape), axis=1)
 
-        wet, hydro = integrate_rays(
-            cube_wet.astype(compute_dtype), cube_hydro.astype(compute_dtype),
-            wm.ys, wm.xs, wm.zs,
-            low_yxz.astype(compute_dtype), high_yxz.astype(compute_dtype),
-            d2.astype(compute_dtype), seg_flat.astype(compute_dtype),
-            re_local.astype(compute_dtype),
-            per_level_max,
-            max_segment_length=max_segment_length,
-        )
+        with stage('raytrace.integrate', log=False):
+            wet, hydro = integrate_rays(
+                cube_wet, cube_hydro,
+                wm.ys, wm.xs, wm.zs,
+                low_yxz.astype(compute_dtype), high_yxz.astype(compute_dtype),
+                d2.astype(compute_dtype), seg_flat.astype(compute_dtype),
+                re_local.astype(compute_dtype),
+                per_level_max,
+                max_segment_length=max_segment_length,
+                packed2d=packed2d, mode=pack_mode,
+            )
         outputArrs[0][hh] = np.asarray(wet).reshape(ypts.size, xpts.size)
         outputArrs[1][hh] = np.asarray(hydro).reshape(ypts.size, xpts.size)
 
