@@ -84,19 +84,24 @@ def main() -> None:
 
     packed2d, mode = pack_cubes(wet, hydro)
 
+    # stage the ray batch on device ONCE; the perturbation that defeats
+    # result caching is applied on-device so no re-upload happens per run
+    dev = [jnp.asarray(a) for a in (low, high, d2, ray_len, re)]
+
     def run_std(bump):
+        low_d, high_d, d2_d, rl_d, re_d = dev
         w_out, h_out = integrate_rays(
             wet, hydro, ys, xs, zs,
-            low + bump, high + bump, d2, ray_len, re, per_level_max,
+            low_d + bump, high_d + bump, d2_d, rl_d, re_d, per_level_max,
             packed2d=packed2d, mode=mode,
         )
         return float(jnp.nansum(w_out) + jnp.nansum(h_out))
 
-    _ = run_std(0.0)
+    _ = run_std(jnp.float32(0.0))
     t_std = []
     for k in range(1, 4):
         t0 = time.perf_counter()
-        _ = run_std(float(k) * 1e-7)
+        _ = run_std(jnp.float32(k) * 1e-7)
         t_std.append(time.perf_counter() - t0)
     t_std = min(t_std)
 

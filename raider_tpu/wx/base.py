@@ -390,9 +390,18 @@ class WeatherModel:
         _zlevels = np.asarray(_zlevels, dtype=np.float64)
         new_zs = np.broadcast_to(_zlevels, self._p.shape[:2] + (_zlevels.size,))
 
+        from raider_tpu import native
+
         for name in ('_t', '_p', '_e'):
             cur = getattr(self, name)
-            out = interp_along_axis(self._zs, np.asarray(cur, dtype=np.float64), new_zs, axis=2)
+            if native.available():
+                # native path scales linearly in columns (the JAX kernel's
+                # compare-matrix bracketing is O(n*m) per column)
+                out = native.interpolate_along_axis(
+                    self._zs, np.asarray(cur, dtype=np.float64), new_zs, axis=2
+                )
+            else:
+                out = interp_along_axis(self._zs, np.asarray(cur, dtype=np.float64), new_zs, axis=2)
             setattr(self, name, np.asarray(out).astype(np.float32))
 
         self._zs = _zlevels

@@ -108,3 +108,41 @@ class TestGnssGolden:
         total = np.asarray(wet) + np.asarray(hydro)
         torp = total[(df['ID'] == 'TORP').to_numpy()][0]
         np.testing.assert_almost_equal(torp, 2.34514, decimal=4)
+
+
+class TestProjectedOutputCrs:
+    def test_utm_output_grid(self, era5_la_file):
+        """ZTD cube on a UTM output grid (CRS-mismatch gather path) agrees
+        with per-level scipy interpolation of transformed points."""
+        import datetime as dtmod
+        from scipy.interpolate import RegularGridInterpolator
+
+        from raider_tpu.geodesy import transform_points, crs_from_epsg
+
+        aoi = BoundingBox([33, 34, -118.25, -116.75], cube_spacing_in_m=2000.0)
+        aoi.add_buffer(0.25)
+        aoi.set_output_xygrid('EPSG:32611')
+        assert aoi.xpts.min() > 100000 and aoi.xpts.max() < 900000  # meters
+
+        heights = [0.0, 500.0]
+        ds, _ = tropo_delay(
+            dtmod.datetime(2020, 1, 30, 13, 52, 45), str(era5_la_file),
+            aoi, Zenith(), height_levels=heights, out_proj=32611,
+        )
+        # reference semantics: transform grid to model CRS, interp wet_total
+        wm = WeatherCube(str(era5_la_file))
+        rgi = RegularGridInterpolator(
+            (wm.ys, wm.xs, wm.zs), wm.field('wet_total').transpose(1, 2, 0),
+            bounds_error=False, fill_value=np.nan,
+        )
+        xx, yy = np.meshgrid(aoi.xpts, aoi.ypts)
+        lon, lat = (np.asarray(v) for v in transform_points(
+            crs_from_epsg(32611), crs_from_epsg(4326), xx, yy)[:2])
+        for li, ht in enumerate(heights):
+            pts = np.stack([lat, lon, np.full(lat.shape, ht)], axis=-1)
+            ref = rgi(pts)
+            np.testing.assert_allclose(
+                np.asarray(ds['wet'].data)[li], ref, atol=1e-7, equal_nan=True
+            )
+        # CF metadata says meters for projected CRS
+        assert ds.coords['x'].attrs['units'] == 'm'

@@ -1,0 +1,95 @@
+"""Utility parities: UTM, time rounding, bbox math, filenames."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from raider_tpu.utils.bbox import box_contains_with_translates, clip_bbox
+from raider_tpu.utils.misc import (
+    UTM_to_WGS84,
+    WGS84_to_UTM,
+    convertLons,
+    cosd,
+    projectDelays,
+    sind,
+    utm_letter,
+    utm_zone,
+)
+from raider_tpu.utils.timeutils import get_dt, get_nearest_wmtimes, round_date, round_time
+
+
+def test_sind_cosd():
+    np.testing.assert_allclose(sind(30.0), 0.5)
+    np.testing.assert_allclose(cosd(60.0), 0.5)
+
+
+def test_project_delays():
+    np.testing.assert_allclose(projectDelays(2.0, 0.0), 2.0)
+    np.testing.assert_allclose(projectDelays(2.0, 60.0), 4.0)
+    with pytest.raises(ZeroDivisionError):
+        projectDelays(2.0, 90.0)
+
+
+def test_convert_lons():
+    out = convertLons(np.array([0.0, 90.0, 181.0, 359.0]))
+    np.testing.assert_allclose(out, [0, 90, -179, -1])
+
+
+def test_utm_zone_letter():
+    assert utm_zone(-118.0, 34.0) == 11
+    assert utm_zone(6.0, 60.0) == 32   # Norway exception
+    assert utm_letter(34.0) == 'S'
+
+
+def test_utm_roundtrip():
+    lons = np.array([-118.2, -117.5, 6.0])
+    lats = np.array([34.0, 33.5, 60.0])
+    z, letters, x, y = WGS84_to_UTM(lons, lats)
+    lon2, lat2 = UTM_to_WGS84(z, letters, x, y)
+    np.testing.assert_allclose(lon2, lons, atol=1e-8)
+    np.testing.assert_allclose(lat2, lats, atol=1e-8)
+
+
+def test_round_date_docstring():
+    d = round_date(dt.datetime(2020, 1, 1, 11, 35), dt.timedelta(hours=3))
+    assert d == dt.datetime(2020, 1, 1, 12)
+    d = round_date(dt.datetime(2020, 1, 1, 10, 29), dt.timedelta(hours=3))
+    assert d == dt.datetime(2020, 1, 1, 9)
+
+
+def test_get_dt_docstring():
+    assert get_dt(dt.datetime(2020, 1, 1, 5), dt.datetime(2020, 1, 1)) == 18000.0
+
+
+def test_nearest_wmtimes_exact():
+    # within the 60s threshold: single time
+    out = get_nearest_wmtimes(dt.datetime(2020, 1, 1, 12, 0, 30), 3)
+    assert out == [dt.datetime(2020, 1, 1, 12)]
+
+
+def test_clip_bbox():
+    out = clip_bbox([33.05, 34.01, -118.17, -117.43], 0.1)
+    np.testing.assert_allclose(out, [33.0, 34.1, -118.2, -117.4])
+
+
+def test_containment_translates():
+    # weather box crossing the antimeridian expressed past 180
+    outer = (170.0, 50.0, 190.0, 60.0)
+    assert box_contains_with_translates(outer, (172.0, 52.0, 178.0, 58.0))
+    assert box_contains_with_translates(outer, (-175.0, 52.0, -172.0, 58.0))
+    assert not box_contains_with_translates(outer, (150.0, 52.0, 160.0, 58.0))
+
+
+def test_make_delay_filenames_docstring():
+    """Reference docstring example (checkArgs.py:117-121)."""
+    from pathlib import Path
+
+    from raider_tpu.workflows.check_args import makeDelayFileNames
+
+    wet, hydro = makeDelayFileNames(dt.datetime(2020, 1, 1, 0, 0, 0), None, 'h5',
+                                    'model_name', Path('some_dir'))
+    assert wet == 'some_dir/model_name_wet_20200101T000000_ztd.h5'
+    assert hydro == 'some_dir/model_name_hydro_20200101T000000_ztd.h5'
+    wet, hydro = makeDelayFileNames(None, None, 'h5', 'model_name', Path('some_dir'))
+    assert wet == 'some_dir/model_name_wet_ztd.h5'
