@@ -247,14 +247,16 @@ def interpolate_orbit(orbit_times, orbit_pos, orbit_vel, t):
 
 # -------------------------------------------------------------------- geo2rdr
 
-@host_jit
-def geo2rdr(orbit_times, orbit_pos, orbit_vel, targ_xyz, maxiter: int = 30):
+@host_jit(static_argnames=('maxiter',))
+def geo2rdr(orbit_times, orbit_pos, orbit_vel, targ_xyz, maxiter: int = 15):
     """Zero-Doppler azimuth time and slant range for ECEF targets, batched.
 
     Solves dot(v_sat(t), x_sat(t) - x_targ) = 0 by Newton iteration over all
     targets at once - the vectorized replacement for the reference's
-    per-pixel ISCE3 geo2rdr loop (losreader.py:230-254; threshold 1e-7 s,
-    maxiter 30 per losreader.py:247-249).
+    per-pixel ISCE3 geo2rdr loop (losreader.py:230-254). The reference
+    iterates to a 1e-7 s threshold with maxiter 30; Newton from the window
+    midpoint converges quadratically in <= 8 steps, so 15 fixed iterations
+    sit well past machine convergence.
 
     Args:
         targ_xyz: (..., 3) target ECEF positions (NaN targets -> NaN outputs).

@@ -26,6 +26,25 @@ def _toa_newton(xyz, look_vecs, toaheight, factor, max_iter: int):
     return pos
 
 
+@host_jit(static_argnames=('max_iter',))
+def _toa_newton_batch(xyz, look_vecs, heights, factor, max_iter: int):
+    """Intersections with MANY height levels in one compiled program.
+
+    heights: (L,) -> returns (L, ..., 3). vmap over levels collapses L host
+    dispatches into one and lets XLA share the per-pixel work.
+    """
+    import jax
+
+    def body(h):
+        pos = xyz + h * look_vecs
+        for _ in range(max_iter):
+            llh_h = ecef2lla(pos[..., 0], pos[..., 1], pos[..., 2])[2]
+            pos = pos + look_vecs * ((h - llh_h) / factor)[..., None]
+        return pos
+
+    return jax.vmap(body)(heights)
+
+
 def get_top_of_atmosphere(xyz, look_vecs, toaheight, factor=None):
     """Intersection of rays with the ellipsoidal height level ``toaheight``.
 
@@ -104,16 +123,28 @@ def build_ray(model_zs, ht: float, xyz, look_vecs,
     xyz = np.asarray(xyz, dtype=np.float64)
     look = np.asarray(look_vecs, dtype=np.float64)
 
-    p0 = np.asarray(get_top_of_atmosphere(xyz, look, heights[0]))
-    p1 = np.asarray(get_top_of_atmosphere(xyz, look, heights[1]))
+    # phase 1: the first two boundary heights at full 10-iteration Newton
+    # (no cos factor yet), in one compiled call
+    ones = jnp.ones(xyz.shape[:-1], dtype=jnp.float64)
+    p01 = np.asarray(_toa_newton_batch(
+        jnp.asarray(xyz), jnp.asarray(look),
+        jnp.asarray(heights[:2]), ones, 10,
+    ))
+    p0, p1 = p01[0], p01[1]
     seg0 = np.linalg.norm(p1 - p0, axis=-1)
     with np.errstate(invalid='ignore', divide='ignore'):
         cos_factor = (heights[1] - heights[0]) / seg0
 
-    pts = [p0, p1]
-    for h in heights[2:]:
-        pts.append(np.asarray(get_top_of_atmosphere(xyz, look, h, factor=cos_factor)))
-    pts = np.stack(pts, axis=0)  # (L+1, ..., 3)
+    # phase 2: every remaining height with the 3-iteration cos-factor
+    # speedup, in one compiled call (the reference dispatches per level)
+    if heights.size > 2:
+        rest = np.asarray(_toa_newton_batch(
+            jnp.asarray(xyz), jnp.asarray(look),
+            jnp.asarray(heights[2:]), jnp.asarray(cos_factor), 3,
+        ))
+        pts = np.concatenate([p01, rest], axis=0)  # (L+1, ..., 3)
+    else:
+        pts = p01
 
     low_xyzs = pts[:-1]
     high_xyzs = pts[1:]

@@ -379,6 +379,24 @@ def calcDelaysGUNW(iargs: Optional[list] = None):
     if args.file is None and args.bucket is None:
         raise ValueError('Provide either a GUNW file or an S3 bucket')
 
+    # CONUS/Alaska disambiguation + azimuth-grid availability check
+    # (reference: cli/raider.py:602-610)
+    if (args.file is not None and args.weather_model == 'HRRR'
+            and args.interpolate_time == 'azimuth_time_grid'):
+        gunw_id = Path(args.file).name.replace('.nc', '')
+        wm_name = identify_which_hrrr(args.file)
+        try:
+            ok = check_hrrr_dataset_availablity_for_s1_azimuth_time_interpolation(
+                gunw_id, wm_name.lower())
+        except Exception:
+            ok = True  # availability probe needs network; assume available
+        if not ok:
+            raise NoWeatherModelData(
+                'The required HRRR data for time-grid interpolation is not available'
+            )
+        # the run config keeps 'HRRR'; the model class auto-casts to the
+        # Alaska domain from the AOI bounds (wx.hrrr.HRRR.checkValidBounds)
+
     json_path = None
     if args.bucket:
         from raider_tpu.workflows import aws

@@ -156,3 +156,70 @@ def test_azimuth_timing_helpers():
     wgts = get_inverse_weights_for_dates(az, dates)
     np.testing.assert_allclose(wgts[0] + wgts[1], 1.0)
     assert np.all(wgts[0] > wgts[1])  # 11:15 is closer to 11:00
+
+
+def test_center_time_interpolation(tmp_path, monkeypatch):
+    """Two epochs with different constant ZTD fields: the center_time path
+    must produce the inverse-time-weighted combination
+    (reference: cli/raider.py:792-888)."""
+    import yaml
+
+    from raider_tpu.geodesy import Geographic
+    from raider_tpu.io import Dataset, read_nc, write_nc
+    from raider_tpu.io.ncdf import Variable
+    from raider_tpu.workflows.calc_delays import calcDelays
+    from raider_tpu.wx.base import make_weather_model_filename
+
+    wm_dir = tmp_path / 'weather_files'
+    wm_dir.mkdir()
+
+    ys = np.arange(30.0, 37.01, 0.25)
+    xs = np.arange(-120.0, -113.99, 0.25)
+    zs = np.linspace(-500.0, 30000.0, 25)
+    shape = (zs.size, ys.size, xs.size)
+
+    def make_wm(timestr, value):
+        coords = {
+            'x': Variable(('x',), xs, {}),
+            'y': Variable(('y',), ys, {}),
+            'z': Variable(('z',), zs, {}),
+        }
+        variables = {
+            'wet': Variable(('z', 'y', 'x'), np.full(shape, 1.0), {}),
+            'hydro': Variable(('z', 'y', 'x'), np.full(shape, 2.0), {}),
+            'wet_total': Variable(('z', 'y', 'x'), np.full(shape, value), {}),
+            'hydro_total': Variable(('z', 'y', 'x'), np.full(shape, 2 * value), {}),
+            'proj': Variable((), np.int64(0), Geographic().to_cf()),
+        }
+        return Dataset(coords=coords, variables=variables,
+                       attrs={'datetime': timestr})
+
+    t1 = dt.datetime(2020, 1, 30, 12, 0, 0)
+    t2 = dt.datetime(2020, 1, 30, 13, 0, 0)
+    # filenames must match the cache-key convention for the buffered bounds
+    for t, val in ((t1, 1.0), (t2, 3.0)):
+        # bounds the workflow computes for this config (ERA5, bbox 33-34/-118.25--116.75)
+        name = make_weather_model_filename('ERA-5', t, [32.0, 35.0, -120.0, -115.0])
+        write_nc(make_wm(t.strftime('%Y_%m_%dT%H_%M_%S'), val), wm_dir / name)
+
+    cfg = _write_cfg(tmp_path, {
+        'date_group': {'date_start': 20200130},
+        'height_group': {'height_levels': [0]},
+        'time_group': {'time': '12:45:00', 'interpolate_time': 'center_time'},
+        'aoi_group': {'bounding_box': [33, 34, -118.25, -116.75]},
+        'runtime_group': {
+            'output_directory': str(tmp_path),
+            'weather_model_directory': str(wm_dir),
+            'verbose': False,
+        },
+    })
+    monkeypatch.chdir(tmp_path)
+    paths = calcDelays([cfg])
+    ds = read_nc(paths[0])
+    # 12:45 between 12:00 and 13:00 -> weights 0.25 / 0.75 -> 1*0.25 + 3*0.75
+    expected = 1.0 * 0.25 + 3.0 * 0.75
+    np.testing.assert_allclose(np.asarray(ds['wet'].data), expected, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ds['hydro'].data), 2 * expected, rtol=1e-12)
+    # the combined file was written with the timeInterp naming convention
+    combined = list(wm_dir.glob('*timeInterp*'))
+    assert len(combined) == 1
