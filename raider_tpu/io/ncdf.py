@@ -92,8 +92,41 @@ def _dims_of(ds_obj: h5py.Dataset, fallback_names) -> tuple:
     return tuple(dims)
 
 
+def _read_nc3(path: Union[str, Path]) -> Dataset:
+    """Classic (netCDF-3) fallback via scipy (raw CDS/MARS downloads can be
+    classic format)."""
+    from scipy.io import netcdf_file
+
+    out = Dataset()
+    with netcdf_file(str(path), 'r', maskandscale=True, mmap=False) as f:
+        out.attrs = {
+            k: (v.decode() if isinstance(v, bytes) else v)
+            for k, v in f._attributes.items()
+        }
+        dims = set(f.dimensions.keys())
+        for name, var in f.variables.items():
+            data = np.array(var[:]) if var.data is not None else np.array(var.getValue())
+            attrs = {
+                k: (v.decode() if isinstance(v, bytes) else v)
+                for k, v in var._attributes.items()
+            }
+            if name in dims and data.ndim == 1:
+                out.coords[name] = Variable((name,), data.copy(), attrs)
+            else:
+                out.variables[name] = Variable(tuple(var.dimensions), data.copy(), attrs)
+    return out
+
+
 def read_nc(path: Union[str, Path], group: Optional[str] = None) -> Dataset:
-    """Read a netCDF4/HDF5 file (optionally a sub-group) into a Dataset."""
+    """Read a netCDF file (HDF5-backed netCDF4, or classic netCDF-3 via the
+    scipy fallback), optionally a sub-group, into a Dataset."""
+    try:
+        h5py.File(path, 'r').close()
+    except OSError:
+        if group is not None:
+            raise
+        return _read_nc3(path)
+
     out = Dataset()
     with h5py.File(path, 'r') as f:
         root = f[group] if group else f
