@@ -81,6 +81,17 @@ class WeatherCube:
         return np.ascontiguousarray(arr)
 
 
+def _default_compute_dtype():
+    """f32 when an accelerator will run the kernels (true f64 is emulated
+    there), full f64 on CPU-only hosts."""
+    import jax
+
+    try:
+        return np.float32 if jax.default_backend() != 'cpu' else np.float64
+    except RuntimeError:
+        return np.float64
+
+
 def tropo_delay(
     datetime: dt.datetime,
     weather_model_file: str,
@@ -89,13 +100,16 @@ def tropo_delay(
     height_levels: Optional[list] = None,
     out_proj: Union[int, str] = 4326,
     zref: Optional[float] = None,
-    compute_dtype=np.float64,
+    compute_dtype=None,
 ):
     """Calculate integrated delays on query points (reference: delay.py:35-130).
 
     Returns (Dataset, None) for cube-type AOIs, else (wet, hydro) arrays at
-    the AOI's query points.
+    the AOI's query points. ``compute_dtype`` defaults to float32 on
+    accelerators and float64 on CPU.
     """
+    if compute_dtype is None:
+        compute_dtype = _default_compute_dtype()
     crs = crs_from_user(out_proj)
     wm = WeatherCube(weather_model_file)
 
@@ -305,17 +319,37 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         with np.errstate(invalid='ignore'):
             per_level_max = np.nanmax(ray_lengths.reshape(seg_flat.shape), axis=1)
 
+        args = (
+            low_yxz.astype(compute_dtype), high_yxz.astype(compute_dtype),
+            d2.astype(compute_dtype), seg_flat.astype(compute_dtype),
+            re_local.astype(compute_dtype),
+        )
+        # shard the ray batch over all available devices (SPMD: replicated
+        # packed cube, sharded indices, no collectives needed)
+        import jax
+
+        n_dev = len(jax.devices())
+        orig_n = None
+        if n_dev > 1 and npix >= 8 * n_dev:
+            from raider_tpu.parallel.mesh import place_ray_arrays, replicate
+
+            (l_a, h_a, d_a, s_a), orig_n = place_ray_arrays(args[:4], ray_axis=1)
+            (r_a,), _ = place_ray_arrays([args[4]], ray_axis=0)
+            args = (l_a, h_a, d_a, s_a, r_a)
+            packed2d = replicate(packed2d)
+
         with stage('raytrace.integrate', log=False):
             wet, hydro = integrate_rays(
                 cube_wet, cube_hydro,
                 wm.ys, wm.xs, wm.zs,
-                low_yxz.astype(compute_dtype), high_yxz.astype(compute_dtype),
-                d2.astype(compute_dtype), seg_flat.astype(compute_dtype),
-                re_local.astype(compute_dtype),
-                per_level_max,
+                *args,
+                ray_lengths_max=per_level_max,
                 max_segment_length=max_segment_length,
                 packed2d=packed2d, mode=pack_mode,
             )
+        if orig_n is not None:
+            wet = np.asarray(wet)[:orig_n]
+            hydro = np.asarray(hydro)[:orig_n]
         outputArrs[0][hh] = np.asarray(wet).reshape(ypts.size, xpts.size)
         outputArrs[1][hh] = np.asarray(hydro).reshape(ypts.size, xpts.size)
 

@@ -54,6 +54,33 @@ def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0):
     return np.pad(arr, widths, mode='edge'), n
 
 
+def place_ray_arrays(arrays, ray_axis: int, mesh: Optional[Mesh] = None):
+    """Shard each array's ``ray_axis`` over the mesh (edge-padding to a
+    multiple of the device count) and return (placed_arrays, original_n).
+
+    Lets jit-compiled programs run SPMD over the ray batch without shard_map:
+    the weather cube stays replicated, indices/weights are sharded, and the
+    gather produces sharded output with no collectives.
+    """
+    mesh = mesh or get_mesh()
+    n_dev = mesh.devices.size
+    placed = []
+    orig_n = None
+    for a in arrays:
+        a = np.asarray(a)
+        a, n = pad_to_multiple(a, n_dev, axis=ray_axis)
+        orig_n = n if orig_n is None else orig_n
+        spec = [None] * a.ndim
+        spec[ray_axis] = RAY_AXIS
+        placed.append(jax.device_put(a, NamedSharding(mesh, P(*spec))))
+    return placed, orig_n
+
+
+def replicate(array, mesh: Optional[Mesh] = None):
+    mesh = mesh or get_mesh()
+    return jax.device_put(array, NamedSharding(mesh, P()))
+
+
 def shard_rays(fn: Callable, mesh: Optional[Mesh] = None, ray_axis_argnums=(),
                replicated_argnums=()) -> Callable:
     """Wrap a ray-batched function so the listed args shard over the mesh.
