@@ -1,0 +1,276 @@
+"""On-device ray geometry in double-single (df64) arithmetic.
+
+The default pipeline computes orbit/ray geometry on the host CPU in float64
+(TPU f64 is emulated at low precision). This module provides the fully
+device-resident alternative: millimeter-accurate geometry on TPU using
+float32-pair (df64) arithmetic (see raider_tpu.ops.df64), which removes both
+the host CPU bottleneck and the per-slice host->device transfer of segment
+endpoints.
+
+Pieces:
+  * orbit polynomials: the host converts each 4-statevector Hermite window
+    into a degree-7 monomial polynomial in tau = t - t_center (exact, f64),
+    shipped once as df64 coefficient tables. Evaluation, differentiation and
+    the zero-Doppler Newton solve then run on device in df64.
+  * height above the WGS84 ellipsoid: Vermeille's closed form restricted to
+    the height output needs only +,-,*,/,sqrt,cbrt - all df64-implementable.
+  * level intersections (TOA Newton) and ray segment lengths in df64.
+
+STATUS - EXPERIMENTAL. df64 correctness is compiler-dependent: XLA:CPU's
+LLVM codegen applies floating-point rewrites inside fused loops that can
+destroy the error-free transformations (measured: results collapse to f32
+precision for some fusion shapes, varying with XLA fast-math flags; the HLO
+itself is intact and jax.lax.optimization_barrier is removed by the CPU
+pipeline). The host-f64 path (geometry.orbit / geometry.rays) remains the
+production default. Use this module on TPU targets after validating
+tests/test_device_geom.py on the actual backend.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raider_tpu.constants import WGS84_A, WGS84_E2
+from raider_tpu.geometry.orbit import Orbit, interpolate_orbit
+from raider_tpu.ops import df64
+from raider_tpu.ops.df64 import DF
+
+
+class OrbitPoly(NamedTuple):
+    """Per-window degree-7 monomial orbit polynomials as df64 tables.
+
+    times:   (n,) float64 statevector times (window selection, host numpy)
+    t_c:     (nw, 2) float32 hi/lo window center times
+    coeffs:  (nw, 8, 3, 2) float32 hi/lo monomial coefficients (pos in tau)
+    """
+
+    times: np.ndarray
+    t_c: jnp.ndarray
+    coeffs: jnp.ndarray
+
+
+def build_orbit_poly(orbit: Orbit) -> OrbitPoly:
+    """Host-side: exact degree-7 monomial form of each Hermite window.
+
+    The window polynomial is recovered by sampling the validated host
+    Hermite interpolator at 8 points and interpolating (a degree-7
+    polynomial through 8 samples of a degree-7 polynomial is exact).
+    """
+    times = np.asarray(orbit.times, dtype=np.float64)
+    n = times.size
+    nw = n - 3
+    t_c = np.empty(nw, dtype=np.float64)
+    coeffs = np.empty((nw, 8, 3), dtype=np.float64)
+    for w in range(nw):
+        t0, t1 = times[w + 1], times[w + 2]
+        t_c[w] = 0.5 * (t0 + t1)
+        # sample within the window span for conditioning
+        span = times[w + 3] - times[w]
+        taus = np.linspace(-0.5 * span, 0.5 * span, 8)
+        pos, _ = interpolate_orbit(orbit.times, orbit.pos, orbit.vel, t_c[w] + taus)
+        pos = np.asarray(pos)  # (8, 3)
+        # exact Vandermonde solve (degree 7 through 8 samples)
+        v = np.vander(taus, 8, increasing=True)
+        coeffs[w] = np.linalg.solve(v, pos)
+
+    def _pack(x):
+        hi = x.astype(np.float32)
+        lo = (x - hi.astype(np.float64)).astype(np.float32)
+        return jnp.asarray(np.stack([hi, lo], axis=-1))
+
+    return OrbitPoly(times=times, t_c=_pack(t_c), coeffs=_pack(coeffs))
+
+
+def _gather_window(times_f32, t_hi):
+    """Window index for query times (f32 hi part is plenty: windows are
+    seconds apart)."""
+    idx = jnp.searchsorted(times_f32, t_hi, side='right') - 1
+    return jnp.clip(idx - 1, 0, times_f32.shape[0] - 4)
+
+
+def _eval_pos_vel_acc(times_f32, t_c, coeffs, t: DF):
+    """Evaluate position/velocity/acceleration polynomials at df64 times."""
+    w = _gather_window(times_f32, t.hi)
+    tc_rows = jnp.take(t_c, w, axis=0)                 # (N, 2)
+    c_rows = jnp.take(coeffs, w, axis=0)               # (N, 8, 3, 2)
+    tau = df64.sub(t, DF(tc_rows[..., 0], tc_rows[..., 1]))
+
+    def c(k, comp):
+        return DF(c_rows[..., k, comp, 0], c_rows[..., k, comp, 1])
+
+    pos, vel, acc = [], [], []
+    for comp in range(3):
+        # Horner for p, p', p'' simultaneously
+        p = c(7, comp)
+        d1 = df64.df(jnp.zeros_like(t.hi))
+        d2_ = df64.df(jnp.zeros_like(t.hi))
+        for k in range(6, -1, -1):
+            d2_ = df64.add(df64.mul(d2_, tau), df64.scale(d1, 2.0))
+            d1 = df64.add(df64.mul(d1, tau), p)
+            p = df64.add(df64.mul(p, tau), c(k, comp))
+        pos.append(p)
+        vel.append(d1)
+        acc.append(d2_)
+    return pos, vel, acc
+
+
+@partial(jax.jit, static_argnames=('maxiter',))
+def _geo2rdr_df_impl(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init, maxiter: int):
+    targ = [DF(targ_hi[..., i], targ_lo[..., i]) for i in range(3)]
+    t = DF(t_init, jnp.zeros_like(t_init))
+
+    def body(_, t_pair):
+        t = DF(*t_pair)
+        pos, vel, acc = _eval_pos_vel_acc(times_f32, t_c, coeffs, t)
+        dr = [df64.sub(pos[i], targ[i]) for i in range(3)]
+        fn = df64.dot3(*vel, *dr)
+        vv = df64.add(df64.add(df64.sqr(vel[0]), df64.sqr(vel[1])), df64.sqr(vel[2]))
+        fa = df64.dot3(*acc, *dr)
+        fp = df64.add(fa, vv)
+        t2 = df64.sub(t, df64.div(fn, fp))
+        return (t2.hi, t2.lo)
+
+    t_hi, t_lo = jax.lax.fori_loop(0, maxiter, body, (t.hi, t.lo))
+    t = DF(t_hi, t_lo)
+    pos, vel, _ = _eval_pos_vel_acc(times_f32, t_c, coeffs, t)
+    dr = [df64.sub(pos[i], targ[i]) for i in range(3)]
+    sr = df64.norm3(*dr)
+    return (t.hi, t.lo,
+            jnp.stack([p.hi for p in pos], -1), jnp.stack([p.lo for p in pos], -1),
+            sr.hi, sr.lo)
+
+
+def geo2rdr_device(poly: OrbitPoly, targ_xyz_f64: np.ndarray, maxiter: int = 15):
+    """Zero-Doppler solve on device in df64.
+
+    Args:
+        targ_xyz_f64: (..., 3) float64 target ECEF (host), shipped as pairs.
+
+    Returns (aztime DF, sat_pos (hi, lo) arrays (..., 3), slant_range DF).
+    """
+    targ = np.asarray(targ_xyz_f64, dtype=np.float64)
+    hi = targ.astype(np.float32)
+    lo = (targ - hi.astype(np.float64)).astype(np.float32)
+    t_mid = np.float32(0.5 * (poly.times[0] + poly.times[-1]))
+    t_init = jnp.full(targ.shape[:-1], t_mid, dtype=jnp.float32)
+    out = _geo2rdr_df_impl(
+        jnp.asarray(poly.times, jnp.float32),
+        poly.t_c, poly.coeffs, jnp.asarray(hi), jnp.asarray(lo), t_init,
+        maxiter=maxiter,
+    )
+    t_hi, t_lo, p_hi, p_lo, sr_hi, sr_lo = out
+    return DF(t_hi, t_lo), (p_hi, p_lo), DF(sr_hi, sr_lo)
+
+
+# ------------------------------------------------------------------- heights
+
+_E2 = float(WGS84_E2)
+_E4 = _E2 * _E2
+_A2 = float(WGS84_A) ** 2
+
+
+def height_df(x: DF, y: DF, z: DF) -> DF:
+    """Height above the WGS84 ellipsoid, df64 (Vermeille, height output only).
+
+    Matches the f64 closed form (geodesy.ellipsoid.ecef2lla's height) to
+    sub-0.1 mm over the troposphere range.
+    """
+    xy2 = df64.add(df64.sqr(x), df64.sqr(y))
+    z2 = df64.sqr(z)
+    # exact df64 constants (f32-rounded constants would inject 1e-8 errors
+    # that amplify to ~0.1 m through the k + e^2 - 1 cancellation)
+    inv_a2 = df64.const(1.0 / _A2)
+    e2_c = df64.const(_E2)
+    e4_c = df64.const(_E4)
+    one = df64.const(1.0)
+
+    p = df64.mul(xy2, inv_a2)
+    q = df64.mul(df64.mul(z2, inv_a2), df64.const(1.0 - _E2))
+    # r = (p + q - e4) / 6
+    r = df64.mul(df64.sub(df64.add(p, q), e4_c), df64.const(1.0 / 6.0))
+
+    # s = e4 p q / (4 r^3)
+    r3 = df64.mul(df64.sqr(r), r)
+    s = df64.div(df64.mul(df64.mul(p, q), e4_c), df64.scale(r3, 4.0))
+    # t = cbrt(1 + s + sqrt(s (2 + s)))
+    inner = df64.sqrt(df64.mul(s, df64.add(df64.const(2.0), s)))
+    t = df64.cbrt(df64.add(df64.add(one, s), inner))
+    # u = r (1 + t + 1/t)
+    u = df64.mul(r, df64.add(df64.add(one, t), df64.div(one, t)))
+    # v = sqrt(u^2 + e4 q)
+    v = df64.sqrt(df64.add(df64.sqr(u), df64.mul(q, e4_c)))
+    # w = e2 (u + v - q) / (2 v)
+    w = df64.div(df64.mul(df64.sub(df64.add(u, v), q), e2_c), df64.scale(v, 2.0))
+    # k = sqrt(u + v + w^2) - w
+    k = df64.sub(df64.sqrt(df64.add(df64.add(u, v), df64.sqr(w))), w)
+    # D = k sqrt(xy2) / (k + e2)
+    big_d = df64.div(df64.mul(k, df64.sqrt(xy2)), df64.add(k, e2_c))
+    # h = (k + e2 - 1)/k * sqrt(D^2 + z^2)
+    hyp = df64.sqrt(df64.add(df64.sqr(big_d), z2))
+    num = df64.add(k, df64.const(_E2 - 1.0))
+    return df64.mul(df64.div(num, k), hyp)
+
+
+@partial(jax.jit, static_argnames=('max_iter',))
+def _toa_newton_df(pos_hi, pos_lo, look, heights_f32, factor, max_iter: int):
+    """Batched ray/height-level intersections in df64.
+
+    pos_hi/lo: (N, 3) start positions; look: (N, 3) f32 unit vectors;
+    heights_f32: (L,) target heights; factor: (N,) cos factor (1.0 first).
+    Returns (L, N, 3, 2) intersection hi/lo.
+    """
+    def one_height(h):
+        # initial guess: pos + h * look
+        p = [df64.add(DF(pos_hi[:, i], pos_lo[:, i]),
+                      df64.df(h * look[:, i])) for i in range(3)]
+        for _ in range(max_iter):
+            hh = height_df(p[0], p[1], p[2])
+            delta = (h - hh.hi - hh.lo) / factor
+            p = [df64.add(p[i], df64.df(delta * look[:, i])) for i in range(3)]
+        return jnp.stack(
+            [jnp.stack([p[i].hi for i in range(3)], -1),
+             jnp.stack([p[i].lo for i in range(3)], -1)], -1)  # (N, 3, 2)
+
+    return jax.vmap(one_height)(heights_f32)
+
+
+def build_ray_device(heights_chain: np.ndarray, xyz_f64: np.ndarray, look_f32):
+    """Device version of geometry.rays.build_ray for a precomputed height
+    chain: returns (ray_lengths (L, N) f32, pts (L+1, N, 3, 2) df64 pairs).
+    """
+    xyz = np.asarray(xyz_f64, dtype=np.float64).reshape(-1, 3)
+    hi = jnp.asarray(xyz.astype(np.float32))
+    lo = jnp.asarray((xyz - xyz.astype(np.float32).astype(np.float64)).astype(np.float32))
+    look = jnp.asarray(np.asarray(look_f32, dtype=np.float32).reshape(-1, 3))
+    n = xyz.shape[0]
+
+    h01 = jnp.asarray(np.asarray(heights_chain[:2], dtype=np.float32))
+    ones = jnp.ones(n, jnp.float32)
+    p01 = _toa_newton_df(hi, lo, look, h01, ones, 10)  # (2, N, 3, 2)
+
+    seg0 = _seg_length(p01[0], p01[1])
+    cos_factor = (np.float32(heights_chain[1] - heights_chain[0]) / seg0)
+
+    if heights_chain.size > 2:
+        rest = _toa_newton_df(
+            hi, lo, look,
+            jnp.asarray(np.asarray(heights_chain[2:], dtype=np.float32)),
+            cos_factor, 3,
+        )
+        pts = jnp.concatenate([p01, rest], axis=0)
+    else:
+        pts = p01
+
+    lengths = jax.vmap(_seg_length)(pts[:-1], pts[1:])
+    return lengths, pts
+
+
+@jax.jit
+def _seg_length(a, b):
+    """|b - a| in df64 for (N, 3, 2) endpoint pairs -> (N,) f32."""
+    d = [df64.sub(DF(b[:, i, 0], b[:, i, 1]), DF(a[:, i, 0], a[:, i, 1]))
+         for i in range(3)]
+    return df64.norm3(*d).hi
