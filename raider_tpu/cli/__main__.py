@@ -5,7 +5,6 @@ Capability parity: reference tools/RAiDER/cli/__main__.py:9-41.
 
 import argparse
 import sys
-from importlib import import_module
 
 
 def main() -> None:

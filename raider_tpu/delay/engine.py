@@ -31,7 +31,7 @@ from raider_tpu.geodesy import (
     get_Re,
     transform_points,
 )
-from raider_tpu.geodesy.ellipsoid import ecef2lla, lla2ecef
+from raider_tpu.geodesy.ellipsoid import lla2ecef
 from raider_tpu.geometry.aoi import AOI, BoundingBox, Geocube
 from raider_tpu.geometry.los import LOS
 from raider_tpu.geometry.rays import build_ray

@@ -23,7 +23,7 @@ can read those files directly.
 """
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Union
 
 import jax.numpy as jnp

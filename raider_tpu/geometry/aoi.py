@@ -7,7 +7,7 @@ radar-coordinate lat/lon rasters, geocoded rasters, and geo cubes.
 
 import os
 from pathlib import Path
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 import pandas as pd

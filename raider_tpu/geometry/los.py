@@ -6,13 +6,11 @@ a single batched geo2rdr solve instead of the reference's per-pixel ISCE3
 double loop (losreader.py:230-254).
 """
 
-import datetime as dt
 from typing import Optional
 
 import numpy as np
 
 from raider_tpu.geometry.orbit import Orbit, geo2rdr, get_orbit, state_to_los_factor
-from raider_tpu.logger import logger
 
 
 def sind(x):

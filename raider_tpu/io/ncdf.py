@@ -13,8 +13,6 @@ The in-memory model is a tiny xarray-like ``Dataset`` with named dimensions,
 coordinate arrays, data variables, and attributes.
 """
 
-from __future__ import annotations
-
 import datetime as dt
 from dataclasses import dataclass, field
 from pathlib import Path

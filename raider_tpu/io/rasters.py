@@ -18,7 +18,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from raider_tpu.geodesy import CRS, Geographic, crs_from_epsg
+from raider_tpu.geodesy import CRS, Geographic
 from raider_tpu.logger import logger
 
 _ENVI_DTYPES = {

@@ -16,7 +16,7 @@ The public type is a (hi, lo) pair pytree; helpers are vectorized over any
 array shape.
 """
 
-from typing import NamedTuple, Tuple, Union
+from typing import NamedTuple
 
 import jax.numpy as jnp
 

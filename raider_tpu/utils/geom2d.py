@@ -6,8 +6,6 @@ polygons; reference: tools/RAiDER/models/hrrr.py:20-21, 323-356).
 
 from typing import Sequence, Tuple
 
-import numpy as np
-
 Point = Tuple[float, float]
 
 

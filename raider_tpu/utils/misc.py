@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from raider_tpu.geodesy.crs import Geographic, utm_crs
+from raider_tpu.geodesy.crs import utm_crs
 
 
 def sind(x):

@@ -6,7 +6,6 @@ with time interpolation) and 726-916 (weather-file selection/combination).
 
 import argparse
 import datetime as dt
-import os
 import shutil
 import sys
 from pathlib import Path
@@ -16,11 +15,11 @@ import numpy as np
 
 from raider_tpu.delay import tropo_delay
 from raider_tpu.geometry.los import Raytracing
-from raider_tpu.io import Dataset, read_nc, write_nc
-from raider_tpu.logger import logger, set_logger_path
+from raider_tpu.io import read_nc, write_nc
+from raider_tpu.logger import logger
 from raider_tpu.utils.timeutils import get_dt, get_nearest_wmtimes
 from raider_tpu.workflows.check_args import checkArgs
-from raider_tpu.workflows.config import RunConfig, read_run_config_file
+from raider_tpu.workflows.config import read_run_config_file
 from raider_tpu.wx.exceptions import (
     NoWeatherModelData,
     TryToKeepGoingError,

@@ -8,8 +8,6 @@ import datetime as dt
 import math
 import re
 from pathlib import Path
-from typing import Optional
-
 import pandas as pd
 
 _ROT_RATE_DEG_PER_HR = 360.0 / 23.9333333333  # earth rotation for local time

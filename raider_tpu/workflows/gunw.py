@@ -14,7 +14,6 @@ import datetime as dt
 import json
 import os
 import re
-import sys
 from pathlib import Path
 from typing import List, Optional, Tuple
 

@@ -13,9 +13,7 @@ reference's per-cell Python loops:
 """
 
 import argparse
-import datetime as dt
 import os
-from pathlib import Path
 from typing import List, Optional, Tuple
 
 import numpy as np

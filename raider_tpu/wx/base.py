@@ -21,7 +21,7 @@ files store (z, y, x).
 import datetime as dt
 import os
 from pathlib import Path
-from typing import Optional, Union
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -7,7 +7,7 @@ environment variables.
 
 import os
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Optional
 
 from raider_tpu.logger import logger
 

@@ -14,7 +14,7 @@ from raider_tpu.geodesy import LambertConformalConic, PolarStereographic, transf
 from raider_tpu.geodesy.crs import SPHERE_6371229, crs_from_cf
 from raider_tpu.io import read_nc
 from raider_tpu.logger import logger
-from raider_tpu.utils.geom2d import point_in_polygon, polygon_contains_box, polygon_intersects_box
+from raider_tpu.utils.geom2d import polygon_contains_box, polygon_intersects_box
 from raider_tpu.utils.timeutils import round_date
 from raider_tpu.wx.base import TIME_RES, WeatherModel
 from raider_tpu.wx.exceptions import NoWeatherModelData

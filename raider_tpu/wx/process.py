@@ -5,7 +5,6 @@ netCDF filename (model + time + bounds) is the cache key.
 """
 
 import os
-from pathlib import Path
 
 import numpy as np
 

@@ -8,8 +8,6 @@ ZTD integration, writing).
 
 import datetime as dt
 
-import numpy as np
-
 from raider_tpu.geodesy import Geographic
 from raider_tpu.wx.base import WeatherModel
 

@@ -93,3 +93,61 @@ def test_make_delay_filenames_docstring():
     assert hydro == 'some_dir/model_name_hydro_20200101T000000_ztd.h5'
     wet, hydro = makeDelayFileNames(None, None, 'h5', 'model_name', Path('some_dir'))
     assert wet == 'some_dir/model_name_wet_ztd.h5'
+
+
+class TestDateParsing:
+    """Reference: test/test_datelist.py patterns."""
+
+    def test_date_list_string(self):
+        from raider_tpu.workflows.config import DateGroupUnparsed, parse_dates
+
+        out = parse_dates(DateGroupUnparsed(date_list='[20200124, 20200130]'))
+        assert out.date_list == [dt.date(2020, 1, 24), dt.date(2020, 1, 30)]
+
+    def test_date_range_with_step(self):
+        from raider_tpu.workflows.config import DateGroupUnparsed, parse_dates
+
+        out = parse_dates(DateGroupUnparsed(date_start=20200101, date_end=20200107, date_step=3))
+        assert out.date_list == [dt.date(2020, 1, 1), dt.date(2020, 1, 4), dt.date(2020, 1, 7)]
+
+    def test_single_date(self):
+        from raider_tpu.workflows.config import DateGroupUnparsed, parse_dates
+
+        out = parse_dates(DateGroupUnparsed(date_start='2020-01-30'))
+        assert out.date_list == [dt.date(2020, 1, 30)]
+
+    def test_missing_raises(self):
+        from raider_tpu.workflows.config import DateGroupUnparsed, parse_dates
+
+        with pytest.raises(ValueError):
+            parse_dates(DateGroupUnparsed())
+
+    def test_time_formats(self):
+        from raider_tpu.workflows.config import TimeGroup
+
+        for v in ('13:52:45', 'T13:52:45', '135245', 'T135245', '13:52'):
+            t = TimeGroup.coerce_into_time(v)
+            assert t.hour == 13 and t.minute == 52
+        with pytest.raises(ValueError):
+            TimeGroup.coerce_into_time('not-a-time')
+
+
+class TestHrrrBoundsIndices:
+    """Reference: test_weather_model.py get_bounds_indices golden."""
+
+    def test_simple_grid(self):
+        from raider_tpu.wx.hrrr import get_bounds_indices
+
+        ll = np.arange(-20, 20)
+        lats, lons = np.meshgrid(ll, ll, indexing='ij')
+        xmin, xmax, ymin, ymax = get_bounds_indices([-10, 10, -10, 10], lats, lons)
+        assert xmin == 10 and ymin == 10
+
+    def test_no_overlap_raises(self):
+        from raider_tpu.wx.exceptions import NoWeatherModelData
+        from raider_tpu.wx.hrrr import get_bounds_indices
+
+        ll = np.arange(0, 10)
+        lats, lons = np.meshgrid(ll, ll, indexing='ij')
+        with pytest.raises(NoWeatherModelData):
+            get_bounds_indices([50, 60, 50, 60], lats, lons)
