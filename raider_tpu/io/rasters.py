@@ -4,8 +4,8 @@ Supports the formats the framework actually needs:
   * ENVI flat-binary rasters with .hdr sidecars (ISCE lat/lon/los .rdr files,
     and the reference's default delay raster output format,
     reference: tools/RAiDER/utilFcns.py:257-304)
-  * GeoTIFF via a small pure-python reader for uncompressed/deflate tiles is
-    NOT implemented; GeoTIFF paths raise with a clear message.
+  * GeoTIFF via a pure-python reader/writer (io/geotiff.py): striped/tiled,
+    none/deflate/packbits compression, EPSG GeoKeys, GDAL_NODATA.
 
 The profile dict mimics the rasterio profile keys used by the reference
 (width, height, count, dtype, transform, crs, nodata).
@@ -131,18 +131,29 @@ def write_envi(array: np.ndarray, path: str, transform=None, nodata: float = 0.0
     Path(str(path) + '.hdr').write_text('\n'.join(hdr_lines) + '\n')
 
 
+def _read_any(path: str) -> Tuple[np.ndarray, dict]:
+    """Dispatch on format: GeoTIFF by magic/extension, else ENVI."""
+    p = str(path)
+    if p.endswith(('.tif', '.tiff')):
+        from raider_tpu.io.geotiff import read_gtiff
+
+        return read_gtiff(p)
+    with open(p, 'rb') as f:
+        magic = f.read(4)
+    if magic[:2] in (b'II', b'MM') and _find_envi_header(p) is None:
+        from raider_tpu.io.geotiff import read_gtiff
+
+        return read_gtiff(p)
+    return read_envi(p)
+
+
 def rio_open(path, userNDV: Optional[float] = None, band: Optional[int] = None):
     """Read a raster (ENVI binary + .hdr) -> (data, profile)
     (capability parity: reference utilFcns.py:164-202)."""
     path = str(path)
     if not os.path.exists(path):
         raise OSError(f'{path} not found')
-    if path.endswith(('.tif', '.tiff')):
-        raise OSError(
-            'GeoTIFF reading requires rasterio/GDAL which is not available in '
-            'this build; convert to ENVI format.'
-        )
-    data, profile = read_envi(path)
+    data, profile = _read_any(path)
 
     ndvs = [userNDV, profile.get('nodata')]
     if band is not None:
@@ -156,12 +167,12 @@ def rio_open(path, userNDV: Optional[float] = None, band: Optional[int] = None):
 
 
 def rio_profile(path) -> dict:
-    _, profile = read_envi(str(path))
+    _, profile = _read_any(str(path))
     return profile
 
 
 def rio_stats(path, band: int = 1):
-    data, profile = read_envi(str(path))
+    data, profile = _read_any(str(path))
     b = data[band - 1].astype(np.float64)
     nodata = profile.get('nodata')
     if nodata is not None:
@@ -230,5 +241,10 @@ def writeArrayToRaster(array, path, noDataValue: float = 0.0, fmt: str = 'ENVI',
         array = array.astype(np.uint8)
     if fmt.lower() not in ('envi', 'nc', 'gtiff'):
         raise ValueError(f'Unsupported raster format {fmt}')
-    write_envi(array, str(path), transform=gt, nodata=noDataValue)
+    if fmt.lower() == 'gtiff' or str(path).endswith(('.tif', '.tiff')):
+        from raider_tpu.io.geotiff import write_gtiff
+
+        write_gtiff(array, str(path), transform=gt, crs=proj, nodata=noDataValue)
+    else:
+        write_envi(array, str(path), transform=gt, nodata=noDataValue)
     logger.info('Wrote: %s', path)
