@@ -207,12 +207,22 @@ class RaiderStats:
                  workdir: str = './', bbox=None, spacing: float = 1.0,
                  timeinterval=None, seasonalinterval=None,
                  obs_errlimit: float = float('inf'), min_span=(2, 0.6),
-                 period_limit: float = 0.0) -> None:
+                 period_limit: float = 0.0, plot_fmt: Optional[dict] = None) -> None:
         self.fname = filearg
         self.col_name = col_name
         self.unit = unit
         self.workdir = workdir
         self.spacing = spacing
+        self.min_span = min_span
+        self.period_limit = period_limit
+        # plot formatting (reference statsPlot's pltformat group)
+        self.fmt = {
+            'figdpi': 100, 'user_title': None, 'plot_format': 'png',
+            'cbounds': None, 'colorpercentile': (25, 95), 'colormap': 'viridis',
+            'densitythreshold': 10, 'stationsongrids': False,
+            'drawgridlines': False, 'time_lines': False,
+        }
+        self.fmt.update(plot_fmt or {})
         os.makedirs(workdir, exist_ok=True)
 
         df = pd.read_csv(filearg, parse_dates=['Datetime'])
@@ -247,26 +257,57 @@ class RaiderStats:
     def station_means(self) -> pd.DataFrame:
         return self.df.groupby('ID').agg(
             Lat=('Lat', 'first'), Lon=('Lon', 'first'),
-            mean=(self.col_name, 'mean'), std=(self.col_name, 'std'),
+            mean=(self.col_name, 'mean'), median=(self.col_name, 'median'),
+            std=(self.col_name, 'std'),
             count=(self.col_name, 'count'),
         ).reset_index()
 
-    def grid_map(self, statistic: str = 'mean') -> np.ndarray:
+    def grid_map(self, statistic: str = 'mean', absolute: bool = False) -> np.ndarray:
+        """Gridded statistic. ``absolute`` grids every observation directly
+        (reference's grid_delay_absolute_* family, statsPlot.py:330-351);
+        otherwise per-station means are gridded (grid_delay_* family)."""
+        if absolute:
+            return grid_statistic(self.df['Lat'], self.df['Lon'], self.df[self.col_name],
+                                  self.lat_edges, self.lon_edges, statistic)
         sm = self.station_means()
-        col = {'mean': 'mean', 'stdev': 'std', 'count': 'count', 'median': 'mean'}[statistic]
+        if statistic == 'count':
+            return grid_statistic(sm['Lat'], sm['Lon'], sm['count'],
+                                  self.lat_edges, self.lon_edges, 'count')
+        col = {'mean': 'mean', 'median': 'median', 'stdev': 'std'}[statistic]
         return grid_statistic(sm['Lat'], sm['Lon'], sm[col],
-                              self.lat_edges, self.lon_edges,
-                              'mean' if statistic != 'count' else 'count')
+                              self.lat_edges, self.lon_edges, 'mean')
 
-    def seasonal_amplitude_phase(self) -> pd.DataFrame:
+    def _seasonal_station_mask(self) -> pd.DataFrame:
+        """Stations eligible for seasonal fits: time span >= min_span[0] years
+        with >= min_span[1] fractional day coverage, and at least
+        ``period_limit`` years of data (reference: -min_span/-period_limit)."""
+        g = self.df.groupby('ID')['Datetime']
+        span_days = (g.max() - g.min()).dt.total_seconds() / 86400.0
+        n_days = self.df.groupby('ID')['Datetime'].apply(lambda s: s.dt.normalize().nunique())
+        min_years, min_frac = self.min_span
+        ok = (span_days >= max(min_years, self.period_limit) * 365.25) & \
+             (n_days >= min_frac * span_days.clip(lower=1.0))
+        return ok
+
+    def seasonal_amplitude_phase(self, apply_span_filter: bool = False) -> pd.DataFrame:
         """Annual amplitude/phase per station from batched harmonic fit."""
-        ids, station_idx = np.unique(self.df['ID'].to_numpy(), return_inverse=True)
+        df = self.df
+        if apply_span_filter:
+            ok = self._seasonal_station_mask()
+            df = df[df['ID'].map(ok).fillna(False)]
+            if df.empty:
+                return pd.DataFrame(columns=['ID', 'annual_amplitude', 'annual_phase'])
+            df = df.reset_index(drop=True)
+        return self._seasonal_fit_frame(df)
+
+    def _seasonal_fit_frame(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, station_idx = np.unique(df['ID'].to_numpy(), return_inverse=True)
         # unit-safe epoch seconds (pandas may store datetime64[ns] or [us])
         epoch = (
-            self.df['Datetime'].to_numpy().astype('datetime64[s]').astype(np.int64).astype(np.float64)
+            df['Datetime'].to_numpy().astype('datetime64[s]').astype(np.int64).astype(np.float64)
         )
-        fit = seasonal_fit(epoch, self.df[self.col_name].to_numpy(), station_idx, len(ids))
-        sm = self.df.groupby('ID').agg(Lat=('Lat', 'first'), Lon=('Lon', 'first')).reset_index()
+        fit = seasonal_fit(epoch, df[self.col_name].to_numpy(), station_idx, len(ids))
+        sm = df.groupby('ID').agg(Lat=('Lat', 'first'), Lon=('Lon', 'first')).reset_index()
         out = pd.DataFrame({
             'ID': ids,
             'annual_amplitude': fit['amplitude'][:, 0],
@@ -301,41 +342,175 @@ class RaiderStats:
         return sill, rng_
 
     # ----------------------------------------------------------------- plots
+    def _color_limits(self, values) -> tuple:
+        """vmin/vmax from explicit cbounds or the colorpercentile option."""
+        cb = self.fmt.get('cbounds')
+        if cb:
+            return float(cb[0]), float(cb[1])
+        lo, hi = self.fmt.get('colorpercentile', (25, 95))
+        v = np.asarray(values, dtype=np.float64)
+        v = v[np.isfinite(v)]
+        if v.size == 0:
+            return None, None
+        return float(np.percentile(v, lo)), float(np.percentile(v, hi))
+
+    def _finish(self, fig, ax, title: str, fname: str) -> str:
+        ax.set_xlabel('Longitude')
+        ax.set_ylabel('Latitude')
+        ax.set_title(self.fmt.get('user_title') or title)
+        if self.fmt.get('drawgridlines'):
+            ax.set_xticks(self.lon_edges, minor=True)
+            ax.set_yticks(self.lat_edges, minor=True)
+            ax.grid(which='minor', linewidth=0.3, color='k', alpha=0.4)
+        ext = self.fmt.get('plot_format', 'png')
+        out = os.path.join(self.workdir, f"{os.path.splitext(fname)[0]}.{ext}")
+        fig.savefig(out, dpi=self.fmt.get('figdpi', 100))
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+        return out
+
+    def plot_station_scatter(self, values, label: str, fname: str) -> str:
+        """Scatter map of one per-station value (reference's station_delay_*
+        and station_seasonal_phase plots, statsPlot.py:243-285)."""
+        import matplotlib.pyplot as plt
+
+        sm = self.station_means()
+        fig, ax = plt.subplots(figsize=(8, 6))
+        vmin, vmax = self._color_limits(values)
+        sc = ax.scatter(sm['Lon'], sm['Lat'], c=values, s=12,
+                        cmap=self.fmt.get('colormap', 'viridis'), vmin=vmin, vmax=vmax)
+        fig.colorbar(sc, ax=ax, label=label)
+        return self._finish(fig, ax, label, fname)
+
     def plot_station_distribution(self, fname: str = 'station_distribution.png') -> str:
         import matplotlib.pyplot as plt
 
         sm = self.station_means()
         fig, ax = plt.subplots(figsize=(8, 6))
-        sc = ax.scatter(sm['Lon'], sm['Lat'], c=sm['mean'], s=12, cmap='viridis')
-        fig.colorbar(sc, ax=ax, label=f'mean {self.col_name} [m]')
-        ax.set_xlabel('Longitude')
-        ax.set_ylabel('Latitude')
-        ax.set_title('Station distribution')
-        out = os.path.join(self.workdir, fname)
-        fig.savefig(out, dpi=120)
-        plt.close(fig)
-        return out
+        ax.scatter(sm['Lon'], sm['Lat'], s=12, color='tab:blue')
+        return self._finish(fig, ax, 'Station distribution', fname)
 
-    def plot_grid(self, statistic: str = 'mean', fname: Optional[str] = None) -> str:
+    def plot_grid(self, statistic: str = 'mean', fname: Optional[str] = None,
+                  absolute: bool = False, grid: Optional[np.ndarray] = None,
+                  label: Optional[str] = None) -> str:
         import matplotlib.pyplot as plt
 
-        grid = self.grid_map(statistic)
+        if grid is None:
+            grid = self.grid_map(statistic, absolute=absolute)
+            if statistic != 'count':
+                # densitythreshold masks under-sampled cells of absolute
+                # (all-observation) grids; station-mean grids stay unmasked
+                thresh = self.fmt.get('densitythreshold', 0)
+                if thresh and absolute:
+                    counts = self.grid_map('count', absolute=True)
+                    grid = np.where(counts >= thresh, grid, np.nan)
         fig, ax = plt.subplots(figsize=(8, 6))
+        vmin, vmax = self._color_limits(grid)
         im = ax.imshow(
-            grid, origin='lower', cmap='viridis',
+            grid, origin='lower', cmap=self.fmt.get('colormap', 'viridis'),
+            vmin=vmin, vmax=vmax,
             extent=[self.lon_edges[0], self.lon_edges[-1], self.lat_edges[0], self.lat_edges[-1]],
             aspect='auto',
         )
-        fig.colorbar(im, ax=ax, label=f'{statistic} {self.col_name}')
-        ax.set_title(f'Gridded {statistic}')
-        out = os.path.join(self.workdir, fname or f'grid_{statistic}.png')
-        fig.savefig(out, dpi=120)
+        fig.colorbar(im, ax=ax, label=label or f'{statistic} {self.col_name}')
+        if self.fmt.get('stationsongrids'):
+            sm = self.station_means()
+            ax.scatter(sm['Lon'], sm['Lat'], s=4, color='k', alpha=0.5)
+        name = fname or ('grid_%s%s' % ('absolute_' if absolute else '', statistic))
+        return self._finish(fig, ax, label or f'Gridded {statistic}', name)
+
+    def grid_to_raster(self, grid: np.ndarray, fname: str) -> str:
+        """Write a gridded map as a GeoTIFF (reference's -grid_to_raster,
+        statsPlot.py:344-351)."""
+        from raider_tpu.geodesy import Geographic
+        from raider_tpu.io.geotiff import write_gtiff
+        from raider_tpu.io.rasters import GDALAffine
+
+        dy = self.lat_edges[1] - self.lat_edges[0]
+        dx = self.lon_edges[1] - self.lon_edges[0]
+        gt = GDALAffine((self.lon_edges[0], dx, 0.0, self.lat_edges[-1], 0.0, -dy))
+        out = os.path.join(self.workdir, fname)
+        # imshow origin='lower' grids are south-up; rasters are north-up
+        write_gtiff(np.flipud(grid).astype(np.float32), out, transform=gt,
+                    crs=Geographic(), nodata=float('nan'))
+        return out
+
+    def plot_variogram(self, model: str = 'exponential',
+                       errlimit: float = float('inf'),
+                       fname: str = 'variogram.png') -> Tuple[str, float, float]:
+        """AOI-wide empirical variogram with fitted model curve
+        (reference's -variogramplot/-binnedvariogram, statsPlot.py:360-382)."""
+        import matplotlib.pyplot as plt
+
+        df = self.df
+        if np.isfinite(errlimit) and 'sigZTD' in df:
+            df = df[df['sigZTD'] <= errlimit]
+        centers, gamma, counts = empirical_variogram(
+            df['Lon'], df['Lat'], df[self.col_name]
+        )
+        if centers is None:
+            raise ValueError('Not enough observations for a variogram')
+        sill, rng_ = fit_variogram(centers, gamma, model)
+        fig, ax = plt.subplots(figsize=(8, 6))
+        ax.plot(centers, gamma, 'o', ms=4, label='binned empirical')
+        if np.isfinite(sill):
+            h = np.linspace(0, centers[-1], 200)
+            fn = _exponential_model if model == 'exponential' else _gaussian_model
+            ax.plot(h, fn(h, sill, rng_), '-',
+                    label=f'{model}: sill={sill:.2e}, range={rng_:.2f}')
+        ax.set_xlabel('Distance [deg]')
+        ax.set_ylabel('Semivariance')
+        ax.legend()
+        ax.set_title(self.fmt.get('user_title') or 'Empirical variogram')
+        ext = self.fmt.get('plot_format', 'png')
+        out = os.path.join(self.workdir, f"{os.path.splitext(fname)[0]}.{ext}")
+        fig.savefig(out, dpi=self.fmt.get('figdpi', 100))
+        plt.close(fig)
+        return out, sill, rng_
+
+    def plot_phaseamp_per_station(self, max_stations: int = 16,
+                                  fname: str = 'phaseamp_per_station.png') -> str:
+        """Observed series + fitted harmonic per station, one panel each
+        (reference's -phaseamp_per_station, statsPlot.py:278-285)."""
+        import matplotlib.pyplot as plt
+
+        fits = self.seasonal_amplitude_phase()
+        ids = fits['ID'].tolist()[:max_stations]
+        n = len(ids)
+        ncol = min(4, max(1, n))
+        nrow = (n + ncol - 1) // ncol
+        fig, axes = plt.subplots(nrow, ncol, figsize=(4 * ncol, 2.5 * nrow),
+                                 squeeze=False)
+        for k, sid in enumerate(ids):
+            ax = axes[k // ncol][k % ncol]
+            sub = self.df[self.df['ID'] == sid]
+            t = sub['Datetime'].to_numpy().astype('datetime64[s]').astype(np.int64) / SECONDS_PER_YEAR
+            ax.plot(t, sub[self.col_name], '.', ms=2, alpha=0.5)
+            row = fits[fits['ID'] == sid].iloc[0]
+            tt = np.linspace(t.min(), t.max(), 400)
+            t_ref_yr = np.floor(t.min())
+            curve = (row['mean'] + row['trend_per_year'] * (tt - t_ref_yr)
+                     + row['annual_amplitude'] * np.sin(2 * np.pi * (tt - t_ref_yr) + row['annual_phase'])
+                     + row['semiannual_amplitude'] * np.sin(4 * np.pi * (tt - t_ref_yr) + row['semiannual_phase']))
+            ax.plot(tt, curve, '-', lw=1)
+            ax.set_title(str(sid), fontsize=8)
+            if self.fmt.get('time_lines'):
+                for yr in range(int(np.floor(t.min())), int(np.ceil(t.max())) + 1):
+                    ax.axvline(yr, color='k', lw=0.3, alpha=0.4)
+        for k in range(n, nrow * ncol):
+            axes[k // ncol][k % ncol].axis('off')
+        fig.tight_layout()
+        ext = self.fmt.get('plot_format', 'png')
+        out = os.path.join(self.workdir, f"{os.path.splitext(fname)[0]}.{ext}")
+        fig.savefig(out, dpi=self.fmt.get('figdpi', 100))
         plt.close(fig)
         return out
 
 
 def stats_analyses(iargs: Optional[List[str]] = None) -> None:
-    """raiderStats CLI (capability parity: statsPlot.py:2780)."""
+    """raiderStats CLI (capability parity: statsPlot.py:2780; flag names match
+    the reference parser statsPlot.py:60-382)."""
     p = argparse.ArgumentParser(
         description='Statistical analyses of GNSS/model zenith delay files',
     )
@@ -350,15 +525,48 @@ def stats_analyses(iargs: Optional[List[str]] = None) -> None:
     p.add_argument('-ti', '--timeinterval', default=None,
                    help='"YYYY-MM-DD YYYY-MM-DD"')
     p.add_argument('-si', '--seasonalinterval', default=None, help='"MM MM"')
-    p.add_argument('--obs_errlimit', type=float, default=float('inf'))
-    p.add_argument('--station_distribution', action='store_true')
-    p.add_argument('--grid_delay_mean', action='store_true')
-    p.add_argument('--grid_delay_median', action='store_true')
-    p.add_argument('--grid_delay_stdev', action='store_true')
-    p.add_argument('--grid_heatmap', action='store_true')
-    p.add_argument('--grid_seasonal_amplitude', action='store_true')
-    p.add_argument('--grid_seasonal_phase', action='store_true')
-    p.add_argument('--variogramplot', action='store_true')
+    p.add_argument('-oe', '--obs_errlimit', type=float, default=float('inf'))
+    p.add_argument('-min_span', '--min_span', nargs=2, type=float, default=[2, 0.6],
+                   help='min [years, fraction of daily coverage] for seasonal fits')
+    p.add_argument('-period_limit', '--period_limit', type=float, default=0.0)
+    # plot formatting (reference pltformat group)
+    p.add_argument('-figdpi', '--figdpi', type=int, default=100)
+    p.add_argument('-title', '--user_title', default=None)
+    p.add_argument('-fmt', '--plot_format', default='png')
+    p.add_argument('-cb', '--color_bounds', default=None, help='"lower upper"')
+    p.add_argument('-cp', '--colorpercentile', nargs=2, type=float, default=[25, 95])
+    p.add_argument('-cm', '--colormap', default='viridis')
+    p.add_argument('-dt', '--densitythreshold', type=int, default=10)
+    p.add_argument('-sg', '--stationsongrids', action='store_true')
+    p.add_argument('-dg', '--drawgridlines', action='store_true')
+    p.add_argument('-tl', '--time_lines', action='store_true')
+    p.add_argument('-plotall', '--plotall', action='store_true',
+                   help='generate all supported plots')
+    # station scatter plots
+    p.add_argument('-station_distribution', '--station_distribution', action='store_true')
+    p.add_argument('-station_delay_mean', '--station_delay_mean', action='store_true')
+    p.add_argument('-station_delay_median', '--station_delay_median', action='store_true')
+    p.add_argument('-station_delay_stdev', '--station_delay_stdev', action='store_true')
+    p.add_argument('-station_seasonal_phase', '--station_seasonal_phase', action='store_true')
+    p.add_argument('-phaseamp_per_station', '--phaseamp_per_station', action='store_true')
+    # gridded plots
+    p.add_argument('-grid_heatmap', '--grid_heatmap', action='store_true')
+    p.add_argument('-grid_delay_mean', '--grid_delay_mean', action='store_true')
+    p.add_argument('-grid_delay_median', '--grid_delay_median', action='store_true')
+    p.add_argument('-grid_delay_stdev', '--grid_delay_stdev', action='store_true')
+    p.add_argument('-grid_delay_absolute_mean', '--grid_delay_absolute_mean', action='store_true')
+    p.add_argument('-grid_delay_absolute_median', '--grid_delay_absolute_median', action='store_true')
+    p.add_argument('-grid_delay_absolute_stdev', '--grid_delay_absolute_stdev', action='store_true')
+    p.add_argument('-grid_seasonal_amplitude', '--grid_seasonal_amplitude', action='store_true')
+    p.add_argument('-grid_seasonal_phase', '--grid_seasonal_phase', action='store_true')
+    p.add_argument('-grid_seasonal_absolute_phase', '--grid_seasonal_absolute_phase', action='store_true')
+    p.add_argument('-grid_to_raster', '--grid_to_raster', action='store_true')
+    # variograms
+    p.add_argument('-variogramplot', '--variogramplot', action='store_true')
+    p.add_argument('-binnedvariogram', '--binnedvariogram', action='store_true')
+    p.add_argument('-variogram_per_timeslice', '--variogram_per_timeslice', action='store_true')
+    p.add_argument('-variogram_errlimit', '--variogram_errlimit', type=float,
+                   default=float('inf'))
     p.add_argument('--variogram_model', default='exponential',
                    choices=['exponential', 'gaussian'])
     args = p.parse_args(iargs)
@@ -366,28 +574,109 @@ def stats_analyses(iargs: Optional[List[str]] = None) -> None:
     bbox = [float(v) for v in args.bounding_box.split()] if args.bounding_box else None
     ti = args.timeinterval.split() if args.timeinterval else None
     si = [int(v) for v in args.seasonalinterval.split()] if args.seasonalinterval else None
+    cb = [float(v) for v in args.color_bounds.split()] if args.color_bounds else None
+
+    if args.plotall:
+        for name in ('station_distribution', 'station_delay_mean', 'station_delay_median',
+                     'station_delay_stdev', 'station_seasonal_phase', 'grid_heatmap',
+                     'grid_delay_mean', 'grid_delay_median', 'grid_delay_stdev',
+                     'grid_delay_absolute_mean', 'grid_delay_absolute_median',
+                     'grid_delay_absolute_stdev', 'grid_seasonal_amplitude',
+                     'grid_seasonal_phase', 'variogramplot'):
+            setattr(args, name, True)
 
     stats = RaiderStats(
         args.fname, col_name=args.col_name, unit=args.unit, workdir=args.workdir,
         bbox=bbox, spacing=args.spacing, timeinterval=ti, seasonalinterval=si,
-        obs_errlimit=args.obs_errlimit,
+        obs_errlimit=args.obs_errlimit, min_span=tuple(args.min_span),
+        period_limit=args.period_limit,
+        plot_fmt={
+            'figdpi': args.figdpi, 'user_title': args.user_title,
+            'plot_format': args.plot_format, 'cbounds': cb,
+            'colorpercentile': tuple(args.colorpercentile),
+            'colormap': args.colormap, 'densitythreshold': args.densitythreshold,
+            'stationsongrids': args.stationsongrids,
+            'drawgridlines': args.drawgridlines, 'time_lines': args.time_lines,
+        },
     )
 
+    sm = stats.station_means()
     if args.station_distribution:
         logger.info('Wrote %s', stats.plot_station_distribution())
-    if args.grid_delay_mean or args.grid_heatmap:
-        logger.info('Wrote %s', stats.plot_grid('mean'))
-    if args.grid_delay_median:
-        logger.info('Wrote %s', stats.plot_grid('median'))
-    if args.grid_delay_stdev:
-        logger.info('Wrote %s', stats.plot_grid('stdev'))
-    if args.grid_seasonal_amplitude or args.grid_seasonal_phase:
-        fits = stats.seasonal_amplitude_phase()
+    if args.station_delay_mean:
+        logger.info('Wrote %s', stats.plot_station_scatter(
+            sm['mean'], f'mean {args.col_name} [m]', 'station_delay_mean.png'))
+    if args.station_delay_median:
+        logger.info('Wrote %s', stats.plot_station_scatter(
+            sm['median'], f'median {args.col_name} [m]', 'station_delay_median.png'))
+    if args.station_delay_stdev:
+        logger.info('Wrote %s', stats.plot_station_scatter(
+            sm['std'], f'stdev {args.col_name} [m]', 'station_delay_stdev.png'))
+
+    seasonal = None
+    if (args.station_seasonal_phase or args.grid_seasonal_amplitude
+            or args.grid_seasonal_phase or args.grid_seasonal_absolute_phase):
+        seasonal = stats.seasonal_amplitude_phase(apply_span_filter=True)
         out_csv = os.path.join(args.workdir, 'seasonal_fits.csv')
-        fits.to_csv(out_csv, index=False)
+        seasonal.to_csv(out_csv, index=False)
         logger.info('Wrote %s', out_csv)
-    if args.variogramplot:
-        sill, rng_ = stats.gridded_variogram(args.variogram_model)
-        np.save(os.path.join(args.workdir, 'variogram_sill.npy'), sill)
-        np.save(os.path.join(args.workdir, 'variogram_range.npy'), rng_)
+    if args.station_seasonal_phase and seasonal is not None and len(seasonal):
+        fit_by_id = seasonal.set_index('ID').reindex(sm['ID'])
+        logger.info('Wrote %s', stats.plot_station_scatter(
+            fit_by_id['annual_phase'].to_numpy(), 'annual phase [rad]',
+            'station_seasonal_phase.png'))
+    if args.phaseamp_per_station:
+        logger.info('Wrote %s', stats.plot_phaseamp_per_station())
+
+    rasters = []
+    if args.grid_heatmap:
+        g = stats.grid_map('count')
+        logger.info('Wrote %s', stats.plot_grid('count', grid=g, label='station count',
+                                                fname='grid_heatmap.png'))
+        rasters.append(('grid_heatmap.tif', g))
+    for stat, flag, absolute in (
+        ('mean', args.grid_delay_mean, False),
+        ('median', args.grid_delay_median, False),
+        ('stdev', args.grid_delay_stdev, False),
+        ('mean', args.grid_delay_absolute_mean, True),
+        ('median', args.grid_delay_absolute_median, True),
+        ('stdev', args.grid_delay_absolute_stdev, True),
+    ):
+        if flag:
+            g = stats.grid_map(stat, absolute=absolute)
+            tag = f"grid_{'absolute_' if absolute else ''}{stat}"
+            logger.info('Wrote %s', stats.plot_grid(stat, absolute=absolute, grid=g,
+                                                    fname=f'{tag}.png'))
+            rasters.append((f'{tag}.tif', g))
+    if seasonal is not None and len(seasonal):
+        for col, flag, tag in (
+            ('annual_amplitude', args.grid_seasonal_amplitude, 'grid_seasonal_amplitude'),
+            ('annual_phase', args.grid_seasonal_phase, 'grid_seasonal_phase'),
+            ('annual_phase', args.grid_seasonal_absolute_phase, 'grid_seasonal_absolute_phase'),
+        ):
+            if flag:
+                g = grid_statistic(seasonal['Lat'], seasonal['Lon'], seasonal[col],
+                                   stats.lat_edges, stats.lon_edges, 'mean')
+                logger.info('Wrote %s', stats.plot_grid(col, grid=g, label=col,
+                                                        fname=f'{tag}.png'))
+                rasters.append((f'{tag}.tif', g))
+    if args.grid_to_raster:
+        for tif_name, g in rasters:
+            logger.info('Wrote %s', stats.grid_to_raster(g, tif_name))
+
+    if args.variogramplot or args.binnedvariogram:
+        out, sill, rng_ = stats.plot_variogram(args.variogram_model,
+                                               errlimit=args.variogram_errlimit)
+        logger.info('Wrote %s (sill=%.3e, range=%.3f)', out, sill, rng_)
+        gsill, grange = stats.gridded_variogram(args.variogram_model)
+        np.save(os.path.join(args.workdir, 'variogram_sill.npy'), gsill)
+        np.save(os.path.join(args.workdir, 'variogram_range.npy'), grange)
         logger.info('Wrote variogram sill/range maps to %s', args.workdir)
+    if args.variogram_per_timeslice:
+        for ts, sub in stats.df.groupby(stats.df['Datetime'].dt.date):
+            centers, gamma, _ = empirical_variogram(sub['Lon'], sub['Lat'],
+                                                    sub[stats.col_name])
+            if centers is None:
+                continue
+            sill, rng_ = fit_variogram(centers, gamma, args.variogram_model)
+            logger.info('variogram %s: sill=%.3e range=%.3f', ts, sill, rng_)

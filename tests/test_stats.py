@@ -105,7 +105,53 @@ class TestRaiderStats:
         stats_analyses([
             '-f', str(csv), '-w', str(tmp_path),
             '--station_distribution', '--grid_delay_mean',
-            '--grid_seasonal_amplitude',
+            '--grid_seasonal_amplitude', '-min_span', '0', '0.1',
         ])
         assert (tmp_path / 'seasonal_fits.csv').exists()
         assert (tmp_path / 'grid_mean.png').exists()
+        assert (tmp_path / 'grid_seasonal_amplitude.png').exists()
+
+    def test_cli_breadth(self, tmp_path):
+        """The reference parser's station/grid/raster flag families
+        (statsPlot.py:242-382) all produce output."""
+        from raider_tpu.io.geotiff import read_gtiff
+        from raider_tpu.workflows.stats import stats_analyses
+
+        csv = tmp_path / 'combined.csv'
+        synthetic_gnss_csv(csv, n_stations=10, n_days=200)
+        stats_analyses([
+            '-f', str(csv), '-w', str(tmp_path),
+            '-station_delay_mean', '-station_delay_median', '-station_delay_stdev',
+            '-grid_heatmap', '-grid_delay_absolute_mean', '-grid_delay_absolute_stdev',
+            '-grid_to_raster', '-phaseamp_per_station',
+            '-cm', 'plasma', '-figdpi', '70', '-sg', '-dg', '-dt', '1',
+        ])
+        for name in ('station_delay_mean.png', 'station_delay_median.png',
+                     'station_delay_stdev.png', 'grid_heatmap.png',
+                     'grid_absolute_mean.png', 'grid_absolute_stdev.png',
+                     'phaseamp_per_station.png', 'grid_absolute_mean.tif'):
+            assert (tmp_path / name).exists(), name
+
+        # raster values == in-memory grid (north-up flip applied)
+        st = RaiderStats(str(csv), workdir=str(tmp_path))
+        g = st.grid_map('mean', absolute=True)
+        arr, prof = read_gtiff(str(tmp_path / 'grid_absolute_mean.tif'))
+        np.testing.assert_allclose(np.flipud(arr[0]), g, rtol=1e-6, equal_nan=True)
+        assert prof['transform'].to_gdal()[5] < 0  # north-up
+
+    def test_min_span_filter(self, tmp_path):
+        """Sparse stations are excluded from seasonal fits by min_span."""
+        csv = tmp_path / 'combined.csv'
+        synthetic_gnss_csv(csv, n_stations=5, n_days=3 * 365)  # every 5 days
+        st = RaiderStats(str(csv), workdir=str(tmp_path), min_span=(2, 0.9))
+        assert len(st.seasonal_amplitude_phase(apply_span_filter=True)) == 0
+        st2 = RaiderStats(str(csv), workdir=str(tmp_path), min_span=(2, 0.1))
+        assert len(st2.seasonal_amplitude_phase(apply_span_filter=True)) == 5
+
+    def test_variogram_plot_and_errlimit(self, tmp_path):
+        csv = tmp_path / 'combined.csv'
+        synthetic_gnss_csv(csv, n_stations=30, n_days=60)
+        st = RaiderStats(str(csv), workdir=str(tmp_path))
+        out, sill, rng_ = st.plot_variogram('exponential')
+        assert (tmp_path / 'variogram.png').exists()
+        assert np.isfinite(sill)
