@@ -256,27 +256,38 @@ class Geocube(AOI):
         self._type = 'Geocube'
         self._bounding_box = self.get_extent()
 
+    @staticmethod
+    def _latlon(ds):
+        """Coordinate arrays under either naming convention:
+        GUNW-style 'latitude'/'longitude' (reference llreader.py:379-387) or
+        the delay-cube 'y'/'x' (EPSG:4326 cubes written by tropo_delay)."""
+        for la, lo in (('latitude', 'longitude'), ('y', 'x')):
+            if la in ds and lo in ds:
+                return np.asarray(ds[la].data), np.asarray(ds[lo].data)
+        raise KeyError('No latitude/longitude or y/x coordinates in geocube')
+
     def get_extent(self):
         from raider_tpu.io import read_nc
 
         ds = read_nc(self.path)
-        lats = np.asarray(ds['latitude'].data)
-        lons = np.asarray(ds['longitude'].data)
+        lats, lons = self._latlon(ds)
         return [lats.min(), lats.max(), lons.min(), lons.max()]
 
     def readLL(self):
         from raider_tpu.io import read_nc
 
         ds = read_nc(self.path)
-        lats = np.asarray(ds['latitude'].data)
-        lons = np.asarray(ds['longitude'].data)
+        lats, lons = self._latlon(ds)
         return np.meshgrid(lats, lons)
 
     def readZ(self):
         from raider_tpu.io import read_nc
 
         ds = read_nc(self.path)
-        return np.asarray(ds['heights'].data)
+        for name in ('heights', 'z'):
+            if name in ds:
+                return np.asarray(ds[name].data)
+        raise KeyError('No heights/z coordinate in geocube')
 
 
 def bounds_from_csv(station_file) -> list:

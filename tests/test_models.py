@@ -129,3 +129,29 @@ def test_raster_rdr_aoi_on_reference_files():
     assert np.isfinite(lats).any() and np.isfinite(lons).any()
     s, n, w, e = aoi.bounds()
     assert -90 < s < n < 90 and -180 < w < e < 180
+
+
+def test_conventional_los_on_reference_raster():
+    """Conventional (projected) LOS consumes the reference's real 2-band
+    ISCE los.rdr (incidence, heading; reference losreader.py:374-397) and
+    yields delays amplified by 1/cos(incidence)."""
+    from tests.conftest import REFERENCE_DIR
+
+    los_file = REFERENCE_DIR / 'test' / 'test_geom' / 'los.rdr'
+    if not los_file.exists():
+        pytest.skip('reference los raster unavailable')
+    from raider_tpu.geometry.los import Conventional
+    from raider_tpu.io.rasters import rio_open
+
+    data, _ = rio_open(str(los_file))
+    inc = data[0]
+    valid = np.isfinite(inc) & (inc > 0)
+    assert valid.any()
+
+    los = Conventional(str(los_file))
+    los.setPoints(np.zeros_like(inc), np.zeros_like(inc), np.zeros_like(inc))
+    ztd = np.ones_like(inc)
+    std = np.asarray(los(ztd))
+    # slant delay = ztd / cos(inc), so >= ztd wherever incidence is valid
+    np.testing.assert_allclose(std[valid], 1.0 / np.cos(np.deg2rad(inc[valid])), rtol=1e-6)
+    assert (std[valid] >= 1.0).all()

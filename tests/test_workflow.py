@@ -223,3 +223,33 @@ def test_center_time_interpolation(tmp_path, monkeypatch):
     # the combined file was written with the timeInterp naming convention
     combined = list(wm_dir.glob('*timeInterp*'))
     assert len(combined) == 1
+
+
+def test_geocube_ingests_reference_product():
+    """Geocube AOI + CRS parsers consume a delay cube produced by the
+    reference itself (test/scenario_1/golden_data), proving product-schema
+    compatibility in the read direction."""
+    from raider_tpu.geodesy import Geographic
+    from raider_tpu.geodesy.crs import crs_from_cf, crs_from_wkt
+    from raider_tpu.geometry.aoi import Geocube
+    from raider_tpu.io import read_nc
+
+    path = (REFERENCE_DIR / 'test' / 'scenario_1' / 'golden_data' /
+            'HRRR_tropo_20200101T120000_ztd.nc')
+    if not path.exists():
+        pytest.skip('reference golden cube unavailable')
+
+    ds = read_nc(str(path))
+    assert 'wet' in ds and 'hydro' in ds
+    # WKT2 ENSEMBLE-style geographic CRS parses to EPSG:4326
+    crs = crs_from_wkt(ds['crs'].attrs['crs_wkt'])
+    assert isinstance(crs, Geographic) and crs.to_epsg() == 4326
+    assert isinstance(crs_from_cf(ds['crs'].attrs), Geographic)
+
+    g = Geocube(str(path))
+    s, n, w, e = g._bounding_box
+    assert 35.0 < s < n < 38.0 and -93.0 < w < e < -90.0
+    lats, lons = g.readLL()
+    assert np.asarray(lats).size == 102 * 101
+    z = g.readZ()
+    np.testing.assert_array_equal(np.asarray(z), [0, 50, 100, 500, 1000])
