@@ -131,9 +131,116 @@ def write_envi(array: np.ndarray, path: str, transform=None, nodata: float = 0.0
     Path(str(path) + '.hdr').write_text('\n'.join(hdr_lines) + '\n')
 
 
+_VRT_DTYPES = {
+    'Byte': np.uint8, 'Int16': np.int16, 'UInt16': np.uint16,
+    'Int32': np.int32, 'UInt32': np.uint32, 'Float32': np.float32,
+    'Float64': np.float64, 'CFloat32': np.complex64, 'CFloat64': np.complex128,
+}
+
+
+def read_vrt(path: str) -> Tuple[np.ndarray, dict]:
+    """Read a GDAL VRT referencing flat-binary sources.
+
+    Supports the two VRT flavors this pipeline encounters: raw-binary bands
+    (``VRTRawRasterBand`` with Image/Pixel/LineOffset — the GACOS products
+    written by workflows.gacos.makeVRT, reference generateGACOSVRT.py:6-42)
+    and ``SimpleSource`` bands referencing ISCE rasters (lat/lon/los .rdr
+    files with ENVI .hdr sidecars).
+    """
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(str(path)).getroot()
+    width = int(root.get('rasterXSize'))
+    height = int(root.get('rasterYSize'))
+    vrt_dir = os.path.dirname(os.path.abspath(str(path)))
+
+    transform = None
+    gt_el = root.find('GeoTransform')
+    if gt_el is not None and gt_el.text:
+        transform = GDALAffine(tuple(float(v) for v in gt_el.text.split(',')))
+    crs = None
+    srs_el = root.find('SRS')
+    if srs_el is not None and srs_el.text:
+        from raider_tpu.geodesy.crs import crs_from_user
+
+        try:
+            crs = crs_from_user(srs_el.text.strip())
+        except (ValueError, NotImplementedError):
+            crs = None
+
+    bands, nodata = [], None
+    for band_el in root.findall('VRTRasterBand'):
+        dtype = _VRT_DTYPES[band_el.get('dataType', 'Float32')]
+        nd_el = band_el.find('NoDataValue')
+        if nd_el is not None and nd_el.text:
+            nodata = float(nd_el.text)
+        if band_el.get('subClass') == 'VRTRawRasterBand':
+            src = band_el.find('SourceFilename')
+            fname = src.text
+            if src.get('relativeToVRT') == '1':
+                fname = os.path.join(vrt_dir, fname)
+            image_off = int(band_el.findtext('ImageOffset', '0'))
+            pixel_off = int(band_el.findtext('PixelOffset', str(np.dtype(dtype).itemsize)))
+            line_off = int(band_el.findtext('LineOffset', str(np.dtype(dtype).itemsize * width)))
+            byte_order = band_el.findtext('ByteOrder', 'LSB')
+            raw = np.memmap(fname, dtype=np.uint8, mode='r')
+            arr = np.lib.stride_tricks.as_strided(
+                raw[image_off:].view(np.uint8), shape=(height, width, np.dtype(dtype).itemsize),
+                strides=(line_off, pixel_off, 1),
+            ).copy().view(dtype)[..., 0]
+            if byte_order == 'MSB':
+                arr = arr.byteswap()
+            bands.append(np.asarray(arr))
+        else:  # SimpleSource / ComplexSource
+            src_el = band_el.find('.//SourceFilename')
+            fname = src_el.text
+            if src_el.get('relativeToVRT') == '1':
+                fname = os.path.join(vrt_dir, fname)
+            src_band = int(band_el.findtext('.//SourceBand', '1'))
+            if _find_envi_header(fname) is not None:
+                data, _ = read_envi(fname)
+                bands.append(data[src_band - 1])
+            else:
+                flat = np.fromfile(fname, dtype=dtype)
+                n_src_bands = max(1, flat.size // (height * width))
+                bands.append(flat[:n_src_bands * height * width]
+                             .reshape(n_src_bands, height, width)[src_band - 1])
+
+    data = np.stack(bands)
+    profile = {
+        'width': width, 'height': height, 'count': len(bands),
+        'dtype': data.dtype.name, 'transform': transform, 'crs': crs,
+        'nodata': nodata, 'driver': 'VRT',
+    }
+    return data, profile
+
+
+def _gunw_profile(path: str) -> dict:
+    """Profile of an S1-GUNW netCDF's unwrappedPhase grid
+    (reference: utilFcns.py:144-146 opens the NETCDF: subdataset)."""
+    from raider_tpu.geodesy import Geographic
+    from raider_tpu.io import read_nc
+
+    ds = read_nc(str(path), group='science/grids/data')
+    lats = np.asarray(ds['latitude'].data)
+    lons = np.asarray(ds['longitude'].data)
+    dy = float(lats[1] - lats[0])
+    dx = float(lons[1] - lons[0])
+    var = ds['unwrappedPhase'] if 'unwrappedPhase' in ds else None
+    return {
+        'width': lons.size, 'height': lats.size, 'count': 1,
+        'dtype': np.asarray(var.data).dtype.name if var is not None else 'float32',
+        'transform': GDALAffine((float(lons[0]) - dx / 2, dx, 0.0,
+                                 float(lats[0]) - dy / 2, 0.0, dy)),
+        'crs': Geographic(), 'nodata': 0.0, 'driver': 'netCDF',
+    }
+
+
 def _read_any(path: str) -> Tuple[np.ndarray, dict]:
-    """Dispatch on format: GeoTIFF by magic/extension, else ENVI."""
+    """Dispatch on format: VRT/GeoTIFF by extension or magic, else ENVI."""
     p = str(path)
+    if p.endswith('.vrt'):
+        return read_vrt(p)
     if p.endswith(('.tif', '.tiff')):
         from raider_tpu.io.geotiff import read_gtiff
 
@@ -167,7 +274,15 @@ def rio_open(path, userNDV: Optional[float] = None, band: Optional[int] = None):
 
 
 def rio_profile(path) -> dict:
-    _, profile = _read_any(str(path))
+    """Raster profile with the reference's path rewrites: S1-GUNW netCDFs
+    resolve to their unwrappedPhase grid, and a ``.vrt`` sidecar is preferred
+    when present (reference: utilFcns.py:140-151)."""
+    p = str(path)
+    if os.path.basename(p).startswith('S1-GUNW') and p.endswith('.nc'):
+        return _gunw_profile(p)
+    if not p.endswith('.vrt') and os.path.exists(p + '.vrt'):
+        p = p + '.vrt'
+    _, profile = _read_any(p)
     return profile
 
 
