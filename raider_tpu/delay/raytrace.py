@@ -48,32 +48,54 @@ _CORNERS = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
 
 def build_sampling_plan(ray_lengths_max: np.ndarray,
                         max_segment_length: float = MAX_SEGMENT_LENGTH):
-    """Static per-level sampling plan from max ray lengths.
+    """Static DEDUPLICATED sampling plan from max ray lengths.
 
     Mirrors the reference's nParts rule (delay.py:283): per level,
     nparts = ceil(max_len / MAX_SEGMENT_LENGTH) + 1 samples at
     linspace(0, 1, nparts), trapezoid end-weights 0.5.
 
-    Returns (level_idx (S,), fracs (S,), end_factor (S,), inv_nm1 (S,)):
-    flattened over levels; weight of sample s for pixel p is
-    end_factor[s] * ray_len[level_idx[s], p] * 1e-6 * inv_nm1[s].
+    Because ``build_ray`` produces CONTIGUOUS segments (high[k] == low[k+1],
+    both views of one boundary-point array), the f=1 sample of level k and
+    the f=0 sample of level k+1 are the same point. The kernel is
+    gather-count bound, so each shared boundary point is evaluated ONCE with
+    the combined trapezoid weight of both adjacent levels - cutting the
+    sample count from sum(nparts) to sum(nparts) - (L-1) (~2x for typical
+    nparts=2 plans) with bit-identical sample coordinates and weights.
+
+    Returns (coord_lvl, fracs, wa_lvl, wa, wb_lvl, wb), all (P,): point p is
+    at fraction fracs[p] along level coord_lvl[p]'s segment, with weight
+    1e-6 * (wa[p]*ray_len[wa_lvl[p]] + wb[p]*ray_len[wb_lvl[p]]).
     """
     n_parts = np.ceil(np.asarray(ray_lengths_max) / max_segment_length).astype(int) + 1
-    level_idx, fracs, end_factor, inv_nm1 = [], [], [], []
-    for zz, nparts in enumerate(n_parts):
-        ff = np.linspace(0.0, 1.0, num=nparts)
-        level_idx.append(np.full(nparts, zz, dtype=np.int32))
+    L = len(n_parts)
+    coord_lvl, fracs, wa_lvl, wa, wb_lvl, wb = [], [], [], [], [], []
+
+    def add(lvl, ff, la, ca, lb, cb):
+        coord_lvl.append(lvl)
         fracs.append(ff)
-        w = np.ones(nparts)
-        w[0] = 0.5
-        w[-1] = 0.5
-        end_factor.append(w)
-        inv_nm1.append(np.full(nparts, 1.0 / (nparts - 1.0)))
+        wa_lvl.append(la)
+        wa.append(ca)
+        wb_lvl.append(lb)
+        wb.append(cb)
+
+    for zz, nparts in enumerate(n_parts):
+        inv = 1.0 / (nparts - 1.0)
+        if zz == 0:
+            add(0, 0.0, 0, 0.5 * inv, 0, 0.0)          # bottom boundary
+        for j in range(1, nparts - 1):                  # interior samples
+            add(zz, j * inv, zz, inv, zz, 0.0)
+        if zz + 1 < L:                                  # shared boundary
+            inv_next = 1.0 / (n_parts[zz + 1] - 1.0)
+            add(zz + 1, 0.0, zz, 0.5 * inv, zz + 1, 0.5 * inv_next)
+        else:                                           # top boundary
+            add(zz, 1.0, zz, 0.5 * inv, zz, 0.0)
     return (
-        np.concatenate(level_idx),
-        np.concatenate(fracs),
-        np.concatenate(end_factor),
-        np.concatenate(inv_nm1),
+        np.asarray(coord_lvl, dtype=np.int32),
+        np.asarray(fracs),
+        np.asarray(wa_lvl, dtype=np.int32),
+        np.asarray(wa),
+        np.asarray(wb_lvl, dtype=np.int32),
+        np.asarray(wb),
     )
 
 
@@ -133,7 +155,7 @@ def _integrate_packed(
     d2,                         # (L, N) squared horizontal chord length
     ray_len,                    # (L, N) segment lengths [m]
     re_local,                   # (N,) local earth radius [m]
-    level_idx, fracs, end_factor, inv_nm1,  # (S,) sampling plan
+    coord_lvl, fracs, wa_lvl, wa, wb_lvl, wb,  # (P,) dedup sampling plan
     ys, xs, zs,                 # static grid axes
     z_clip, mode,
 ):
@@ -141,7 +163,7 @@ def _integrate_packed(
     ys_np, xs_np, zs_np = np.asarray(ys), np.asarray(xs), np.asarray(zs)
     ny, nx = ys_np.size, xs_np.size
 
-    def sample_one(lvl, ff, wfac, inv):
+    def sample_one(lvl, ff, la, ca, lb, cb):
         ly = jnp.take(low_y, lvl, axis=0)
         lx = jnp.take(low_x, lvl, axis=0)
         lz = jnp.take(low_z, lvl, axis=0)
@@ -149,7 +171,7 @@ def _integrate_packed(
         hx = jnp.take(high_x, lvl, axis=0)
         hz = jnp.take(high_z, lvl, axis=0)
         dd2 = jnp.take(d2, lvl, axis=0)
-        rl = jnp.take(ray_len, lvl, axis=0)
+        rl = ca * jnp.take(ray_len, la, axis=0) + cb * jnp.take(ray_len, lb, axis=0)
 
         py = ly + ff * (hy - ly)
         px = lx + ff * (hx - lx)
@@ -202,22 +224,24 @@ def _integrate_packed(
         ok = by & bx & bz
         vw = jnp.where(ok, vw, jnp.nan)
         vh = jnp.where(ok, vh, jnp.nan)
-        wt = (wfac * 1.0e-6 * inv) * rl
+        wt = 1.0e-6 * rl
         return (wt * vw).astype(compute_dtype), (wt * vh).astype(compute_dtype)
 
     def body(carry, plan_s):
         acc_w, acc_h = carry
-        lvl, ff, wfac, inv = plan_s
-        dw, dh = sample_one(lvl, ff, wfac, inv)
+        lvl, ff, la, ca, lb, cb = plan_s
+        dw, dh = sample_one(lvl, ff, la, ca, lb, cb)
         return (acc_w + dw, acc_h + dh), None
 
     n = low_y.shape[1]
     init = (jnp.zeros(n, compute_dtype), jnp.zeros(n, compute_dtype))
     plan = (
-        jnp.asarray(level_idx, jnp.int32),
+        jnp.asarray(coord_lvl, jnp.int32),
         jnp.asarray(fracs, compute_dtype),
-        jnp.asarray(end_factor, compute_dtype),
-        jnp.asarray(inv_nm1, compute_dtype),
+        jnp.asarray(wa_lvl, jnp.int32),
+        jnp.asarray(wa, compute_dtype),
+        jnp.asarray(wb_lvl, jnp.int32),
+        jnp.asarray(wb, compute_dtype),
     )
     (wet, hydro), _ = jax.lax.scan(body, init, plan)
     return wet, hydro
