@@ -65,24 +65,38 @@ def main() -> None:
     t_ztd = min(t_ztd)
 
     # --------------------------------------------------- raytraced STD (1 M)
+    # contiguous slant rays (random start, azimuth, 25-45 deg zenith): the
+    # brick kernel's grouping guarantees rely on level-to-level continuity,
+    # exactly like the segments build_ray produces
     L = nz - 1
-    low = np.stack([
-        rng.uniform(31, 39, (L, n_rays)),
-        rng.uniform(-124, -116, (L, n_rays)),
-        np.broadcast_to(zs[:L, None], (L, n_rays)).copy(),
-    ], axis=-1).astype(dtype)
-    dz = (zs[1:] - zs[:-1])[:, None].astype(dtype)
-    high = low.copy()
-    high[..., 2] += dz
-    high[..., 0] += 0.001
-    high[..., 1] += 0.001
-    ray_len = (dz * 1.35 * np.ones((L, n_rays))).astype(dtype)
-    d2 = (ray_len**2 - dz**2).astype(dtype)
+    zen = rng.uniform(np.deg2rad(25.0), np.deg2rad(45.0), n_rays)
+    azi = rng.uniform(0.0, 2.0 * np.pi, n_rays)
+    dzv = (zs[1:] - zs[:-1])
+    dh = dzv[:, None] * np.tan(zen)[None, :]            # horizontal m / level
+    deg_per_m = 1.0 / 111000.0
+    ystep = dh * np.cos(azi) * deg_per_m
+    xstep = dh * np.sin(azi) * deg_per_m
+    y0 = rng.uniform(32.0, 38.0, n_rays)
+    x0 = rng.uniform(-123.0, -117.0, n_rays)
+    ycum = np.vstack([np.zeros((1, n_rays)), np.cumsum(ystep, axis=0)])
+    xcum = np.vstack([np.zeros((1, n_rays)), np.cumsum(xstep, axis=0)])
+    zbc = np.broadcast_to(zs[:, None], (nz, n_rays))
+    low = np.stack([y0 + ycum[:-1], x0 + xcum[:-1], zbc[:-1]], axis=-1).astype(dtype)
+    high = np.stack([y0 + ycum[1:], x0 + xcum[1:], zbc[1:]], axis=-1).astype(dtype)
+    ray_len = (dzv[:, None] / np.cos(zen)[None, :]).astype(dtype)
+    d2 = (dh**2).astype(dtype)
     re = np.full(n_rays, 6371000.0, dtype)
     per_level_max = ray_len.max(axis=1)
+    heights = zs.copy()
+    hstep_max = dh.max(axis=1) * deg_per_m
     n_samples = build_sampling_plan(per_level_max)[0].size
 
-    packed2d, mode = pack_cubes(wet, hydro)
+    packed2d, mode = pack_cubes(wet, hydro, grouped=True)
+    n_gathers = n_samples
+    if mode == 'brick':
+        from raider_tpu.delay.raytrace import build_group_plan
+        n_gathers = build_group_plan(per_level_max, heights, hstep_max,
+                                     ys, xs, zs).anchor.size
 
     # stage the ray batch on device ONCE; the perturbation that defeats
     # result caching is applied on-device so no re-upload happens per run
@@ -94,6 +108,7 @@ def main() -> None:
             wet, hydro, ys, xs, zs,
             low_d + bump, high_d + bump, d2_d, rl_d, re_d, per_level_max,
             packed2d=packed2d, mode=mode,
+            heights=heights, hstep_max=hstep_max,
         )
         return float(jnp.nansum(w_out) + jnp.nansum(h_out))
 
@@ -117,6 +132,7 @@ def main() -> None:
             'ztd_s': round(t_ztd, 4),
             'std_s': round(t_std, 4),
             'std_samples_per_ray': int(n_samples),
+            'std_gathers_per_ray': int(n_gathers),
             'pack_mode': mode,
             'rays_per_s_chip': round(n_rays / t_std, 0),
         },

@@ -34,7 +34,7 @@ from raider_tpu.geodesy import (
 from raider_tpu.geodesy.ellipsoid import lla2ecef
 from raider_tpu.geometry.aoi import AOI, BoundingBox, Geocube
 from raider_tpu.geometry.los import LOS
-from raider_tpu.geometry.rays import build_ray
+from raider_tpu.geometry.rays import build_ray, level_heights
 from raider_tpu.io import Dataset, read_nc
 from raider_tpu.io.ncdf import Variable
 from raider_tpu.logger import logger
@@ -255,8 +255,9 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     cube_wet = wm.field('wet', compute_dtype)
     cube_hydro = wm.field('hydro', compute_dtype)
     # pack both fields + trilinear corners into gather rows once, reused by
-    # every height slice (the kernel is gather-count bound)
-    packed2d, pack_mode = pack_cubes(cube_wet, cube_hydro)
+    # every height slice (the kernel is gather-count bound); the grouped
+    # brick layout serves a whole group of samples with one gather
+    packed2d, pack_mode = pack_cubes(cube_wet, cube_hydro, grouped=True)
 
     xx, yy = np.meshgrid(xpts, ypts)
     npix = xx.size
@@ -318,6 +319,12 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
 
         with np.errstate(invalid='ignore'):
             per_level_max = np.nanmax(ray_lengths.reshape(seg_flat.shape), axis=1)
+            # per-level max horizontal motion (model units) for brick grouping
+            hstep_max = np.nanmax(np.hypot(
+                high_yxz[..., 0] - low_yxz[..., 0],
+                high_yxz[..., 1] - low_yxz[..., 1],
+            ), axis=1)
+        heights = level_heights(model_zs, ht, zref)
 
         args = (
             low_yxz.astype(compute_dtype), high_yxz.astype(compute_dtype),
@@ -346,6 +353,7 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                 ray_lengths_max=per_level_max,
                 max_segment_length=max_segment_length,
                 packed2d=packed2d, mode=pack_mode,
+                heights=heights, hstep_max=hstep_max,
             )
         if orig_n is not None:
             wet = np.asarray(wet)[:orig_n]

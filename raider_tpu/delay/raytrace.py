@@ -41,6 +41,10 @@ from raider_tpu.constants import MAX_SEGMENT_LENGTH
 
 # switch to the 4-value packing above this packed-cube size
 _PACK16_BYTE_LIMIT = 3 * 1024**3
+# brick (grouped-gather) table limit and geometry: 5 z-planes x 3x3 corners
+_BRICK_BYTE_LIMIT = 6 * 1024**3
+_BRICK_PLANES = 5
+_BRICK_GROUP_MAX = 4
 
 _CORNERS = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
             (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)]
@@ -247,8 +251,263 @@ def _integrate_packed(
     return wet, hydro
 
 
-def pack_mode_for(cube_shape, dtype) -> str:
-    """Choose the packing by HBM footprint of the packed table."""
+class GroupPlan:
+    """Static grouped sampling plan for the brick kernel (see module doc).
+
+    Arrays of shape (n_groups, G) unless noted: ``lvl`` (coordinate level),
+    ``frac``, ``wa_lvl``/``wa``/``wb_lvl``/``wb`` (weight terms), ``dzoff``
+    (static z-plane offset inside the brick row), ``zlo``/``zinv`` (static
+    cell-bottom height and inverse thickness), ``pad`` (slot is padding);
+    ``anchor`` is (n_groups,) - the static z-cell row of each group's brick.
+    """
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    @property
+    def n_points(self):
+        return int((~self.pad).sum())
+
+    @property
+    def mean_group_size(self):
+        return self.n_points / self.pad.shape[0]
+
+
+def build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
+                     max_segment_length: float = MAX_SEGMENT_LENGTH,
+                     group_max: int = 4, planes: int = 5):
+    """Group the deduplicated sampling plan for one-gather-per-group bricks.
+
+    Greedy walk over the dedup plan: a group absorbs the next sample while
+    (a) its size stays <= group_max, (b) the static z-cells of its samples
+    span <= planes-2 brick planes, and (c) the summed per-gap horizontal
+    motion bound stays <= one grid cell, which guarantees every ray's group
+    touches at most 2 adjacent cells in y and in x (an interval of length
+    <= cell width crosses at most one grid plane).
+
+    Args:
+        heights:   (L+1,) the level-boundary chain from ``level_heights``
+                   (static, shared by all rays): sample z positions are
+                   heights-lerp exact up to the (tiny) sagitta dip.
+        hstep_max: (L,) per-level max horizontal motion over all rays, in
+                   model CRS units.
+    """
+    n_parts = np.ceil(np.asarray(ray_lengths_max) / max_segment_length).astype(int) + 1
+    L = len(n_parts)
+    heights = np.asarray(heights, dtype=np.float64)
+    hstep_max = np.asarray(hstep_max, dtype=np.float64)
+    zs_np = np.asarray(zs, dtype=np.float64)
+    nz = zs_np.size
+    ys_np, xs_np = np.asarray(ys), np.asarray(xs)
+    min_cell = min(np.diff(ys_np).min(), np.diff(xs_np).min())
+
+    # flat dedup point list: (lvl, frac, wa_lvl, wa, wb_lvl, wb, gap_bound)
+    pts = []
+    for zz, nparts in enumerate(n_parts):
+        inv = 1.0 / (nparts - 1.0)
+        gap = (0.0 if not np.isfinite(hstep_max[zz])
+               else float(hstep_max[zz]) * inv)
+        if zz == 0:
+            pts.append((0, 0.0, 0, 0.5 * inv, 0, 0.0, np.inf))
+        for j in range(1, nparts - 1):
+            pts.append((zz, j * inv, zz, inv, zz, 0.0, gap))
+        if zz + 1 < L:
+            inv_next = 1.0 / (n_parts[zz + 1] - 1.0)
+            pts.append((zz + 1, 0.0, zz, 0.5 * inv, zz + 1, 0.5 * inv_next, gap))
+        else:
+            pts.append((zz, 1.0, zz, 0.5 * inv, zz, 0.0, gap))
+
+    # static z-cell per point from the heights chain (sagitta-free lerp)
+    def hint_of(lvl, frac):
+        pz = heights[lvl] + frac * (heights[lvl + 1] - heights[lvl])
+        return int(np.clip(np.searchsorted(zs_np, pz, side='right') - 1, 0, nz - 2))
+
+    hints = [hint_of(p[0], p[1]) for p in pts]
+
+    # greedy grouping
+    groups, cur, cur_hints, cur_span = [], [], [], 0.0
+    for p, h in zip(pts, hints):
+        if cur:
+            nspan = cur_span + p[6]
+            zmin = min(cur_hints + [h])
+            zmax = max(cur_hints + [h])
+            if (len(cur) < group_max and zmax - zmin <= planes - 2
+                    and nspan <= min_cell):
+                cur.append(p)
+                cur_hints.append(h)
+                cur_span = nspan
+                continue
+            groups.append((cur, cur_hints))
+        cur, cur_hints, cur_span = [p], [h], 0.0
+    groups.append((cur, cur_hints))
+
+    G = group_max
+    n_g = len(groups)
+    arr = {k: np.zeros((n_g, G)) for k in
+           ('frac', 'wa', 'wb', 'zlo', 'zinv')}
+    iarr = {k: np.zeros((n_g, G), dtype=np.int32) for k in
+            ('lvl', 'wa_lvl', 'wb_lvl', 'dzoff')}
+    pad = np.ones((n_g, G), dtype=bool)
+    anchor = np.zeros(n_g, dtype=np.int32)
+    for gi, (grp, gh) in enumerate(groups):
+        za = min(gh)
+        anchor[gi] = za
+        for sj in range(G):
+            p, h = (grp[sj], gh[sj]) if sj < len(grp) else (grp[-1], gh[-1])
+            lvl, frac, wal, wa, wbl, wb, _ = p
+            iarr['lvl'][gi, sj] = lvl
+            arr['frac'][gi, sj] = frac
+            iarr['wa_lvl'][gi, sj] = wal
+            iarr['wb_lvl'][gi, sj] = wbl
+            if sj < len(grp):
+                arr['wa'][gi, sj] = wa
+                arr['wb'][gi, sj] = wb
+                pad[gi, sj] = False
+            iarr['dzoff'][gi, sj] = h - za
+            arr['zlo'][gi, sj] = zs_np[h]
+            arr['zinv'][gi, sj] = 1.0 / (zs_np[h + 1] - zs_np[h])
+    return GroupPlan(anchor=anchor, pad=pad, G=G, planes=planes,
+                     **arr, **iarr)
+
+
+@partial(jax.jit, static_argnames=('planes',))
+def _pack_bricks(cube_wet, cube_hydro, planes: int):
+    """Brick table: row(z,y,x) = [planes z][3 y][3 x][wet,hydro] corner block."""
+    nz, ny, nx = cube_wet.shape
+    rows = []
+    for dz in range(planes):
+        for dy in range(3):
+            for dx in range(3):
+                for cube in (cube_wet, cube_hydro):
+                    sl = cube[min(dz, nz):, min(dy, ny):, min(dx, nx):]
+                    rows.append(jnp.pad(sl, ((0, min(dz, nz)), (0, min(dy, ny)), (0, min(dx, nx)))))
+    packed = jnp.stack(rows, axis=-1)
+    return packed.reshape(nz * ny * nx, len(rows))
+
+
+def brick_bytes_for(cube_shape, dtype, planes: int = 5) -> int:
+    return int(np.prod(cube_shape)) * planes * 18 * np.dtype(dtype).itemsize
+
+
+@partial(jax.jit, static_argnames=('ys', 'xs', 'zs', 'z_clip', 'G', 'planes'))
+def _integrate_bricks(
+    table2d,                    # (nz*ny*nx, planes*18) brick table
+    low_y, low_x, low_z,        # (L, N)
+    high_y, high_x, high_z,     # (L, N)
+    d2, ray_len,                # (L, N)
+    re_local,                   # (N,)
+    anchor, lvl, frac, wa_lvl, wa, wb_lvl, wb, dzoff, zlo, zinv, pad,
+    ys, xs, zs, z_clip, G, planes,
+):
+    compute_dtype = table2d.dtype
+    ys_np, xs_np, zs_np = np.asarray(ys), np.asarray(xs), np.asarray(zs)
+    ny, nx = ys_np.size, xs_np.size
+    n = low_y.shape[1]
+
+    def body(carry, g):
+        acc_w, acc_h = carry
+        (za, lv, ff, wal, wav, wbl, wbv, dzo, zl, zi, pd) = g
+
+        samples = []
+        iy_all, ix_all = [], []
+        for s in range(G):
+            ly = jax.lax.dynamic_index_in_dim(low_y, lv[s], 0, False)
+            lx = jax.lax.dynamic_index_in_dim(low_x, lv[s], 0, False)
+            lz = jax.lax.dynamic_index_in_dim(low_z, lv[s], 0, False)
+            hy = jax.lax.dynamic_index_in_dim(high_y, lv[s], 0, False)
+            hx = jax.lax.dynamic_index_in_dim(high_x, lv[s], 0, False)
+            hz = jax.lax.dynamic_index_in_dim(high_z, lv[s], 0, False)
+            dd2 = jax.lax.dynamic_index_in_dim(d2, lv[s], 0, False)
+            f = ff[s]
+            py = ly + f * (hy - ly)
+            px = lx + f * (hx - lx)
+            pz = lz + f * (hz - lz)
+            hbar = 0.5 * (lz + hz)
+            pz = pz - f * (1.0 - f) * dd2 / (2.0 * (re_local + hbar))
+            if z_clip:
+                pz = jnp.clip(pz, zs_np[0], zs_np[-1])
+            bz = (pz >= zs_np[0]) & (pz <= zs_np[-1])
+            iy, fy, by = _locate_uniformish(ys_np, py)
+            ix, fx, bx = _locate_uniformish(xs_np, px)
+            fz = (pz - zl[s]) * zi[s]
+            rl = (wav[s] * jax.lax.dynamic_index_in_dim(ray_len, wal[s], 0, False)
+                  + wbv[s] * jax.lax.dynamic_index_in_dim(ray_len, wbl[s], 0, False))
+            samples.append((fy, fx, fz, by & bx & bz, rl))
+            iy_all.append(iy)
+            ix_all.append(ix)
+
+        ay = iy_all[0]
+        ax = ix_all[0]
+        for s in range(1, G):
+            ay = jnp.minimum(ay, iy_all[s])
+            ax = jnp.minimum(ax, ix_all[s])
+        lin = (za * ny + ay) * nx + ax
+        brick = jnp.take(table2d, lin, axis=0)          # (N, planes*18)
+        brick = brick.reshape(n, planes, 3, 3, 2)
+
+        for s in range(G):
+            fy, fx, fz, ok, rl = samples[s]
+            dy = iy_all[s] - ay
+            dx = ix_all[s] - ax
+            # a group never spans more than 2 cells per horizontal axis by
+            # construction; turn any violation into NaN, never silent zeros
+            ok = ok & (dy <= 1) & (dx <= 1)
+            fy = fy.astype(compute_dtype)
+            fx = fx.astype(compute_dtype)
+            fz = fz.astype(compute_dtype)
+            # z mix: planes dzoff, dzoff+1 via scalar one-hot over planes
+            vz = None
+            for j in range(planes):
+                wj = (jnp.where(j == dzo[s], 1.0 - fz, 0.0)
+                      + jnp.where(j == dzo[s] + 1, fz, 0.0))
+                term = brick[:, j] * wj[:, None, None, None]
+                vz = term if vz is None else vz + term   # (N, 3, 3, 2)
+            on0 = (dy == 0)
+            wy0 = jnp.where(on0, 1.0 - fy, 0.0)
+            wy1 = jnp.where(on0, fy, 1.0 - fy)
+            wy2 = jnp.where(on0, 0.0, fy)
+            vy = (vz[:, 0] * wy0[:, None, None] + vz[:, 1] * wy1[:, None, None]
+                  + vz[:, 2] * wy2[:, None, None])       # (N, 3, 2)
+            ox0 = (dx == 0)
+            wx0 = jnp.where(ox0, 1.0 - fx, 0.0)
+            wx1 = jnp.where(ox0, fx, 1.0 - fx)
+            wx2 = jnp.where(ox0, 0.0, fx)
+            v = (vy[:, 0] * wx0[:, None] + vy[:, 1] * wx1[:, None]
+                 + vy[:, 2] * wx2[:, None])              # (N, 2)
+            v = jnp.where(ok[:, None], v, jnp.nan)
+            wt = (1.0e-6 * rl).astype(compute_dtype)[:, None]
+            contrib = jnp.where(pd[s], 0.0, wt * v)
+            acc_w = acc_w + contrib[:, 0]
+            acc_h = acc_h + contrib[:, 1]
+        return (acc_w, acc_h), None
+
+    init = (jnp.zeros(n, compute_dtype), jnp.zeros(n, compute_dtype))
+    plan = (
+        jnp.asarray(anchor, jnp.int32),
+        jnp.asarray(lvl, jnp.int32),
+        jnp.asarray(frac, compute_dtype),
+        jnp.asarray(wa_lvl, jnp.int32),
+        jnp.asarray(wa, compute_dtype),
+        jnp.asarray(wb_lvl, jnp.int32),
+        jnp.asarray(wb, compute_dtype),
+        jnp.asarray(dzoff, jnp.int32),
+        jnp.asarray(zlo, compute_dtype),
+        jnp.asarray(zinv, compute_dtype),
+        jnp.asarray(pad),
+    )
+    (wet, hydro), _ = jax.lax.scan(body, init, plan)
+    return wet, hydro
+
+
+def pack_mode_for(cube_shape, dtype, grouped: bool = False) -> str:
+    """Choose the packing by HBM footprint of the packed table.
+
+    ``grouped=True`` (the caller can supply the heights chain + horizontal
+    motion bounds) prefers the brick layout: one gather then serves a whole
+    GROUP of samples, the biggest lever for this gather-count-bound kernel.
+    """
+    if grouped and brick_bytes_for(cube_shape, dtype, _BRICK_PLANES) <= _BRICK_BYTE_LIMIT:
+        return 'brick'
     nbytes16 = int(np.prod(cube_shape)) * 16 * np.dtype(dtype).itemsize
     return 'pack16' if nbytes16 <= _PACK16_BYTE_LIMIT else 'pack4'
 
@@ -261,6 +520,8 @@ def integrate_rays(
     z_clip: bool = True,
     packed2d=None,
     mode=None,
+    heights=None,
+    hstep_max=None,
 ):
     """Integrate wet/hydro delay along all rays for one output height slice.
 
@@ -274,35 +535,58 @@ def integrate_rays(
         ray_lengths_max: (L,) per-level max segment length (sets nParts).
         packed2d/mode:  optionally pass a precomputed pack (see
                         :func:`pack_cubes`) to amortize packing across slices.
+        heights:        (L+1,) static level-boundary chain (level_heights);
+                        enables the grouped brick kernel together with
+        hstep_max:      (L,) per-level max horizontal motion of any ray in
+                        model CRS units (host-measured, conservative).
 
     Returns:
         (wet_delay (N,), hydro_delay (N,)) in meters.
     """
-    plan = build_sampling_plan(ray_lengths_max, max_segment_length)
+    grouped_ok = heights is not None and hstep_max is not None
     if packed2d is None:
-        packed2d, mode = pack_cubes(cube_wet, cube_hydro)
+        cube_wet = jnp.asarray(cube_wet)
+        packed2d, mode = pack_cubes(cube_wet, jnp.asarray(cube_hydro),
+                                    grouped=grouped_ok)
     dtype = packed2d.dtype
-    return _integrate_packed(
-        packed2d,
+    ray_args = (
         jnp.asarray(low_yxz[..., 0], dtype), jnp.asarray(low_yxz[..., 1], dtype),
         jnp.asarray(low_yxz[..., 2], dtype),
         jnp.asarray(high_yxz[..., 0], dtype), jnp.asarray(high_yxz[..., 1], dtype),
         jnp.asarray(high_yxz[..., 2], dtype),
         jnp.asarray(d2, dtype), jnp.asarray(ray_len, dtype),
         jnp.asarray(re_local, dtype),
-        *plan,
+    )
+    axes = dict(
         ys=tuple(np.asarray(ys).tolist()),
         xs=tuple(np.asarray(xs).tolist()),
         zs=tuple(np.asarray(zs).tolist()),
-        z_clip=z_clip,
-        mode=mode,
+    )
+    if mode == 'brick':
+        if not grouped_ok:
+            raise ValueError("mode='brick' needs heights and hstep_max")
+        plan = build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
+                                max_segment_length,
+                                group_max=_BRICK_GROUP_MAX, planes=_BRICK_PLANES)
+        return _integrate_bricks(
+            packed2d, *ray_args,
+            plan.anchor, plan.lvl, plan.frac, plan.wa_lvl, plan.wa,
+            plan.wb_lvl, plan.wb, plan.dzoff, plan.zlo, plan.zinv, plan.pad,
+            **axes, z_clip=z_clip, G=plan.G, planes=plan.planes,
+        )
+    plan = build_sampling_plan(ray_lengths_max, max_segment_length)
+    return _integrate_packed(
+        packed2d, *ray_args, *plan,
+        **axes, z_clip=z_clip, mode=mode,
     )
 
 
-def pack_cubes(cube_wet, cube_hydro, mode=None):
+def pack_cubes(cube_wet, cube_hydro, mode=None, grouped: bool = False):
     """Build the packed corner table; returns (packed2d, mode)."""
     cube_wet = jnp.asarray(cube_wet)
     cube_hydro = jnp.asarray(cube_hydro)
     if mode is None:
-        mode = pack_mode_for(cube_wet.shape, cube_wet.dtype)
+        mode = pack_mode_for(cube_wet.shape, cube_wet.dtype, grouped=grouped)
+    if mode == 'brick':
+        return _pack_bricks(cube_wet, cube_hydro, _BRICK_PLANES), mode
     return _pack_cubes(cube_wet, cube_hydro, mode), mode
