@@ -41,10 +41,10 @@ from raider_tpu.constants import MAX_SEGMENT_LENGTH
 
 # switch to the 4-value packing above this packed-cube size
 _PACK16_BYTE_LIMIT = 3 * 1024**3
-# brick (grouped-gather) table limit and geometry: 5 z-planes x 3x3 corners
+# brick (grouped-gather) table limit and geometry: 7 z-planes x 3x3 corners
 _BRICK_BYTE_LIMIT = 6 * 1024**3
-_BRICK_PLANES = 5
-_BRICK_GROUP_MAX = 4
+_BRICK_PLANES = 7
+_BRICK_GROUP_MAX = 6
 
 _CORNERS = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
             (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)]
@@ -275,7 +275,7 @@ class GroupPlan:
 
 def build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
                      max_segment_length: float = MAX_SEGMENT_LENGTH,
-                     group_max: int = 4, planes: int = 5):
+                     group_max: int = None, planes: int = None):
     """Group the deduplicated sampling plan for one-gather-per-group bricks.
 
     Greedy walk over the dedup plan: a group absorbs the next sample while
@@ -292,6 +292,8 @@ def build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
         hstep_max: (L,) per-level max horizontal motion over all rays, in
                    model CRS units.
     """
+    group_max = _BRICK_GROUP_MAX if group_max is None else group_max
+    planes = _BRICK_PLANES if planes is None else planes
     n_parts = np.ceil(np.asarray(ray_lengths_max) / max_segment_length).astype(int) + 1
     L = len(n_parts)
     heights = np.asarray(heights, dtype=np.float64)

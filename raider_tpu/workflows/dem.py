@@ -61,8 +61,10 @@ def interpolate_dem(dem_path, out_ll: Tuple[np.ndarray, np.ndarray], method: str
     data, profile = rio_open(dem_path)
     gt = profile['transform'].to_gdal()
     ny, nx = data.shape[-2:]
-    xs = gt[0] + np.arange(nx) * gt[1]
-    ys = gt[3] + np.arange(ny) * gt[5]
+    # pixel CENTERS: the geotransform origin is the outer corner, and the
+    # reference interpolates on rioxarray center coords (interpolator.py:149)
+    xs = gt[0] + (np.arange(nx) + 0.5) * gt[1]
+    ys = gt[3] + (np.arange(ny) + 0.5) * gt[5]
     lats, lons = out_ll
     if ys[0] > ys[-1]:
         ys = ys[::-1]

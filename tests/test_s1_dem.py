@@ -1,0 +1,127 @@
+"""Azimuth-time grid (batched geo2rdr), inverse weights, and DEM interp.
+
+Mirrors reference test/test_s1_time_grid.py weighting semantics and the
+interpolator DEM path (interpolator.py:133-217).
+"""
+
+import datetime as dt
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+
+
+class TestAzimuthTimeGrid:
+    def test_grid_matches_per_pixel_geo2rdr(self):
+        from test_raytrace import synthetic_orbit
+
+        from raider_tpu.workflows.s1_timing import get_azimuth_time_grid
+
+        t = dt.datetime(2020, 1, 30, 13, 52, 45)
+        orb = synthetic_orbit(t)
+        lons, lats = np.meshgrid(np.linspace(-118.2, -117.3, 4),
+                                 np.linspace(33.2, 33.9, 3))
+        hgts = np.zeros_like(lats)
+        grid = get_azimuth_time_grid(lons, lats, hgts, orb)
+        assert grid.shape == lats.shape
+        assert grid.dtype == np.dtype('datetime64[ms]')
+        # all within a couple of minutes of the overpass
+        dt_s = np.abs((grid - np.datetime64(t, 'ms')) / np.timedelta64(1, 's'))
+        assert np.nanmax(dt_s) < 120
+
+        # one pixel re-solved alone gives the identical time (batching is
+        # a pure vectorization, reference loops per pixel)
+        single = get_azimuth_time_grid(lons[1:2, 2:3], lats[1:2, 2:3],
+                                       hgts[1:2, 2:3], orb)
+        assert single[0, 0] == grid[1, 2]
+
+    def test_varies_along_track(self):
+        from test_raytrace import synthetic_orbit
+
+        from raider_tpu.workflows.s1_timing import get_azimuth_time_grid
+
+        t = dt.datetime(2020, 1, 30, 13, 52, 45)
+        orb = synthetic_orbit(t)
+        lats = np.linspace(32.5, 34.5, 7)[:, None]
+        lons = np.full((7, 1), -117.8)
+        grid = get_azimuth_time_grid(lons, lats, np.zeros_like(lons), orb)
+        secs = (grid - grid.min()) / np.timedelta64(1, 's')
+        diffs = np.diff(secs.ravel())
+        assert (diffs > 0).all() or (diffs < 0).all(), 'monotone along track'
+
+
+class TestInverseWeights:
+    def test_two_date_weights_sum_and_order(self):
+        from raider_tpu.workflows.s1_timing import get_inverse_weights_for_dates
+
+        d0 = dt.datetime(2020, 1, 30, 13, 0, 0)
+        d1 = dt.datetime(2020, 1, 30, 14, 0, 0)
+        az = np.array([
+            np.datetime64('2020-01-30T13:10:00', 'ms'),
+            np.datetime64('2020-01-30T13:50:00', 'ms'),
+        ])
+        w = get_inverse_weights_for_dates(az, [d0, d1])
+        assert len(w) == 2
+        # pixel 0 is 10 min from d0, 50 min from d1 -> favors d0 5:1
+        np.testing.assert_allclose(w[0][0] / w[1][0], 5.0, rtol=1e-6)
+        np.testing.assert_allclose(w[0][1] / w[1][1], 0.2, rtol=1e-6)
+
+    def test_rejects_duplicate_or_empty_dates(self):
+        from raider_tpu.workflows.s1_timing import get_inverse_weights_for_dates
+
+        az = np.array([np.datetime64('2020-01-30T13:10:00', 'ms')])
+        d = dt.datetime(2020, 1, 30, 13)
+        with pytest.raises(ValueError):
+            get_inverse_weights_for_dates(az, [d, d])
+        with pytest.raises(ValueError):
+            get_inverse_weights_for_dates(az, [])
+
+    def test_window_semantics(self):
+        """All pixels outside the window raise; a mixed grid zero-masks the
+        outside pixel (reference: s1_azimuth_timing.py:388-399)."""
+        from raider_tpu.workflows.s1_timing import get_inverse_weights_for_dates
+
+        d0 = dt.datetime(2020, 1, 30, 13, 0, 0)
+        d1 = dt.datetime(2020, 1, 30, 14, 0, 0)
+        far = np.array([np.datetime64('2020-01-30T16:59:00', 'ms')])
+        with pytest.raises(ValueError, match='temporal window'):
+            get_inverse_weights_for_dates(far, [d0, d1])
+
+        mixed = np.array([np.datetime64('2020-01-30T13:30:00', 'ms'),
+                          np.datetime64('2020-01-30T16:59:00', 'ms')])
+        with np.errstate(divide='ignore', invalid='ignore'):
+            w = get_inverse_weights_for_dates(mixed, [d0, d1])
+        np.testing.assert_allclose(w[0][0] + w[1][0], 1.0)
+        assert np.isnan(w[0][1]) and np.isnan(w[1][1])
+
+
+class TestInterpolateDEM:
+    def _write_dem(self, path):
+        from raider_tpu.geodesy.crs import Geographic
+        from raider_tpu.io.rasters import writeArrayToRaster
+
+        lats = np.linspace(34.0, 33.0, 21)   # N->S like a real raster
+        lons = np.linspace(-118.0, -117.0, 21)
+        dem = lats[:, None] * 100.0 + lons[None, :] * 10.0
+        gt = (lons[0] - 0.025, 0.05, 0.0, lats[0] + 0.025, 0.0, -0.05)
+        writeArrayToRaster(dem.astype(np.float32), str(path), noDataValue=-9999.0,
+                           fmt='GTiff', proj=Geographic(), gt=gt)
+        return dem
+
+    def test_nearest_and_linear(self, tmp_path):
+        from raider_tpu.workflows.dem import interpolate_dem
+
+        p = tmp_path / 'dem.tif'
+        self._write_dem(p)
+        q_lats = np.array([33.5, 33.8])
+        q_lons = np.array([-117.5, -117.2])
+        exact = q_lats * 100.0 + q_lons * 10.0
+        out_lin = interpolate_dem(str(p), (q_lats, q_lons), method='linear')
+        np.testing.assert_allclose(out_lin, exact, atol=1e-3)
+        out_near = interpolate_dem(str(p), (q_lats, q_lons), method='nearest')
+        assert np.all(np.abs(out_near - exact) < 100.0 * 0.05)
+        # out of bounds -> NaN
+        out_oob = interpolate_dem(str(p), (np.array([50.0]), np.array([-117.5])))
+        assert np.isnan(out_oob).all()
