@@ -253,3 +253,42 @@ def test_geocube_ingests_reference_product():
     assert np.asarray(lats).size == 102 * 101
     z = g.readZ()
     np.testing.assert_array_equal(np.asarray(z), [0, 50, 100, 500, 1000])
+
+
+def test_hrrr_ztd_scenario1_golden(tmp_path, monkeypatch):
+    """The reference's headline HRRR ZTD golden (test/test_HRRR_ztd.py:7-21):
+    hydro=2.2622863 m, wet=0.0361021 m at (-91.84, 36.84, z=0), driven through
+    the full calcDelays workflow with prepareWeatherModel mocked to the
+    checked-in processed HRRR file, exactly like the reference test."""
+    import raider_tpu.workflows.calc_delays as cd
+    from raider_tpu.io import read_nc
+
+    wm_file = (REFERENCE_DIR / 'test' / 'scenario_1' / 'HRRR_ztd_test' /
+               'HRRR_2020_01_01_T12_00_00_35N_38N_93W_90W.nc')
+    if not wm_file.exists():
+        pytest.skip('reference HRRR file unavailable')
+    monkeypatch.setattr(cd, 'prepareWeatherModel',
+                        lambda *a, **k: str(wm_file))
+
+    cfg = _write_cfg(tmp_path, {
+        'weather_model': 'HRRR',
+        'date_group': {'date_start': 20200101},
+        'time_group': {'time': '12:00:00', 'interpolate_time': 'none'},
+        'aoi_group': {'bounding_box': [36, 37, -92, -91]},
+        'height_group': {'height_levels': [0, 50, 100, 500, 1000]},
+        'runtime_group': {'output_directory': str(tmp_path), 'verbose': False},
+    })
+    monkeypatch.chdir(tmp_path)
+    paths = cd.calcDelays([cfg])
+    assert len(paths) == 1 and paths[0].endswith(
+        'HRRR_tropo_20200101T120000_ztd.nc')
+
+    ds = read_nc(paths[0])
+    y = np.asarray(ds.coords['y'].data)
+    x = np.asarray(ds.coords['x'].data)
+    z = np.asarray(ds.coords['z'].data)
+    iy = np.abs(y - 36.84).argmin()
+    ix = np.abs(x - (-91.84)).argmin()
+    iz = np.abs(z - 0.0).argmin()
+    np.testing.assert_almost_equal(float(ds['hydro'].data[iz, iy, ix]), 2.2622863)
+    np.testing.assert_almost_equal(float(ds['wet'].data[iz, iy, ix]), 0.0361021)
