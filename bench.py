@@ -120,6 +120,52 @@ def main() -> None:
         t_std.append(time.perf_counter() - t0)
     t_std = min(t_std)
 
+    # ------------------------------- end-to-end device geometry (detail)
+    # full on-TPU slice geometry (geo2rdr + df64 level-chain Newton + CRS):
+    # the production path for raytraced cubes on few-core hosts
+    e2e_geom = None
+    try:
+        import datetime as dt
+
+        from raider_tpu.geodesy.ellipsoid import lla2ecef
+        from raider_tpu.geodesy.crs import Geographic
+        from raider_tpu.geometry.device_geom import (
+            build_orbit_poly,
+            raytrace_slice_device_fused,
+        )
+        from raider_tpu.geometry.orbit import Orbit
+
+        t_ref = dt.datetime(2020, 1, 1, 12, 0, 0)
+        tt = np.arange(-600.0, 601.0, 30.0)
+        inc = np.deg2rad(37.0)
+        r_orb = 6378137.0 + 700e3
+        om = 2.0 * np.pi / 5800.0
+        ang = om * tt
+        pos_o = np.stack([
+            r_orb * np.cos(ang),
+            r_orb * np.sin(ang) * np.cos(inc),
+            r_orb * np.sin(ang) * np.sin(inc),
+        ], -1)
+        vel_o = np.gradient(pos_o, 30.0, axis=0)
+        poly = build_orbit_poly(Orbit(times=tt, pos=pos_o, vel=vel_o, ref_time=t_ref))
+        n_geo = 262_144
+        glon = rng.uniform(-2.0, 2.0, n_geo)
+        glat = rng.uniform(18.0, 22.0, n_geo)
+        gx, gy, gz2 = (np.asarray(v) for v in lla2ecef(glat, glon, np.zeros(n_geo)))
+        gxyz = np.stack([gx, gy, gz2], -1)
+        chain = np.concatenate([[0.0], zs[zs > 1.0]])
+        out = raytrace_slice_device_fused(poly, gxyz, chain, Geographic())
+        jax.block_until_ready(out['ray_len'])
+        tg = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = raytrace_slice_device_fused(poly, gxyz, chain, Geographic())
+            jax.block_until_ready(out['ray_len'])
+            tg.append(time.perf_counter() - t0)
+        e2e_geom = round(n_geo / min(tg), 0)
+    except Exception:
+        pass
+
     total_single_chip = t_ztd + t_std
     v5e8_estimate = total_single_chip / 8.0
     target = 1.0
@@ -135,6 +181,7 @@ def main() -> None:
             'std_gathers_per_ray': int(n_gathers),
             'pack_mode': mode,
             'rays_per_s_chip': round(n_rays / t_std, 0),
+            'device_geometry_rays_per_s_chip': e2e_geom,
         },
     }))
 

@@ -20,6 +20,7 @@ import datetime as dt
 import os
 from typing import Optional, Union
 
+import jax.numpy as jnp
 import numpy as np
 
 from raider_tpu.constants import MAX_SEGMENT_LENGTH
@@ -254,6 +255,39 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     model_zs = wm.zs
     cube_wet = wm.field('wet', compute_dtype)
     cube_hydro = wm.field('hydro', compute_dtype)
+
+    # On-device geometry (df64): the host-f64 path is serial-CPU bound
+    # (geo2rdr + level Newton + CRS transforms dominate end-to-end time on
+    # few-core hosts); on TPU backends the whole slice geometry runs on
+    # device instead. df64 is exact on real TPUs but NOT under XLA:CPU's
+    # LLVM fast-math (see geometry/device_geom.py), so CPU keeps host f64.
+    import jax
+
+    dev_env = os.environ.get('RAIDER_TPU_DEVICE_GEOMETRY', '')
+    use_device_geom = (
+        dev_env != '0'
+        and (dev_env == '1' or jax.default_backend() not in ('cpu',))
+        and np.dtype(compute_dtype) == np.float32
+        and getattr(los, '_orbit', None) is not None
+    )
+    orbit_poly = None
+    chains = None
+    if use_device_geom:
+        from raider_tpu.geometry.device_geom import (
+            build_orbit_poly,
+            raytrace_slice_device_fused,
+        )
+        orbit_poly = build_orbit_poly(los._orbit)
+        # pad every slice's level chain to one length by repeating the
+        # bottom height (zero-length levels integrate to exactly zero), so
+        # all slices share ONE compiled geometry + integrate executable
+        chains = [level_heights(model_zs, float(ht), zref) for ht in zpts]
+        lmax = max((c.size for c in chains if c is not None), default=0)
+        chains = [
+            None if c is None else
+            np.concatenate([np.full(lmax - c.size, c[0]), c])
+            for c in chains
+        ]
     # pack both fields + trilinear corners into gather rows once, reused by
     # every height slice (the kernel is gather-count bound); the grouped
     # brick layout serves a whole group of samples with one gather
@@ -281,56 +315,71 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         x_e, y_e, z_e = (np.asarray(v) for v in lla2ecef(lat, lon, hts))
         xyz = np.stack([x_e, y_e, z_e], axis=-1)
 
-        # Step 2: look vectors (batched geo2rdr)
-        with stage('raytrace.look_vectors', log=False):
-            look = los.getLookVectors(ht, [lon, lat, hts], xyz, yy)
-
-        # Step 3: level intersections (batched Newton)
-        with stage('raytrace.build_ray', log=False):
-            ray_lengths, low_xyzs, high_xyzs = build_ray(model_zs, ht, xyz, look, zref)
-
-        if ray_lengths is None:
+        re_local = np.asarray(get_Re(lat)).reshape(npix)
+        heights = (chains[hh] if chains is not None
+                   else level_heights(model_zs, ht, zref))
+        if heights is None:
             if ht == zpts[-1]:
                 continue
             raise ValueError(f'No model levels contribute at height {ht}')
-        if np.isnan(ray_lengths).all():
-            raise ValueError('geo2rdr did not converge. Check orbit coverage')
 
-        # Step 4: endpoints -> model CRS (f64, host; L+1 unique points)
-        def to_model(pts_xyz):
-            gx, gy, gz = (
-                np.asarray(v) for v in transform_points(
-                    Geocentric(), wm.crs,
-                    pts_xyz[..., 0], pts_xyz[..., 1], pts_xyz[..., 2],
-                )
+        if use_device_geom:
+            # Steps 2-4 fused on device (geo2rdr + Newton chain + CRS), df64
+            with stage('raytrace.device_geometry', log=False):
+                geom = raytrace_slice_device_fused(orbit_poly, xyz, heights, wm.crs)
+            per_level_max = np.asarray(geom['per_level_max'], dtype=np.float64)
+            hstep_max = geom['hstep_max']
+            if np.isnan(per_level_max).all():
+                raise ValueError('geo2rdr did not converge. Check orbit coverage')
+            args = (
+                geom['low_yxz'], geom['high_yxz'], geom['d2'], geom['ray_len'],
+                jnp.asarray(re_local.astype(compute_dtype)),
             )
-            # interpolator ordering is (y, x, z)
-            return np.stack([gy, gx, gz], axis=-1)
+        else:
+            # Step 2: look vectors (batched geo2rdr)
+            with stage('raytrace.look_vectors', log=False):
+                look = los.getLookVectors(ht, [lon, lat, hts], xyz, yy)
 
-        low_yxz = to_model(low_xyzs).reshape(ray_lengths.shape[0], npix, 3)
-        high_yxz = to_model(high_xyzs).reshape(ray_lengths.shape[0], npix, 3)
-        seg_flat = ray_lengths.reshape(ray_lengths.shape[0], npix)
+            # Step 3: level intersections (batched Newton)
+            with stage('raytrace.build_ray', log=False):
+                ray_lengths, low_xyzs, high_xyzs = build_ray(model_zs, ht, xyz, look, zref)
 
-        # squared horizontal chord for the sagitta correction
-        chord2 = np.sum((high_xyzs - low_xyzs) ** 2, axis=-1).reshape(seg_flat.shape)
-        dz = high_yxz[..., 2] - low_yxz[..., 2]
-        d2 = np.maximum(chord2 - dz**2, 0.0)
-        re_local = np.asarray(get_Re(lat)).reshape(npix)
+            if np.isnan(ray_lengths).all():
+                raise ValueError('geo2rdr did not converge. Check orbit coverage')
 
-        with np.errstate(invalid='ignore'):
-            per_level_max = np.nanmax(ray_lengths.reshape(seg_flat.shape), axis=1)
-            # per-level max horizontal motion (model units) for brick grouping
-            hstep_max = np.nanmax(np.hypot(
-                high_yxz[..., 0] - low_yxz[..., 0],
-                high_yxz[..., 1] - low_yxz[..., 1],
-            ), axis=1)
-        heights = level_heights(model_zs, ht, zref)
+            # Step 4: endpoints -> model CRS (f64, host; L+1 unique points)
+            def to_model(pts_xyz):
+                gx, gy, gz = (
+                    np.asarray(v) for v in transform_points(
+                        Geocentric(), wm.crs,
+                        pts_xyz[..., 0], pts_xyz[..., 1], pts_xyz[..., 2],
+                    )
+                )
+                # interpolator ordering is (y, x, z)
+                return np.stack([gy, gx, gz], axis=-1)
 
-        args = (
-            low_yxz.astype(compute_dtype), high_yxz.astype(compute_dtype),
-            d2.astype(compute_dtype), seg_flat.astype(compute_dtype),
-            re_local.astype(compute_dtype),
-        )
+            low_yxz = to_model(low_xyzs).reshape(ray_lengths.shape[0], npix, 3)
+            high_yxz = to_model(high_xyzs).reshape(ray_lengths.shape[0], npix, 3)
+            seg_flat = ray_lengths.reshape(ray_lengths.shape[0], npix)
+
+            # squared horizontal chord for the sagitta correction
+            chord2 = np.sum((high_xyzs - low_xyzs) ** 2, axis=-1).reshape(seg_flat.shape)
+            dz = high_yxz[..., 2] - low_yxz[..., 2]
+            d2 = np.maximum(chord2 - dz**2, 0.0)
+
+            with np.errstate(invalid='ignore'):
+                per_level_max = np.nanmax(ray_lengths.reshape(seg_flat.shape), axis=1)
+                # per-level max horizontal motion (model units) for grouping
+                hstep_max = np.nanmax(np.hypot(
+                    high_yxz[..., 0] - low_yxz[..., 0],
+                    high_yxz[..., 1] - low_yxz[..., 1],
+                ), axis=1)
+
+            args = (
+                low_yxz.astype(compute_dtype), high_yxz.astype(compute_dtype),
+                d2.astype(compute_dtype), seg_flat.astype(compute_dtype),
+                re_local.astype(compute_dtype),
+            )
         # shard the ray batch over all available devices (SPMD: replicated
         # packed cube, sharded indices, no collectives needed)
         import jax

@@ -70,7 +70,10 @@ def build_sampling_plan(ray_lengths_max: np.ndarray,
     at fraction fracs[p] along level coord_lvl[p]'s segment, with weight
     1e-6 * (wa[p]*ray_len[wa_lvl[p]] + wb[p]*ray_len[wb_lvl[p]]).
     """
-    n_parts = np.ceil(np.asarray(ray_lengths_max) / max_segment_length).astype(int) + 1
+    # clamp to >= 2: padded zero-length levels (device-geometry chains)
+    # give ceil(0) + 1 = 1, which would divide by zero below
+    n_parts = np.maximum(
+        np.ceil(np.asarray(ray_lengths_max) / max_segment_length).astype(int) + 1, 2)
     L = len(n_parts)
     coord_lvl, fracs, wa_lvl, wa, wb_lvl, wb = [], [], [], [], [], []
 
@@ -294,7 +297,10 @@ def build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
     """
     group_max = _BRICK_GROUP_MAX if group_max is None else group_max
     planes = _BRICK_PLANES if planes is None else planes
-    n_parts = np.ceil(np.asarray(ray_lengths_max) / max_segment_length).astype(int) + 1
+    # clamp to >= 2: padded zero-length levels (device-geometry chains)
+    # give ceil(0) + 1 = 1, which would divide by zero below
+    n_parts = np.maximum(
+        np.ceil(np.asarray(ray_lengths_max) / max_segment_length).astype(int) + 1, 2)
     L = len(n_parts)
     heights = np.asarray(heights, dtype=np.float64)
     hstep_max = np.asarray(hstep_max, dtype=np.float64)
@@ -570,17 +576,67 @@ def integrate_rays(
         plan = build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
                                 max_segment_length,
                                 group_max=_BRICK_GROUP_MAX, planes=_BRICK_PLANES)
+        plan = _pad_group_plan(plan, _PLAN_BUCKET)
         return _integrate_bricks(
             packed2d, *ray_args,
             plan.anchor, plan.lvl, plan.frac, plan.wa_lvl, plan.wa,
             plan.wb_lvl, plan.wb, plan.dzoff, plan.zlo, plan.zinv, plan.pad,
             **axes, z_clip=z_clip, G=plan.G, planes=plan.planes,
         )
-    plan = build_sampling_plan(ray_lengths_max, max_segment_length)
+    plan = _pad_point_plan(build_sampling_plan(ray_lengths_max, max_segment_length),
+                           _PLAN_BUCKET)
     return _integrate_packed(
         packed2d, *ray_args, *plan,
         **axes, z_clip=z_clip, mode=mode,
     )
+
+
+# Plan lengths are padded up to a multiple of this so that slices of a cube
+# (whose plans differ by a few groups) land on a handful of shapes and reuse
+# compiled integrate programs (plan data are operands; only shapes are
+# static). Padding integrates to exactly zero; keep the granularity small -
+# every padded group costs a real gather per ray.
+_PLAN_BUCKET = 4
+
+
+def _pad_group_plan(plan: 'GroupPlan', bucket: int) -> 'GroupPlan':
+    n = plan.anchor.size
+    target = int(np.ceil(n / bucket)) * bucket
+    if target == n:
+        return plan
+    e = target - n
+    pad_row = dict(
+        anchor=np.zeros(e, np.int32),
+        pad=np.ones((e, plan.G), bool),
+        lvl=np.zeros((e, plan.G), np.int32),
+        frac=np.zeros((e, plan.G)),
+        wa_lvl=np.zeros((e, plan.G), np.int32),
+        wa=np.zeros((e, plan.G)),
+        wb_lvl=np.zeros((e, plan.G), np.int32),
+        wb=np.zeros((e, plan.G)),
+        dzoff=np.zeros((e, plan.G), np.int32),
+        zlo=np.full((e, plan.G), plan.zlo.flat[0]),
+        zinv=np.full((e, plan.G), plan.zinv.flat[0]),
+    )
+    kw = {k: np.concatenate([getattr(plan, k), pad_row[k]], axis=0)
+          for k in pad_row}
+    return GroupPlan(G=plan.G, planes=plan.planes, **kw)
+
+
+def _pad_point_plan(plan, bucket: int):
+    """Zero-weight padding for the dedup point plan: weight 0 contributes 0
+    (the lvl-0 f=0 sample is NaN only for rays that are NaN anyway)."""
+    coord_lvl, fracs, wa_lvl, wa, wb_lvl, wb = plan
+    n = coord_lvl.size
+    target = int(np.ceil(n / bucket)) * bucket
+    if target == n:
+        return plan
+    e = target - n
+    z32 = np.zeros(e, np.int32)
+    zf = np.zeros(e)
+    return (np.concatenate([coord_lvl, z32]), np.concatenate([fracs, zf]),
+            np.concatenate([wa_lvl, z32]), np.concatenate([wa, zf]),
+            np.concatenate([wb_lvl, z32]), np.concatenate([wb, zf]))
 
 
 def pack_cubes(cube_wet, cube_hydro, mode=None, grouped: bool = False):

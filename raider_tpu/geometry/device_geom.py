@@ -274,3 +274,202 @@ def _seg_length(a, b):
     d = [df64.sub(DF(b[:, i, 0], b[:, i, 1]), DF(a[:, i, 0], a[:, i, 1]))
          for i in range(3)]
     return df64.norm3(*d).hi
+
+
+# ------------------------------------------------- full slice pipeline (TPU)
+
+def look_vectors_device(poly: OrbitPoly, xyz_f64: np.ndarray):
+    """Unit look vectors (target -> sensor) on device, f32.
+
+    Precision: direction error ~1e-7 rad rotates sample points along-ray by
+    millimeters over 26 km; the level-intersection Newton pins the z
+    coordinate to the target height regardless, and ray LENGTHS are formed
+    in df64 from the Newton endpoints, so f32 directions are delay-safe.
+    """
+    _, (p_hi, p_lo), sr = geo2rdr_device(poly, xyz_f64)
+    targ = np.asarray(xyz_f64, dtype=np.float64).reshape(-1, 3)
+    t_hi = jnp.asarray(targ.astype(np.float32))
+    t_lo = jnp.asarray((targ - targ.astype(np.float32).astype(np.float64)).astype(np.float32))
+    return _look_from_sat(p_hi.reshape(-1, 3), p_lo.reshape(-1, 3),
+                          t_hi, t_lo, sr.hi.reshape(-1))
+
+
+@jax.jit
+def _look_from_sat(p_hi, p_lo, t_hi, t_lo, sr):
+    comps = []
+    for i in range(3):
+        d = df64.sub(DF(p_hi[:, i], p_lo[:, i]), DF(t_hi[:, i], t_lo[:, i]))
+        comps.append((d.hi + d.lo) / sr)
+    return jnp.stack(comps, axis=-1)
+
+
+@partial(jax.jit, static_argnames=('crs', 'is_geo'))
+def _finish_slice(lengths, pts, heights_f32, crs, is_geo: bool):
+    """Model-CRS kernel inputs from Newton chain points (see caller)."""
+    from raider_tpu.geodesy.ellipsoid import ecef2lla
+
+    # horizontal model coords from the f32 hi parts (sub-meter is plenty)
+    lat, lon, _ = ecef2lla(pts[..., 0, 0], pts[..., 1, 0], pts[..., 2, 0])
+    if is_geo:
+        xs_m, ys_m = lon, lat
+    else:
+        xs_m, ys_m = crs.forward(lon, lat)
+    z_pts = jnp.broadcast_to(heights_f32[:, None], xs_m.shape)
+    # NaN rays: coordinate NaNs must reach every level's coords
+    bad = jnp.isnan(lengths).any(axis=0) | jnp.isnan(xs_m).any(axis=0)
+    xs_m = jnp.where(bad[None, :], jnp.nan, xs_m)
+    ys_m = jnp.where(bad[None, :], jnp.nan, ys_m)
+    low = jnp.stack([ys_m[:-1], xs_m[:-1], z_pts[:-1]], axis=-1)
+    high = jnp.stack([ys_m[1:], xs_m[1:], z_pts[1:]], axis=-1)
+    dz = (heights_f32[1:] - heights_f32[:-1])[:, None]
+    d2 = jnp.maximum(lengths**2 - dz**2, 0.0)
+    hstep = jnp.hypot(ys_m[1:] - ys_m[:-1], xs_m[1:] - xs_m[:-1])
+    per_level_max = jnp.nanmax(lengths, axis=1)
+    hstep_max = jnp.nanmax(hstep, axis=1)
+    return low, high, d2, per_level_max, hstep_max
+
+
+@partial(jax.jit, static_argnames=('crs', 'is_geo', 'maxiter'))
+def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
+                      heights_f32, i0, crs, is_geo: bool, maxiter: int):
+    """The WHOLE slice geometry as one compiled program.
+
+    Fusing geo2rdr + look vectors + the level-chain Newton + lengths +
+    CRS outputs into a single jit is load-bearing on remote-attached TPUs:
+    eager glue ops and per-call vmap retracing otherwise cost tens of
+    seconds per slice. ``heights_f32`` is an OPERAND (only its length is
+    static), so every slice of a cube reuses one executable when the
+    engine pads all chains to a common length; ``i0`` indexes the first
+    REAL pair of a bottom-padded chain (padding duplicates the start
+    height, whose segments are zero-length), anchoring the reference's
+    10-iteration/no-factor phase exactly like the unpadded host path.
+    """
+    # geo2rdr -> satellite position (df64) -> look vectors (f32)
+    out = _geo2rdr_df_impl.__wrapped__(times_f32, t_c, coeffs,
+                                       targ_hi, targ_lo, t_init, maxiter)
+    _, _, p_hi, p_lo, sr_hi, _ = out
+    look = []
+    for i in range(3):
+        d = df64.sub(DF(p_hi[..., i], p_lo[..., i]),
+                     DF(targ_hi[..., i], targ_lo[..., i]))
+        look.append((d.hi + d.lo) / sr_hi)
+    look = jnp.stack(look, axis=-1)
+
+    # phase 1: the first REAL height pair at 10 iters, no cos factor
+    n = targ_hi.shape[0]
+    ones = jnp.ones(n, jnp.float32)
+    h01 = jax.lax.dynamic_slice_in_dim(heights_f32, i0, 2)
+    p01 = _toa_newton_df.__wrapped__(targ_hi, targ_lo, look, h01, ones, 10)
+    seg0 = _seg_length.__wrapped__(p01[0], p01[1])
+    cos_factor = (h01[1] - h01[0]) / seg0
+
+    # phase 2: WARM-START chain scan - each level's intersection starts from
+    # the previous one (guess error ~cm from earth curvature vs ~km for the
+    # reference's pos + h*look guess), so ONE Vermeille eval per level
+    # converges to sub-0.01mm where the reference needs 3. This is the hot
+    # loop: 1 df64 height eval per (level x ray).
+    def step(carry, h_pair):
+        pt_hi, pt_lo, cosf = carry
+        h_prev, h_k = h_pair
+        dh = h_k - h_prev
+        stepv = (dh / cosf)[:, None] * look
+        g = [df64.add(DF(pt_hi[:, i], pt_lo[:, i]), df64.df(stepv[:, i]))
+             for i in range(3)]
+        hh = height_df(g[0], g[1], g[2])
+        delta = ((h_k - hh.hi) - hh.lo) / cosf
+        p_new = [df64.add(g[i], df64.df(delta * look[:, i])) for i in range(3)]
+        d = [df64.sub(p_new[i], DF(pt_hi[:, i], pt_lo[:, i])) for i in range(3)]
+        seg = df64.norm3(*d).hi
+        cosf = jnp.where(jnp.abs(dh) > 1e-3, dh / seg, cosf)
+        new_hi = jnp.stack([p.hi for p in p_new], -1)
+        new_lo = jnp.stack([p.lo for p in p_new], -1)
+        out = jnp.stack([new_hi, new_lo], -1)          # (N, 3, 2)
+        return (new_hi, new_lo, cosf), out
+
+    init = (p01[0, :, :, 0], p01[0, :, :, 1], cos_factor)
+    h_pairs = (heights_f32[:-1], heights_f32[1:])
+    # unroll: per-step launch overhead dominates on remote backends;
+    # a fully unrolled chain fuses into a few large kernels
+    _, chain = jax.lax.scan(step, init, h_pairs, unroll=8)  # (L, N, 3, 2)
+    pts = jnp.concatenate([p01[:1], chain], axis=0)    # (L+1, N, 3, 2)
+    # splice the exact 10-iteration phase-1 pair back in (for unpadded
+    # chains this reproduces the host path at the first two levels)
+    pts = jax.lax.dynamic_update_slice_in_dim(pts, p01, i0, axis=0)
+    lengths = jax.vmap(_seg_length.__wrapped__)(pts[:-1], pts[1:])
+    # pad levels (below the first real pair) are NOT part of the reference's
+    # chain: force their contribution to exactly zero (their Newton points
+    # are only loosely converged - the target height equals the start)
+    lvl_idx = jnp.arange(lengths.shape[0], dtype=jnp.int32)[:, None]
+    lengths = jnp.where(lvl_idx < i0, 0.0, lengths)
+    low, high, d2, per_level_max, hstep_max = _finish_slice.__wrapped__(
+        lengths, pts, heights_f32, crs=crs, is_geo=is_geo)
+    return low, high, d2, lengths, per_level_max, hstep_max
+
+
+def raytrace_slice_device_fused(poly: OrbitPoly, xyz_f64: np.ndarray,
+                                heights_chain: np.ndarray, crs,
+                                maxiter: int = 10):
+    """One-compile-per-shape slice geometry (see `_slice_geom_fused`).
+
+    Same contract as :func:`raytrace_slice_device`; chains of equal length
+    (pad them - e.g. by repeating the bottom height, which yields
+    zero-length levels that integrate to exactly zero) share an executable.
+    """
+    from raider_tpu.geodesy.crs import Geographic
+
+    heights_chain = np.asarray(heights_chain, dtype=np.float64)
+    targ = np.asarray(xyz_f64, dtype=np.float64).reshape(-1, 3)
+    hi = targ.astype(np.float32)
+    lo = (targ - hi.astype(np.float64)).astype(np.float32)
+    t_mid = np.float32(0.5 * (poly.times[0] + poly.times[-1]))
+    t_init = jnp.full(targ.shape[0], t_mid, dtype=jnp.float32)
+    # first real (non-duplicate) height pair of a bottom-padded chain
+    i0 = int(np.searchsorted(heights_chain, heights_chain[0], side='right') - 1)
+    i0 = min(i0, heights_chain.size - 2)
+
+    low, high, d2, lengths, per_level_max, hstep_max = _slice_geom_fused(
+        jnp.asarray(poly.times, jnp.float32), poly.t_c, poly.coeffs,
+        jnp.asarray(hi), jnp.asarray(lo), t_init,
+        jnp.asarray(heights_chain, jnp.float32),
+        jnp.int32(i0),
+        crs=crs, is_geo=crs == Geographic(), maxiter=maxiter,
+    )
+    return {
+        'low_yxz': low, 'high_yxz': high, 'd2': d2, 'ray_len': lengths,
+        'per_level_max': np.asarray(per_level_max, dtype=np.float64),
+        'hstep_max': np.asarray(hstep_max, dtype=np.float64) * (1.0 + 1e-5) + 1e-7,
+    }
+
+
+def raytrace_slice_device(poly: OrbitPoly, xyz_f64: np.ndarray,
+                          heights_chain: np.ndarray, crs):
+    """The whole per-slice ray geometry on device: geo2rdr -> look vectors ->
+    level-chain Newton (df64) -> model-CRS coordinates.
+
+    Replaces the host-f64 path (engine._build_cube_ray steps 2-4), which is
+    serial-CPU bound. Precision split: z coordinates are the STATIC heights
+    chain (the Newton targets - exact by construction), horizontal model
+    coordinates are f32 (sub-meter; grid cells are km), segment lengths and
+    the Newton itself run in df64 (delay-critical).
+
+    Returns dict with device arrays low/high (L, N, 3) [y, x, z order], d2,
+    ray_len (L, N), and host (L,) per_level_max / hstep_max for the static
+    sampling plan. NaN targets propagate to NaN rays like the host path.
+    """
+    from raider_tpu.geodesy.crs import Geographic
+
+    heights_chain = np.asarray(heights_chain, dtype=np.float64)
+    look = look_vectors_device(poly, xyz_f64)
+    lengths, pts = build_ray_device(heights_chain, xyz_f64, look)
+
+    is_geo = crs == Geographic()
+    low, high, d2, per_level_max, hstep_max = _finish_slice(
+        lengths, pts, jnp.asarray(heights_chain, jnp.float32),
+        crs=crs, is_geo=is_geo)
+    return {
+        'low_yxz': low, 'high_yxz': high, 'd2': d2, 'ray_len': lengths,
+        'per_level_max': np.asarray(per_level_max),
+        # inflate by the f32 coordinate quantization so the grouping bound
+        # stays conservative
+        'hstep_max': np.asarray(hstep_max) * (1.0 + 1e-5) + 1e-7,
+    }

@@ -150,10 +150,11 @@ def div(x: DF, y: DF) -> DF:
 def sqrt(x: DF) -> DF:
     """df64 square root via one Newton refinement of the f32 estimate."""
     s = jnp.sqrt(x.hi)
-    # r = (x - s^2) / (2 s), all in df64
+    # r = (x - s^2) / (2 s), all in df64; guard x == 0 (0/0 in the
+    # refinement: zero-length ray segments are legitimate inputs)
     s_df = df(s)
     diff = sub(x, sqr(s_df))
-    corr = diff.hi / (2.0 * s)
+    corr = jnp.where(s == 0.0, 0.0, diff.hi / (2.0 * s))
     hi, lo = _quick_two_sum(s, corr)
     return DF(hi, lo)
 

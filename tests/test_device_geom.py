@@ -108,3 +108,38 @@ class TestBuildRayDevice:
         np.testing.assert_allclose(total_d, total_h, atol=2e-3)
         #  * per-level lengths agree to the ~mm level
         assert np.abs(lengths_d - ray_h).max() < 2.0
+
+
+class TestFusedEnginePath:
+    """The fully-fused device-geometry engine path, forced on via the env
+    flag. On XLA:CPU df64 precision degrades (module docstring), but the
+    constant-refractivity closure ratio hydro/wet == 2 is precision-free and
+    the padded multi-slice plumbing (zero-length pad levels, plan bucketing)
+    is exercised exactly as on TPU. Exact <0.1mm parity vs the host path is
+    asserted on real TPU hardware in the verify drive."""
+
+    def test_multislice_closure(self, monkeypatch):
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from test_raytrace import synthetic_orbit, synthetic_wm_dataset
+
+        from raider_tpu.delay.engine import WeatherCube, _build_cube_ray
+        from raider_tpu.geodesy.crs import Geographic
+        from raider_tpu.geometry.los import Raytracing
+
+        monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', '1')
+        t = dt.datetime(2020, 1, 30, 13, 52, 45)
+        wm = WeatherCube(synthetic_wm_dataset(1.0, 2.0))
+        los = Raytracing(orbit=synthetic_orbit(t), time=t)
+        xpts = np.linspace(-118.4, -117.2, 6)
+        ypts = np.linspace(33.2, 33.8, 5)
+        wet, hydro = _build_cube_ray(
+            wm, xpts, ypts, np.array([0.0, 2000.0, 8000.0]), los,
+            Geographic(), zref=25000.0, compute_dtype=np.float32)
+        wet = np.asarray(wet)
+        hydro = np.asarray(hydro)
+        assert np.isfinite(wet).all()
+        np.testing.assert_allclose(hydro / wet, 2.0, rtol=1e-5)
+        # delays shrink with starting height (shorter columns)
+        means = wet.mean(axis=(1, 2))
+        assert means[0] > means[1] > means[2] > 0
