@@ -56,7 +56,7 @@ def interpolate_dem(dem_path, out_ll: Tuple[np.ndarray, np.ndarray], method: str
     (reference: interpolator.py:133-217)."""
     from scipy.interpolate import RegularGridInterpolator
 
-    from raider_tpu.io.rasters import rio_open, rio_profile
+    from raider_tpu.io.rasters import rio_open
 
     data, profile = rio_open(dem_path)
     gt = profile['transform'].to_gdal()

@@ -569,7 +569,14 @@ def stats_analyses(iargs: Optional[List[str]] = None) -> None:
                    default=float('inf'))
     p.add_argument('--variogram_model', default='exponential',
                    choices=['exponential', 'gaussian'])
+    p.add_argument('-verbose', '--verbose', action='store_true',
+                   help='Run in verbose (debug) mode. Default False')
     args = p.parse_args(iargs)
+    if args.verbose:
+        import logging
+
+        from raider_tpu.logger import logger as _logger
+        _logger.setLevel(logging.DEBUG)
 
     bbox = [float(v) for v in args.bounding_box.split()] if args.bounding_box else None
     ti = args.timeinterval.split() if args.timeinterval else None
