@@ -72,3 +72,28 @@ def box_contains_with_translates(outer: Box, inner: Box, buffer_deg: float = 1e-
     if box_contains(outer, WORLD):
         return True
     return box_contains(outer, inner, buffer=0.0)
+
+
+def getBufferedExtent(lats, lons, buffer_size: float = 0.0):
+    """SNWE bounding box around sets of lats/lons
+    (reference: cli/validators.py:289-297)."""
+    return (
+        min(lats) - buffer_size,
+        max(lats) + buffer_size,
+        min(lons) - buffer_size,
+        max(lons) + buffer_size,
+    )
+
+
+def isOutside(extent1, extent2) -> bool:
+    """True when any of SNWE ``extent1`` lies outside ``extent2``; equal
+    extents are "inside" (reference: cli/validators.py:299-310)."""
+    return (extent1[0] < extent2[0] or extent1[1] > extent2[1]
+            or extent1[2] < extent2[2] or extent1[3] > extent2[3])
+
+
+def isInside(extent1, extent2) -> bool:
+    """Reference semantics (cli/validators.py:312-323): every bound of
+    ``extent1`` at-or-beyond the matching bound of ``extent2``."""
+    return (extent1[0] <= extent2[0] and extent1[1] >= extent2[1]
+            and extent1[2] <= extent2[2] and extent1[3] >= extent2[3])

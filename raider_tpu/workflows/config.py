@@ -28,6 +28,7 @@ from raider_tpu.geometry.aoi import (
 )
 from raider_tpu.geometry.los import LOS, Conventional, Raytracing, Zenith
 from raider_tpu.logger import logger
+from raider_tpu.utils.bbox import getBufferedExtent, isInside, isOutside  # noqa: F401 (validator API parity)
 from raider_tpu.wx.base import WeatherModel
 from raider_tpu.wx.registry import get_wm_by_name
 

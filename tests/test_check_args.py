@@ -131,3 +131,62 @@ class TestFilenames:
             get_raster_ext('dummy_format')
         assert get_raster_ext('GTiff') == '.tif'
         assert get_raster_ext('ENVI') == '.dat'
+
+
+class TestValidators:
+    """Mirrors reference test/test_validators.py items not covered elsewhere."""
+
+    def test_enforce_wm(self):
+        from raider_tpu.workflows.config import parse_weather_model
+
+        with pytest.raises(NotImplementedError):
+            parse_weather_model('notamodel', 'fakeaoi')
+
+    def test_time_type(self):
+        from raider_tpu.workflows.config import TimeGroup
+
+        expected = dt.time(23, 0, 1)
+        for s in ('T23:00:01.000000', 'T230001.000000', '230001.000000',
+                  'T23:00:01', '23:00:01', 'T230001', '230001'):
+            for tz in ('', 'z', '+0000'):
+                assert TimeGroup.coerce_into_time(s + tz) == expected
+        for s in ('T23:00', 'T2300', '23:00', '2300'):
+            assert TimeGroup.coerce_into_time(s) == dt.time(23, 0, 0)
+        with pytest.raises(ValueError):
+            TimeGroup.coerce_into_time('foobar')
+
+    def test_date_type(self):
+        from raider_tpu.workflows.config import coerce_into_date
+
+        assert coerce_into_date('2020-10-1') == dt.date(2020, 10, 1)
+        assert coerce_into_date('2020101') == dt.date(2020, 10, 1)
+        with pytest.raises(ValueError):
+            coerce_into_date('foobar')
+
+    def test_buffered_extent_and_in_out(self):
+        from raider_tpu.workflows.config import getBufferedExtent, isInside, isOutside
+
+        lats, lons = [10, 12], [-72, -74]
+        ext = getBufferedExtent(lats, lons)
+        assert np.allclose(ext, [10, 12, -74, -72])
+        # scalar-pair, reversed, and array forms agree
+        assert np.allclose(getBufferedExtent([12, 10], [-74, -72]), ext)
+        assert np.allclose(
+            getBufferedExtent(np.array(lats), np.array(lons)), ext)
+        shifted = tuple(v + 1 for v in ext)
+        assert isOutside(ext, shifted)
+        assert not isOutside(ext, ext)
+        assert isInside(ext, ext)
+        assert not isInside(ext, shifted)
+
+    def test_get_los_projected(self, tmp_path):
+        from raider_tpu.workflows.config import LOSGroupUnparsed, get_los
+
+        los_file = REFERENCE_DIR / 'test' / 'test_geom' / 'los.rdr'
+        if not los_file.exists():
+            pytest.skip('reference los raster unavailable')
+        los = get_los(LOSGroupUnparsed(los_file=str(los_file),
+                                       los_convention='isce',
+                                       los_cube={}, ray_trace=False))
+        assert not los.ray_trace()
+        assert los.is_Projected()
