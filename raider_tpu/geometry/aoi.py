@@ -184,9 +184,17 @@ class RasterRDR(AOI):
             raise ValueError('You need to specify a 2-band file or two single-band files')
         if not os.path.exists(self._latfile):
             raise ValueError(f'{self._latfile} cannot be found!')
+        if self._lonfile is not None and not os.path.exists(self._lonfile):
+            raise ValueError(f'{self._lonfile} cannot be found!')
         from raider_tpu.io.rasters import bounds_from_latlon_rasters
 
-        self._bounding_box, self._proj, self._geotransform = bounds_from_latlon_rasters(lat_file, lon_file)
+        try:
+            self._bounding_box, self._proj, self._geotransform = \
+                bounds_from_latlon_rasters(lat_file, lon_file)
+        except ValueError:
+            raise
+        except Exception as e:
+            raise ValueError(f'Could not read lat/lon rasters: {e}')
         self._hgtfile = hgt_file
         self._demfile = dem_file
         self._convention = convention

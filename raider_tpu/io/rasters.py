@@ -236,22 +236,47 @@ def _gunw_profile(path: str) -> dict:
     }
 
 
+def _pam_nodata(path: str, band: int = 1) -> Optional[float]:
+    """NoDataValue from a GDAL PAM ``.aux.xml`` sidecar, if present."""
+    aux = str(path) + '.aux.xml'
+    if not os.path.exists(aux):
+        return None
+    try:
+        import xml.etree.ElementTree as ET
+
+        root = ET.parse(aux).getroot()
+        for rb in root.iter('PAMRasterBand'):
+            if int(rb.get('band', '1')) == band:
+                nd = rb.find('NoDataValue')
+                if nd is not None and nd.text:
+                    return float(nd.text)
+    except Exception:
+        return None
+    return None
+
+
 def _read_any(path: str) -> Tuple[np.ndarray, dict]:
     """Dispatch on format: VRT/GeoTIFF by extension or magic, else ENVI."""
     p = str(path)
     if p.endswith('.vrt'):
-        return read_vrt(p)
-    if p.endswith(('.tif', '.tiff')):
+        data, profile = read_vrt(p)
+    elif p.endswith(('.tif', '.tiff')):
         from raider_tpu.io.geotiff import read_gtiff
 
-        return read_gtiff(p)
-    with open(p, 'rb') as f:
-        magic = f.read(4)
-    if magic[:2] in (b'II', b'MM') and _find_envi_header(p) is None:
-        from raider_tpu.io.geotiff import read_gtiff
+        data, profile = read_gtiff(p)
+    else:
+        with open(p, 'rb') as f:
+            magic = f.read(4)
+        if magic[:2] in (b'II', b'MM') and _find_envi_header(p) is None:
+            from raider_tpu.io.geotiff import read_gtiff
 
-        return read_gtiff(p)
-    return read_envi(p)
+            data, profile = read_gtiff(p)
+        else:
+            data, profile = read_envi(p)
+    if profile.get('nodata') is None:
+        # GDAL stores nodata for bare ENVI/ISCE rasters in PAM sidecars
+        profile['nodata'] = _pam_nodata(p)
+    return data, profile
 
 
 def rio_open(path, userNDV: Optional[float] = None, band: Optional[int] = None):
@@ -287,7 +312,11 @@ def rio_profile(path) -> dict:
 
 
 def rio_stats(path, band: int = 1):
-    data, profile = _read_any(str(path))
+    p = str(path)
+    # prefer a .vrt sidecar, like the reference (utilFcns.py:230-232)
+    if not p.endswith('.vrt') and os.path.exists(p + '.vrt'):
+        p = p + '.vrt'
+    data, profile = _read_any(p)
     b = data[band - 1].astype(np.float64)
     nodata = profile.get('nodata')
     if nodata is not None:

@@ -1,0 +1,113 @@
+"""AOI classes against the reference's checked-in data
+(mirrors test/test_llreader.py)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raider_tpu.geometry.aoi import (
+    BoundingBox,
+    GeocodedFile,
+    RasterRDR,
+    StationFile,
+    bounds_from_csv,
+)
+from raider_tpu.io.rasters import bounds_from_latlon_rasters, rio_open
+
+from tests.conftest import REFERENCE_DIR
+
+GEOM_DIR = REFERENCE_DIR / 'test' / 'test_geom'
+SCENARIO0_DIR = REFERENCE_DIR / 'test' / 'scenario_0'
+STATION_FILE = REFERENCE_DIR / 'test' / 'scenario_2' / 'stations.csv'
+
+pytestmark = pytest.mark.skipif(
+    not GEOM_DIR.exists(), reason='reference data unavailable')
+
+
+class TestBoundingBox:
+    def test_type_bounds_projection(self):
+        q = BoundingBox([20, 27, -115, -104])
+        assert q.type() == 'bounding_box'
+        assert q.bounds() == [20, 27, -115, -104]
+        assert 'EPSG:4326' in str(q.projection()).upper() or q.projection().to_epsg() == 4326
+
+    def test_output_spacing_epsg_conversion(self):
+        """Degrees convert to meters for projected CRS
+        (reference: llreader.py:173-191)."""
+        r = BoundingBox([20, 27, -115, -104])
+        r.set_output_spacing(ll_res=0.05)
+        assert r.get_output_spacing(4978) == pytest.approx(0.05 * 1e5)
+        assert r.get_output_spacing(4326) == pytest.approx(0.05)
+
+    def test_set_output_directory_and_xygrid(self):
+        r = BoundingBox([20, 27, -115, -104])
+        r.set_output_directory('dummy_directory')
+        assert r._output_directory == 'dummy_directory'
+        r.set_output_spacing(ll_res=0.1)
+        r.set_output_xygrid(dst_crs=4978)
+        r.set_output_xygrid(dst_crs=4326)
+        assert r.xpts is not None and r.ypts is not None
+
+
+class TestRasterRDR:
+    def test_latlon_reader(self):
+        lat, lon = str(GEOM_DIR / 'lat.rdr'), str(GEOM_DIR / 'lon.rdr')
+        lat_true, _ = rio_open(lat)
+        lon_true, _ = rio_open(lon)
+        q = RasterRDR(lat_file=lat, lon_file=lon)
+        assert q.type() == 'radar_rasters'
+        lats, lons = q.readLL()
+        assert lats.shape == (45, 226) and lons.shape == (45, 226)
+        np.testing.assert_allclose(lats, lat_true, equal_nan=True)
+        np.testing.assert_allclose(lons, lon_true, equal_nan=True)
+        bounds_true = [15.7637, 21.4936, -101.6384, -98.2418]
+        np.testing.assert_allclose(q.bounds(), bounds_true, rtol=1e-4)
+
+    def test_bad_files(self):
+        with pytest.raises(ValueError):
+            RasterRDR(lat_file=None, lon_file=None)
+        with pytest.raises(ValueError):
+            RasterRDR(lat_file='doesnotexist.rdr', lon_file='doesnotexist.rdr')
+        with pytest.raises(ValueError):
+            RasterRDR(lat_file=str(GEOM_DIR / 'lat.rdr'),
+                      lon_file=str(GEOM_DIR / 'lon_dummy.rdr'))
+        with pytest.raises(ValueError):
+            RasterRDR(lat_file=str(GEOM_DIR / 'lat.rdr'),
+                      lon_file=str(STATION_FILE))
+
+    def test_bounds_from_latlon_rasters(self):
+        snwe, _, _ = bounds_from_latlon_rasters(
+            str(GEOM_DIR / 'lat.rdr'), str(GEOM_DIR / 'lon.rdr'))
+        np.testing.assert_allclose(
+            snwe, [15.7637, 21.4936, -101.6384, -98.2418], rtol=1e-4)
+
+
+class TestStationFile:
+    def test_read(self):
+        q = StationFile(str(STATION_FILE))
+        lats, lons = q.readLL()
+        stats = pd.read_csv(str(STATION_FILE)).drop_duplicates(subset=['Lat', 'Lon'])
+        np.testing.assert_allclose(lats, stats['Lat'].values)
+        np.testing.assert_allclose(lons, stats['Lon'].values)
+        np.testing.assert_allclose(
+            q.bounds(), [33.746, 36.795, -118.312, -114.892], rtol=1e-4)
+        np.testing.assert_allclose(q.readZ(), 0.1)
+
+    def test_bounds_from_csv(self):
+        snwe = bounds_from_csv(str(STATION_FILE))
+        np.testing.assert_allclose(
+            snwe, [33.746, 36.795, -118.312, -114.892], rtol=1e-3)
+
+
+class TestGeocodedFile:
+    def test_dem(self):
+        p = SCENARIO0_DIR / 'small_dem.tif'
+        if not p.exists():
+            pytest.skip('small_dem.tif unavailable')
+        aoi = GeocodedFile(str(p), is_dem=True)
+        z = aoi.readZ()
+        x, y = aoi.readLL()
+        assert z.shape == (569, 558)
+        assert x.shape == z.shape
