@@ -437,6 +437,8 @@ class TransverseMercator(CRS):
 
 def utm_crs(zone: int, south: bool = False) -> TransverseMercator:
     """UTM zone CRS (EPSG 326xx / 327xx)."""
+    if not 1 <= int(zone) <= 60:
+        raise ValueError(f'Invalid UTM zone: {zone} (must be 1-60)')
     return TransverseMercator(
         lon_0=-183.0 + 6.0 * zone,
         k0=0.9996,

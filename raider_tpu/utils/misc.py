@@ -99,3 +99,26 @@ def UTM_to_WGS84(z, ltr, x, y):
         lon[sel] = lo
         lat[sel] = la
     return lon.reshape(shp), lat.reshape(shp)
+
+
+def project(coordinates, z: int = None, ltr: str = None):
+    """Single-point WGS84 -> UTM: (zone, letter, easting, northing)
+    (reference: utilFcns.py:501-512). ``coordinates`` is (lon, lat)."""
+    lon, lat = float(coordinates[0]), float(coordinates[1])
+    if z is None:
+        z = utm_zone(lon, lat)
+    if ltr is None:
+        ltr = utm_letter(lat)
+    x, y = (float(np.asarray(v)) for v in utm_crs(int(z)).forward(lon, lat))
+    if y < 0:
+        y += 10000000.0
+    return z, ltr, x, y
+
+
+def unproject(z: int, ltr: str, x: float, y: float):
+    """Single-point UTM -> WGS84 (lng, lat) (reference: utilFcns.py:515-522)."""
+    y = float(y)
+    if ltr < 'N':
+        y -= 10000000.0
+    lng, lat = (float(np.asarray(v)) for v in utm_crs(int(z)).inverse(float(x), y))
+    return lng, lat

@@ -151,3 +151,118 @@ class TestHrrrBoundsIndices:
         lats, lons = np.meshgrid(ll, ll, indexing='ij')
         with pytest.raises(NoWeatherModelData):
             get_bounds_indices([50, 60, 50, 60], lats, lons)
+
+
+class TestUtilGoldens:
+    """Pure-function goldens mirrored from reference test/test_util.py."""
+
+    def test_least_nonzero(self):
+        from raider_tpu.wx.base import _least_nonzero
+
+        a = np.arange(20, dtype='float64').reshape(2, 2, 5)
+        a[0, 0, 0] = np.nan
+        a[1, 1, 0] = np.nan
+        np.testing.assert_allclose(_least_nonzero(a), [[1, 5], [10, 16]], atol=1e-16)
+
+        b = np.array([
+            [[10., 5., np.nan], [11., np.nan, 1], [18, 17, 16]],
+            [[np.nan, 12., 6.], [np.nan, 13., 20.], [np.nan, np.nan, np.nan]],
+        ])
+        out = _least_nonzero(b)
+        np.testing.assert_allclose(out[0], [10, 11, 18])
+        np.testing.assert_allclose(out[1][:2], [12, 13])
+        assert np.isnan(out[1][2])
+
+    def test_get_time_from_file(self):
+        from raider_tpu.utils.timeutils import getTimeFromFile
+
+        assert getTimeFromFile('abcd_2020_01_01_T00_00_00jijk.xyz') == \
+            dt.datetime(2020, 1, 1, 0, 0, 0)
+
+    def test_floorish(self):
+        from raider_tpu.utils.timeutils import floorish
+
+        assert np.isclose(floorish(5.6, 0.2), 5.4)
+        assert np.isclose(floorish(5.71, 0.2), 5.6)
+        assert np.isclose(floorish(5.71, 1), 5)
+
+    def test_pad_lower(self):
+        from raider_tpu.wx.base import pad_lower
+
+        rng = np.random.default_rng(0)
+        test = rng.standard_normal((2, 3, 4))
+        val = test[1, 2, 1]
+        test[1, 2, 0] = np.nan
+        out = pad_lower(test)
+        assert out.shape == (2, 3, 5)
+        assert out[1, 2, 0] == val
+
+    def test_enu2ecef_goldens(self):
+        from raider_tpu.geodesy import enu2ecef
+
+        cases = [
+            ((0, 0, 1), (0, 0, 0), (1, 0, 0)),
+            ((0, 0, 1), (0, 90, 0), (0, 1, 0)),
+            ((0, 0, 1), (0, -90, 0), (0, -1, 0)),
+            ((0, 0, 1), (90, 0, 0), (0, 0, 1)),
+            ((0, 0, 1), (-90, 0, 0), (0, 0, -1)),
+            ((0, 1, 0), (0, 0, 0), (0, 0, 1)),
+        ]
+        for enu, llh, expected in cases:
+            out = np.asarray(enu2ecef(enu[0], enu[1], enu[2], llh[0], llh[1], llh[2]))
+            np.testing.assert_allclose(out.ravel(), expected, atol=1e-12)
+
+    def test_ecef2enu_goldens(self):
+        from raider_tpu.geodesy import ecef2enu
+
+        cases = [
+            ((0, 0, 1), (0, 0, 0), (0, 1, 0)),
+            ((0, 0, 1), (0, 90, 0), (0, 1, 0)),
+            ((0, 0, 1), (0, -90, 0), (0, 1, 0)),
+            ((0, 0, 1), (90, 0, 0), (0, 0, 1)),
+            ((0, 0, 1), (-90, 0, 0), (0, 0, -1)),
+            ((0, 0, -1), (0, -180, 0), (0, -1, 0)),
+            ((0, 0, 1), (0, -180, 1000), (0, 1, 0)),
+            ((1, 1, 0), (0, 0, 0), (1, 0, 1)),
+            ((1, 1, 0), (0, 180, 0), (-1, 0, -1)),
+        ]
+        for xyz, llh, expected in cases:
+            out = np.asarray(ecef2enu(np.array(xyz, dtype=float), llh[0], llh[1], llh[2]))
+            np.testing.assert_allclose(out.ravel(), expected, atol=1e-12)
+
+    def test_project_hawaii_golden(self):
+        """UTM from latlong.net as an independent check
+        (reference: test_util.py:296-303)."""
+        from raider_tpu.utils.misc import project
+
+        tup = project((-155.742188, 19.808054))
+        assert tup[0] == 5 and tup[1] == 'Q'
+        np.testing.assert_allclose((tup[2], tup[3]), (212721.65, 2192571.64), atol=2.0)
+
+    def test_transform_bbox_identity_and_utm(self):
+        from raider_tpu.geometry.aoi import transform_bbox
+
+        snwe = [34.0, 35.0, -77.0, -76.0]
+        assert list(transform_bbox(snwe, src_crs=4326, dest_crs=4326)) == snwe
+        out = transform_bbox(snwe, src_crs=4326, dest_crs=32618)
+        expected = [3762606.66, 3874870.63, 315290.17, 408746.75]
+        np.testing.assert_allclose(out, expected, rtol=1e-2)
+
+    def test_unproject_hemispheres(self):
+        from raider_tpu.utils.misc import project, unproject
+
+        lng, lat = unproject(33, 'N', 500000, 4649776.22482)
+        assert abs(lng - 15.0) < 0.01 and 41 < lat < 43
+        lng_s, lat_s = unproject(33, 'K', 500000, 4649776.22482)
+        assert lat_s < 0  # southern false-northing removed
+        # roundtrip through project
+        z, ltr, x, y = project((lng, lat))
+        assert z == 33
+        lng2, lat2 = unproject(z, ltr, x, y)
+        np.testing.assert_allclose((lng2, lat2), (lng, lat), atol=1e-6)
+
+    def test_unproject_invalid_zone(self):
+        from raider_tpu.utils.misc import unproject
+
+        with pytest.raises(Exception):
+            unproject(99, 'N', 500000, 4649776.22482)
