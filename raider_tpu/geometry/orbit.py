@@ -111,6 +111,18 @@ def pick_ESA_orbit_file(list_files: list, ref_time: dt.datetime):
     raise AssertionError('Given orbit files did not match given date/time')
 
 
+def cut_times(times, ref_time, pad: float = 600.0) -> np.ndarray:
+    """Boolean mask of statevector times within ``pad`` seconds of
+    ``ref_time`` (reference: losreader.py:610-627). ``times`` and
+    ``ref_time`` may be seconds (numeric) or datetimes."""
+    times = np.asarray(times)
+    if times.dtype.kind in 'Mm' or isinstance(ref_time, dt.datetime):
+        diffs = np.array([(t - ref_time).total_seconds() for t in times])
+    else:
+        diffs = times.astype(np.float64) - float(ref_time)
+    return np.abs(diffs) < pad
+
+
 def get_orbit(orbit_file: Union[str, list, PosixPath], ref_time: dt.datetime, pad: int = 600) -> Orbit:
     """Load statevectors around ``ref_time`` into an :class:`Orbit`
     (reference capability: losreader.py:319-371, 736-769)."""

@@ -116,3 +116,46 @@ class TestRasterRdrEndToEnd:
                     outformat='ENVI')
         back, _ = rio_open(str(tmp_path / 'wet_out.dat'))
         np.testing.assert_allclose(back, np.nan_to_num(np.asarray(wet)), atol=1e-6)
+
+
+class TestLookVectorGoldens:
+    """inc/heading -> ENU and zenith vector goldens
+    (reference: test_losreader.py:147-265)."""
+
+    def test_inc_hd_to_enu_goldens(self):
+        s35, c35 = np.sin(np.radians(35)), np.cos(np.radians(35))
+        for hd in (0, -180, 18, -18):
+            np.testing.assert_allclose(inc_hd_to_enu(0, hd), [0, 0, 1], atol=1e-12)
+        np.testing.assert_allclose(inc_hd_to_enu(35, 0), [0, s35, c35], atol=1e-12)
+        np.testing.assert_allclose(inc_hd_to_enu(35, 180), [0, -s35, c35], atol=1e-12)
+        np.testing.assert_allclose(inc_hd_to_enu(35, 90), [-s35, 0, c35], atol=1e-12)
+
+    def test_zenith_look_vecs(self):
+        from raider_tpu.geometry.los import getZenithLookVecs
+
+        np.testing.assert_allclose(
+            getZenithLookVecs(np.array([0]), np.array([0]), np.array([0])),
+            [[1, 0, 0]], atol=1e-12)
+        np.testing.assert_allclose(
+            getZenithLookVecs(np.array([90]), np.array([0]), np.array([0])),
+            [[0, 0, 1]], atol=1e-12)
+        np.testing.assert_allclose(
+            getZenithLookVecs(np.array([0]), np.array([90]), np.array([0])),
+            [[0, 1, 0]], atol=1e-12)
+        # unit vectors at arbitrary locations
+        v = np.asarray(getZenithLookVecs(np.array([34.5]), np.array([-117.2]),
+                                         np.array([1000.0])))
+        np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-12)
+
+
+class TestCutTimes:
+    """Orbit statevector time-window padding (reference: losreader.py:610)."""
+
+    def test_window_selection(self):
+        from raider_tpu.geometry.orbit import cut_times
+
+        times = np.arange(0.0, 101.0, 10.0)  # 11 SVs, 10 s apart
+        assert cut_times(times, times[0], pad=3600 * 3).all()
+        assert cut_times(times, times[0], pad=5).sum() == 1
+        assert cut_times(times, times[4], pad=15).sum() == 3
+        assert cut_times(times, times[0], pad=400).sum() == times.size
