@@ -410,6 +410,11 @@ def calcDelaysGUNW(iargs: Optional[list] = None):
         json_data = json.loads(Path(json_path).read_text())
         json_data['metadata'].setdefault('weather_model', []).append(args.weather_model)
         Path(json_path).write_text(json.dumps(json_data))
+        # browse image: needed for HyP3 ingest when re-uploading the product
+        # (reference: cli/raider.py:656-661)
+        browse_path = aws.get_s3_file(args.bucket, in_prefix, '.png')
+        if browse_path is None:
+            raise ValueError('GUNW browse image could not be found at S3 location')
 
         # graceful exits so downstream processing can continue
         gunw_id = Path(args.file).name.replace('.nc', '')
@@ -446,4 +451,5 @@ def calcDelaysGUNW(iargs: Optional[list] = None):
 
         aws.upload_file_to_s3(args.file, args.bucket, args.bucket_prefix)
         aws.upload_file_to_s3(json_path, args.bucket, args.bucket_prefix)
+        aws.upload_file_to_s3(browse_path, args.bucket, args.bucket_prefix)
     return cube_paths

@@ -224,3 +224,43 @@ class TestGnssParsing:
         assert 'ZTD_minus_RAiDER' in merged
         torp = merged[merged['ID'] == 'TORP']
         np.testing.assert_allclose(torp['ZTD_minus_RAiDER'].iloc[0], 2.40123 - 2.4, atol=1e-9)
+
+
+class TestMissingGUNWErrors:
+    """Clear errors when S3 objects are missing (reference:
+    test_raises_for_missing_gunw.py, regression for RAiDER issue #648)."""
+
+    IARGS = ['--bucket', 'dummy-bucket',
+             '--input-bucket-prefix', 'dummy-input-prefix',
+             '--weather-model', 'ERA5']
+
+    def _patch_s3(self, monkeypatch, side_effects):
+        import raider_tpu.workflows.aws as aws
+
+        it = iter(side_effects)
+        monkeypatch.setattr(aws, 'get_s3_file', lambda *a, **k: next(it))
+
+    def test_missing_product_file(self, monkeypatch):
+        from raider_tpu.workflows.gunw import calcDelaysGUNW
+
+        self._patch_s3(monkeypatch, [None])
+        with pytest.raises(ValueError, match='GUNW product file could not be found'):
+            calcDelaysGUNW(self.IARGS)
+
+    def test_missing_metadata_file(self, monkeypatch, gunw_file):
+        from raider_tpu.workflows.gunw import calcDelaysGUNW
+
+        self._patch_s3(monkeypatch, [gunw_file, None])
+        with pytest.raises(ValueError, match='GUNW metadata file could not be found'):
+            calcDelaysGUNW(self.IARGS)
+
+    def test_missing_browse_image(self, monkeypatch, gunw_file, tmp_path):
+        import json as _json
+
+        from raider_tpu.workflows.gunw import calcDelaysGUNW
+
+        meta = tmp_path / 'meta.json'
+        meta.write_text(_json.dumps({'metadata': {}}))
+        self._patch_s3(monkeypatch, [gunw_file, str(meta), None])
+        with pytest.raises(ValueError, match='GUNW browse image could not be found'):
+            calcDelaysGUNW(self.IARGS)
