@@ -418,10 +418,10 @@ def writeResultsToDataset(datetime, xpts, ypts, zpts, crs, wetDelay, hydroDelay,
     """CF-1.7 delay cube (reference writer: delay.py:329-401)."""
     attrs = {
         'Conventions': 'CF-1.7',
-        'title': 'raider-tpu geo cube',
+        'title': 'RAiDER geo cube',  # keep the reference's product string: downstream consumers key on it
         'source': os.path.basename(str(weather_model_file)),
         'history': str(dt.datetime.now(tz=dt.timezone.utc)) + ' raider-tpu',
-        'description': f'raider-tpu geo cube - {out_type}',
+        'description': f'RAiDER geo cube - {out_type}',
         'reference_time': datetime.strftime('%Y%m%dT%H:%M:%S'),
     }
     coords = {

@@ -292,3 +292,45 @@ def test_hrrr_ztd_scenario1_golden(tmp_path, monkeypatch):
     iz = np.abs(z - 0.0).argmin()
     np.testing.assert_almost_equal(float(ds['hydro'].data[iz, iy, ix]), 2.2622863)
     np.testing.assert_almost_equal(float(ds['wet'].data[iz, iy, ix]), 0.0361021)
+
+
+def test_cube_writer_schema_matches_reference_product(tmp_path, monkeypatch):
+    """Our delay-cube writer emits the reference's product schema: same
+    coords, variable dims/attrs (units/description/grid_mapping), CF
+    conventions and a CF grid-mapping variable, checked field-by-field
+    against the golden cube the reference itself produced."""
+    from raider_tpu.io import read_nc
+    from raider_tpu.workflows.calc_delays import calcDelays
+
+    golden_path = (REFERENCE_DIR / 'test' / 'scenario_1' / 'golden_data' /
+                   'HRRR_tropo_20200101T120000_ztd.nc')
+    if not golden_path.exists():
+        pytest.skip('reference golden cube unavailable')
+    golden = read_nc(str(golden_path))
+
+    cfg = _write_cfg(tmp_path, {
+        'date_group': {'date_start': 20200130},
+        'height_group': {'height_levels': [0, 100]},
+        'time_group': {'time': '13:52:45', 'interpolate_time': 'none'},
+        'aoi_group': {'bounding_box': [33, 34, -118.25, -116.75]},
+        'runtime_group': {
+            'output_directory': str(tmp_path),
+            'weather_model_directory': str(REF_WM_DIR),
+            'verbose': False,
+        },
+    })
+    monkeypatch.chdir(tmp_path)
+    ours = read_nc(calcDelays([cfg])[0])
+
+    assert set(ours.coords) >= {'x', 'y', 'z'}
+    for v in ('wet', 'hydro'):
+        assert ours[v].dims == golden[v].dims == ('z', 'y', 'x')
+        for key in ('units', 'description', 'grid_mapping'):
+            assert ours[v].attrs.get(key) == golden[v].attrs.get(key), (v, key)
+    assert ours.attrs.get('Conventions') == golden.attrs.get('Conventions') == 'CF-1.7'
+    for key in ('title', 'description'):
+        assert ours.attrs.get(key) == golden.attrs.get(key), key
+    assert 'reference_time' in ours.attrs
+    gm = ours[ours['wet'].attrs['grid_mapping']]
+    assert gm.attrs.get('grid_mapping_name') == \
+        golden[golden['wet'].attrs['grid_mapping']].attrs.get('grid_mapping_name')
