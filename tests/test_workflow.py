@@ -8,6 +8,7 @@ prepareWeatherModel reuse path.
 
 import datetime as dt
 import os
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -334,3 +335,62 @@ def test_cube_writer_schema_matches_reference_product(tmp_path, monkeypatch):
     gm = ours[ours['wet'].attrs['grid_mapping']]
     assert gm.attrs.get('grid_mapping_name') == \
         golden[golden['wet'].attrs['grid_mapping']].attrs.get('grid_mapping_name')
+
+
+def test_azimuth_time_grid_combination(tmp_path, monkeypatch):
+    """combine_weather_files with per-pixel azimuth-time inverse weights
+    (reference: cli/raider.py:792-916): voxels acquired nearer an epoch pull
+    the combined field toward that epoch's values."""
+    import raider_tpu.workflows.s1_timing as s1t
+    from raider_tpu.io import read_nc
+    from raider_tpu.io.ncdf import Dataset, Variable, write_nc
+    from raider_tpu.workflows.calc_delays import combine_weather_files
+
+    t0 = dt.datetime(2020, 1, 30, 14, 0, 0)
+    times = [t0 + dt.timedelta(hours=h) for h in (-1, 0, 1)]
+    ny, nx, nz = 4, 6, 3
+    lat2 = np.linspace(33.0, 34.0, ny)[:, None] + np.zeros((ny, nx))
+    lon2 = np.linspace(-118.0, -117.0, nx)[None, :] + np.zeros((ny, nx))
+    paths = []
+    for i, ti in enumerate(times):
+        fields = {
+            v: Variable(('z', 'y', 'x'), np.full((nz, ny, nx), float(i + 1)), {})
+            for v in ('wet', 'hydro', 'wet_total', 'hydro_total')
+        }
+        ds = Dataset(
+            coords={'z': Variable(('z',), np.array([0.0, 1000.0, 2000.0]), {}),
+                    'y': Variable(('y',), lat2[:, 0], {}),
+                    'x': Variable(('x',), lon2[0], {})},
+            variables={'latitude': Variable(('y', 'x'), lat2, {}),
+                       'longitude': Variable(('y', 'x'), lon2, {}),
+                       **fields},
+            attrs={'datetime': ti.strftime('%Y_%m_%dT%H_%M_%S')},
+        )
+        p = tmp_path / f'HRRR_{ti.strftime("%Y_%m_%d_T%H_%M_%S")}_33N_34N_118W_117W.nc'
+        write_nc(ds, str(p))
+        paths.append(str(p))
+
+    # azimuth time: western half imaged at epoch 0's time, eastern at epoch 2's
+    def fake_time_grid(lon, lat, hgt, time):
+        west = np.asarray(lon) < -117.5
+        out = np.where(west, np.datetime64(times[0], 'ms'),
+                       np.datetime64(times[2], 'ms'))
+        return out
+
+    monkeypatch.setattr(s1t, 'get_s1_azimuth_time_grid', fake_time_grid)
+    out_path = combine_weather_files(paths, t0, 'HRRR',
+                                     interp_method='azimuth_time_grid')
+    assert '_timeInterpAziGrid_' in Path(out_path).name
+    out = read_nc(str(out_path))
+    wet = np.asarray(out['wet'].data)
+    lonb = np.broadcast_to(lon2, wet.shape)
+    # exact acquisition at an epoch -> that epoch's value dominates
+    np.testing.assert_allclose(wet[lonb < -117.5], 1.0, atol=1e-6)
+    np.testing.assert_allclose(wet[lonb > -117.5], 3.0, atol=1e-6)
+
+
+def test_azimuth_time_grid_requires_hrrr(tmp_path):
+    from raider_tpu.workflows.calc_delays import get_time_grid_for_aztime_interp
+
+    with pytest.raises(NotImplementedError, match='HRRR'):
+        get_time_grid_for_aztime_interp([], dt.datetime(2020, 1, 30), 'ERA5')
