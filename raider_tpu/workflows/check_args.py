@@ -17,7 +17,7 @@ from raider_tpu.workflows.config import RunConfig
 _RASTER_EXTS = {
     'ENVI': '.dat',
     'ISCE': '.dat',
-    'GTIFF': '.tif',
+    'GTIFF': '.tiff',  # rasterio's driver->extension inversion yields 'tiff'
     'NC': '.nc',
     'NETCDF': '.nc',
     'HDF5': '.h5',

@@ -129,7 +129,7 @@ class TestFilenames:
     def test_get_raster_ext_rejects_unknown(self):
         with pytest.raises(ValueError):
             get_raster_ext('dummy_format')
-        assert get_raster_ext('GTiff') == '.tif'
+        assert get_raster_ext('GTiff') == '.tiff'
         assert get_raster_ext('ENVI') == '.dat'
 
 
