@@ -176,3 +176,62 @@ class TestParityVsReference:
         assert np.nanmax(np.abs(np.asarray(hydro_ours) - hydro_ref)) < 1e-4
         # and the delays themselves are meaningfully large
         assert np.nanmean(wet_ref) > 0.05
+
+
+class TestClosureRegions:
+    """Constant-N closure at the reference's other synthetic regions
+    (test_synthetic.py:148-175): near-equator ascending (Fortaleza) and
+    high-latitude descending (Alaska) - exercises the geometry at latitudes
+    where the LA case cannot (meridian convergence, steeper normals)."""
+
+    REGIONS = {
+        'fortaleza': dict(bbox=[-4.5, -3.5, -38.75, -37.75],
+                          lat0=-4.0, lon0=-38.25, phase0=-0.07,
+                          lon_asc=-48.0, incline=98.0),
+        'alaska': dict(bbox=[64.5, 65.5, -148.5, -147.5],
+                       lat0=65.0, lon0=-148.0, phase0=1.18,
+                       lon_asc=-102.0, incline=98.0),
+    }
+
+    @pytest.mark.parametrize('region', list(REGIONS))
+    def test_constant_refractivity(self, region):
+        import tests.test_orbit as to
+
+        cfg = self.REGIONS[region]
+        s, n, w, e = cfg['bbox']
+        ys = np.arange(s - 1.5, n + 1.51, 0.25)
+        xs = np.arange(w - 1.5, e + 1.51, 0.25)
+        zs = np.concatenate([np.arange(-500.0, 3000.0, 250.0),
+                             np.arange(3000.0, 10000.0, 500.0),
+                             np.arange(10000.0, 30001.0, 1000.0)])
+        shape = (zs.size, ys.size, xs.size)
+        coords = {'x': Variable(('x',), xs, {}), 'y': Variable(('y',), ys, {}),
+                  'z': Variable(('z',), zs, {})}
+        variables = {
+            'wet': Variable(('z', 'y', 'x'), np.full(shape, 1.0), {}),
+            'hydro': Variable(('z', 'y', 'x'), np.full(shape, 2.0), {}),
+            'wet_total': Variable(('z', 'y', 'x'), np.zeros(shape), {}),
+            'hydro_total': Variable(('z', 'y', 'x'), np.zeros(shape), {}),
+            'proj': Variable((), np.int64(0), Geographic().to_cf()),
+        }
+        wm = WeatherCube(Dataset(coords=coords, variables=variables, attrs={}))
+
+        t = dt.datetime(2020, 1, 30, 13, 52, 45)
+        orb = to.synthetic_orbit(t, incline_deg=cfg['incline'],
+                                 lon_asc_deg=cfg['lon_asc'],
+                                 phase0=cfg['phase0'])
+        los = Raytracing(orbit=orb, time=t)
+
+        aoi = BoundingBox(cfg['bbox'], cube_spacing_in_m=20000.0)
+        aoi.add_buffer(0.25)
+        aoi.set_output_xygrid(4326)
+        heights = np.array([0.0, 3000.0])
+        max_h = wm.zs[-1] - 1
+        wet, hydro = _build_cube_ray(wm, aoi.xpts, aoi.ypts, heights, los,
+                                     Geographic(), zref=max_h)
+        lengths = _length_of_ray(aoi.xpts, aoi.ypts, heights, wm.zs, los, max_h)
+        assert np.all(np.abs(lengths) > 1)
+        resid_wet = (lengths * 1.0 - np.asarray(wet) * 1e6) / lengths
+        resid_hydro = (lengths * 2.0 - np.asarray(hydro) * 1e6) / (2 * lengths)
+        np.testing.assert_almost_equal(0, resid_wet, decimal=6)
+        np.testing.assert_almost_equal(0, resid_hydro, decimal=6)
