@@ -18,6 +18,8 @@ import pytest
 
 from raider_tpu.wx.registry import get_wm_by_name
 
+from tests.conftest import REFERENCE_DIR
+
 BBOX = np.array([33.0, 34.5, -118.0, -116.5])
 TIME = dt.datetime(2020, 1, 30, 14, 11, 0)
 
@@ -487,3 +489,79 @@ class TestHRRR:
         assert np.all(np.diff(geo_hgt, axis=2) > 0)
         assert (lons <= 180.0).all()
         np.testing.assert_allclose(temps, 270.0)
+
+
+class TestGNSSStationList:
+    """Station-list plumbing (reference: test_gnss.py:94-160)."""
+
+    STATIONS = REFERENCE_DIR / 'test' / 'scenario_2' / 'stations.csv'
+
+    def test_lon_convention_enforced(self):
+        from raider_tpu.workflows.gnss import get_stats_by_llh
+
+        with pytest.raises(ValueError):
+            get_stats_by_llh(llhBox=[10, 18, -93, -88])  # must be 0-360
+
+    def test_get_station_list_from_file(self):
+        import pandas as pd
+
+        from raider_tpu.workflows.gnss import get_station_list
+
+        if not self.STATIONS.exists():
+            pytest.skip('reference stations.csv unavailable')
+        stations, df = get_station_list(stationFile=str(self.STATIONS),
+                                        writeStationFile=False)
+        assert isinstance(stations, list)
+        assert isinstance(df, pd.DataFrame)
+        assert 'CAPE' in stations and 'FGNW' in stations
+
+    def test_get_station_list_writes_file(self, tmp_path, monkeypatch):
+        from raider_tpu.workflows.gnss import get_station_list
+
+        if not self.STATIONS.exists():
+            pytest.skip('reference stations.csv unavailable')
+        monkeypatch.chdir(tmp_path)
+        stations, output_file = get_station_list(stationFile=str(self.STATIONS))
+        assert isinstance(output_file, str)
+        assert (tmp_path / 'gnssStationList_overbbox.csv').exists()
+
+    def test_download_rejects_unknown_repo(self):
+        from raider_tpu.workflows.gnss import download_tropo_delays
+
+        with pytest.raises(NotImplementedError):
+            download_tropo_delays(stats=['GUAT'], years=[2022],
+                                  gps_repo='dummy_repo')
+
+    def test_download_no_data_raises(self, monkeypatch):
+        import raider_tpu.workflows.gnss as gnss
+        from raider_tpu.wx.exceptions import NoStationDataFoundError
+
+        class R404:
+            status_code = 404
+
+        class S:
+            def head(self, url):
+                return R404()
+
+        monkeypatch.setattr(gnss, '_retry_session', lambda retries=10: S())
+        with pytest.raises(NoStationDataFoundError):
+            gnss.download_tropo_delays(stats=['dummy_station'], years=[2022])
+
+    def test_filter_by_bbox(self):
+        import pandas as pd
+
+        from raider_tpu.workflows.gnss import filterToBBox
+
+        df = pd.DataFrame({'ID': ['A', 'B'], 'Lat': [34.0, 50.0],
+                           'Lon': [242.0, 242.0]})
+        out = filterToBBox(df, [33, 35, 241, 243])
+        assert list(out['ID']) == ['A']
+        # negative-lon station frames get the box wrapped for them
+        df2 = pd.DataFrame({'ID': ['A', 'B'], 'Lat': [34.0, 50.0],
+                            'Lon': [-118.0, -118.0]})
+        out2 = filterToBBox(df2, [33, 35, 241, 243])
+        assert list(out2['ID']) == ['A']
+        with pytest.raises(ValueError):
+            filterToBBox(df, [33, 35, -119, -117])
+        with pytest.raises(KeyError):
+            filterToBBox(pd.DataFrame({'ID': ['A']}), [33, 35, 241, 243])
