@@ -124,3 +124,46 @@ def test_full_pipeline_ztd_analytic(raw_era5_file, tmp_path):
     expected = 1e-6 * m._k1 / T0 * P0 * H * (1.0 - np.exp(-zl[-1] / H))
     np.testing.assert_allclose(hydro[i0], expected, rtol=2e-2)
     assert 2.0 < hydro[i0] < 2.5
+
+
+def test_pressure_level_loader(tmp_path):
+    """ERA5 pressure-level variant (reference: ecmwf.py:252-303): z/t/q on
+    pressure levels, descending lats, 0-360 lons - all normalized."""
+    lats = np.arange(35.0, 31.99, -0.25)          # descending like ECMWF
+    lons = np.arange(240.0, 245.01, 0.25)         # 0-360 convention
+    # CDS pressure-level files list levels in ascending hPa
+    levels = np.array([100.0, 300.0, 500.0, 700.0, 850.0, 1000.0])
+    nz, ny, nx = levels.size, lats.size, lons.size
+    H = R_D * T0 / _g0
+    z_m = -H * np.log(levels * 100.0 / P0)        # isothermal geopot heights
+    z = np.broadcast_to((z_m * _g0)[:, None, None], (nz, ny, nx)).copy()
+    ds = Dataset(
+        coords={'latitude': Variable(('latitude',), lats),
+                'longitude': Variable(('longitude',), lons),
+                'level': Variable(('level',), levels)},
+        variables={
+            'z': Variable(('level', 'latitude', 'longitude'), z),
+            't': Variable(('level', 'latitude', 'longitude'),
+                          np.full((nz, ny, nx), T0)),
+            'q': Variable(('level', 'latitude', 'longitude'),
+                          np.zeros((nz, ny, nx))),
+        },
+    )
+    path = tmp_path / 'raw_pl.nc'
+    write_nc(ds, str(path))
+
+    _, Model = get_wm_by_name('ERA5')
+    m = Model()
+    m.setLevelType('pl')
+    m.set_latlon_bounds(BBOX)
+    m.load_weather(f=str(path))
+    zs = np.asarray(m._zs)
+    p = np.asarray(m._p)
+    assert np.all(np.diff(zs, axis=2) > 0), 'heights surface-to-top'
+    assert np.all(np.diff(p, axis=2) < 0), 'pressure decreasing with height'
+    # lons normalized to [-180, 180); lats ascending
+    assert np.nanmax(m._lons) <= 180.0 and np.nanmin(m._lons) >= -180.0
+    assert m._lats[0, 0] < m._lats[-1, 0]
+    # isothermal consistency: the mid-level height matches the barometric form
+    np.testing.assert_allclose(
+        zs[0, 0], np.sort(z_m), rtol=5e-3)
