@@ -167,3 +167,43 @@ def test_pressure_level_loader(tmp_path):
     # isothermal consistency: the mid-level height matches the barometric form
     np.testing.assert_allclose(
         zs[0, 0], np.sort(z_m), rtol=5e-3)
+
+
+@pytest.mark.parametrize('name,nz', [('ERAI', 60), ('HRES', 137)])
+def test_other_ecmwf_model_level_loaders(tmp_path, name, nz):
+    """ERA-I (60-level A/B) and HRES (137-level) share the model-level path
+    with their own coefficient tables (reference: erai.py, hres.py)."""
+    lats = np.arange(32.0, 35.01, 0.5)
+    lons = np.arange(-120.0, -114.99, 0.5)
+    ny, nx = lats.size, lons.size
+    ds = Dataset(
+        coords={'latitude': Variable(('latitude',), lats),
+                'longitude': Variable(('longitude',), lons),
+                'level': Variable(('level',), np.arange(1, nz + 1))},
+        variables={
+            't': Variable(('level', 'latitude', 'longitude'),
+                          np.full((nz, ny, nx), T0)),
+            'q': Variable(('level', 'latitude', 'longitude'),
+                          np.zeros((nz, ny, nx))),
+            'z': Variable(('latitude', 'longitude'), np.zeros((ny, nx))),
+            'lnsp': Variable(('latitude', 'longitude'),
+                             np.full((ny, nx), np.log(P0))),
+        },
+    )
+    path = tmp_path / f'raw_{name}.nc'
+    write_nc(ds, str(path))
+
+    _, Model = get_wm_by_name(name)
+    m = Model()
+    m.setTime(dt.datetime(2018, 1, 30, 12, 0, 0))  # HRES: post-2013 -> 137 lvl
+    m.set_latlon_bounds(BBOX)
+    m.load_weather(f=str(path))
+    assert m._p.shape[2] == nz
+    assert np.all(np.diff(m._zs, axis=2) > 0)
+    assert np.all(np.diff(m._p, axis=2) < 0)
+    # hydrostatic scale: pressure at ~7.9 km should be ~ P0/e
+    zcol = m._zs[0, 0]
+    pcol = m._p[0, 0]
+    H = R_D * T0 / _g0
+    k = int(np.argmin(np.abs(zcol - H)))
+    np.testing.assert_allclose(pcol[k], P0 * np.exp(-zcol[k] / H), rtol=0.06)
