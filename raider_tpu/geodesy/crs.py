@@ -172,22 +172,33 @@ class LambertConformalConic(CRS):
     ellipsoid: Ellipsoid = WGS84
 
     def _params(self):
+        """Projection constants, pure NumPy on python floats: forward() runs
+        inside jit traces (device-geometry path), where jnp helpers would
+        produce tracers that cannot be concretized."""
         e = self.ellipsoid.e
         e2 = self.ellipsoid.e2
         a = self.ellipsoid.a
+
+        def m_np(phi):
+            s = np.sin(phi)
+            return np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+
+        def t_np(phi):
+            s = np.sin(phi)
+            return np.tan(_QUARTER_PI - phi / 2.0) / (
+                (1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+
         phi1 = np.deg2rad(self.lat_1)
         phi2 = np.deg2rad(self.lat_2 if self.lat_2 is not None else self.lat_1)
         phi0 = np.deg2rad(self.lat_0)
-        m1 = float(_m_factor(phi1, e2))
-        t1 = float(_conformal_t(phi1, e))
+        m1 = float(m_np(phi1))
+        t1 = float(t_np(phi1))
         if abs(phi1 - phi2) < 1e-12:
             n = float(np.sin(phi1))
         else:
-            m2 = float(_m_factor(phi2, e2))
-            t2 = float(_conformal_t(phi2, e))
-            n = float(np.log(m1 / m2) / np.log(t1 / t2))
+            n = float(np.log(m1 / float(m_np(phi2))) / np.log(t1 / float(t_np(phi2))))
         big_f = m1 / (n * t1**n)
-        rho0 = a * big_f * float(_conformal_t(phi0, e)) ** n
+        rho0 = a * big_f * float(t_np(phi0)) ** n
         return e, a, n, big_f, rho0
 
     @host_eager
@@ -249,14 +260,21 @@ class PolarStereographic(CRS):
     ellipsoid: Ellipsoid = WGS84
 
     def _scale(self):
-        """rho = a * _scale() * t   (t evaluated at |lat|-equivalent)."""
+        """rho = a * _scale() * t   (t evaluated at |lat|-equivalent).
+
+        Pure NumPy on python floats: this runs inside jit traces (the
+        device-geometry path calls forward() under jit), where jnp helpers
+        would produce tracers that cannot be concretized.
+        """
         e = self.ellipsoid.e
         e2 = self.ellipsoid.e2
         if self.lat_ts is not None:
             phi_c = np.deg2rad(abs(self.lat_ts))
-            m_c = float(_m_factor(phi_c, e2))
-            t_c = float(_conformal_t(phi_c, e))
-            return m_c / t_c
+            s = np.sin(phi_c)
+            m_c = np.cos(phi_c) / np.sqrt(1.0 - e2 * s * s)
+            t_c = np.tan(_QUARTER_PI - phi_c / 2.0) / (
+                (1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+            return float(m_c / t_c)
         # k0 form: rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e))
         return 2.0 * self.k0 / float(np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e)))
 

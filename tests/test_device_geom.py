@@ -143,3 +143,65 @@ class TestFusedEnginePath:
         # delays shrink with starting height (shorter columns)
         means = wet.mean(axis=(1, 2))
         assert means[0] > means[1] > means[2] > 0
+
+
+class TestFusedEnginePathProjectedCRS:
+    """Device geometry with a PROJECTED weather CRS: the model-coordinate
+    transform (crs.forward) runs inside the fused jit. Uses the HRRR-AK
+    polar stereographic projection over Alaska."""
+
+    def test_polar_stereo_closure(self, monkeypatch):
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from test_orbit import synthetic_orbit
+
+        from raider_tpu.delay.engine import WeatherCube, _build_cube_ray
+        from raider_tpu.geodesy import Geographic, transform_points
+        from raider_tpu.geodesy.crs import Geographic as Geo
+        from raider_tpu.geometry.los import Raytracing
+        from raider_tpu.io.ncdf import Dataset, Variable
+        from raider_tpu.wx.hrrr import HRRR_AK_PROJ
+
+        monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', '1')
+        # native AK grid patch around (65N, -148E)
+        x0, y0 = (float(np.asarray(v)) for v in transform_points(
+            Geo(), HRRR_AK_PROJ, np.array(-148.0), np.array(65.0))[:2])
+        xs = x0 + 3000.0 * np.arange(-60, 61)
+        ys = y0 + 3000.0 * np.arange(-60, 61)
+        zs = np.concatenate([np.arange(-500.0, 5000.0, 500.0),
+                             np.arange(5000.0, 30001.0, 2500.0)])
+        shape = (zs.size, ys.size, xs.size)
+        coords = {'x': Variable(('x',), xs, {}), 'y': Variable(('y',), ys, {}),
+                  'z': Variable(('z',), zs, {})}
+        variables = {
+            'wet': Variable(('z', 'y', 'x'), np.full(shape, 1.0), {}),
+            'hydro': Variable(('z', 'y', 'x'), np.full(shape, 2.0), {}),
+            'wet_total': Variable(('z', 'y', 'x'), np.zeros(shape), {}),
+            'hydro_total': Variable(('z', 'y', 'x'), np.zeros(shape), {}),
+            'proj': Variable((), np.int64(0), HRRR_AK_PROJ.to_cf()),
+        }
+        wm = WeatherCube(Dataset(coords=coords, variables=variables, attrs={}))
+        assert wm.crs == HRRR_AK_PROJ or wm.crs.to_cf() == HRRR_AK_PROJ.to_cf()
+
+        t = dt.datetime(2020, 1, 30, 13, 52, 45)
+        los = Raytracing(orbit=synthetic_orbit(t, incline_deg=98.0,
+                                               lon_asc_deg=-102.0, phase0=1.18),
+                         time=t)
+        xpts = np.linspace(-148.6, -147.4, 6)
+        ypts = np.linspace(64.8, 65.2, 5)
+        wet, hydro = _build_cube_ray(wm, xpts, ypts, np.array([0.0, 3000.0]),
+                                     los, Geographic(), zref=25000.0,
+                                     compute_dtype=np.float32)
+        wet = np.asarray(wet)
+        hydro = np.asarray(hydro)
+        assert np.isfinite(wet).all(), f'{np.isnan(wet).sum()} NaNs'
+        np.testing.assert_allclose(hydro / wet, 2.0, rtol=1e-5)
+
+        # host-geometry path agrees (CPU df64 is degraded but the constant-N
+        # closure is precision-free; the coordinates just need to hit the
+        # same cube cells)
+        monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', '0')
+        w_h, _ = _build_cube_ray(wm, xpts, ypts, np.array([0.0, 3000.0]),
+                                 los, Geographic(), zref=25000.0,
+                                 compute_dtype=np.float32)
+        np.testing.assert_allclose(wet, np.asarray(w_h), rtol=2e-3)

@@ -216,3 +216,22 @@ def _utm_redfearn(lon_deg, lat_deg, lon0, a=6378137.0, invf=298.257223563, k0=0.
     y = k0 * (M + N * np.tan(lat) * (A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
                                      + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720))
     return x + 500000.0, y
+
+
+def test_crs_forward_traceable_under_jit():
+    """Projected CRS forwards must be jit-traceable: the device-geometry
+    path calls them inside a compiled program (projection constants must be
+    computed with NumPy on python floats, never jnp under trace)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raider_tpu.wx.hrrr import HRRR_AK_PROJ, HRRR_CONUS_PROJ
+
+    lon = jnp.asarray(np.array([-117.8, -148.0]))
+    lat = jnp.asarray(np.array([33.4, 65.0]))
+    for crs in (HRRR_CONUS_PROJ, HRRR_AK_PROJ, utm_crs(11)):
+        fwd = jax.jit(lambda lo, la, c=crs: c.forward(lo, la))
+        x, y = fwd(lon, lat)
+        xe, ye = crs.forward(np.array([-117.8, -148.0]), np.array([33.4, 65.0]))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(xe), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ye), rtol=1e-9)
