@@ -456,3 +456,35 @@ def test_raster_aoi_ztd_golden(tmp_path, monkeypatch):
     # regression anchor is our own measured value
     np.testing.assert_allclose(hyd.ravel()[i], 2.2787, atol=5e-3)
     np.testing.assert_almost_equal(hyd.ravel()[i], 2.27480, decimal=4)
+
+
+def test_time_interpolation_matches_reference_product(tmp_path):
+    """combine_weather_files reproduces a time-interpolated weather file the
+    REFERENCE itself produced (checked into gunw_test_data): identical
+    output filename, delay totals bit-exact, refractivities to f32 rounding."""
+    import shutil
+
+    from raider_tpu.io import read_nc
+    from raider_tpu.workflows.calc_delays import combine_weather_files
+
+    src = REFERENCE_DIR / 'test' / 'gunw_test_data' / 'weather_files'
+    f12 = 'GMAO_2020_01_24_T12_00_00_32N_36N_121W_114W.nc'
+    f15 = 'GMAO_2020_01_24_T15_00_00_32N_36N_121W_114W.nc'
+    ref_name = 'GMAO_2020_01_24T13_52_44_timeInterp_32N_36N_121W_114W.nc'
+    if not (src / f12).exists():
+        pytest.skip('reference GUNW weather files unavailable')
+    shutil.copy(src / f12, tmp_path / f12)
+    shutil.copy(src / f15, tmp_path / f15)
+
+    out = combine_weather_files(
+        [str(tmp_path / f12), str(tmp_path / f15)],
+        dt.datetime(2020, 1, 24, 13, 52, 44), 'GMAO', 'center_time')
+    assert Path(out).name == ref_name
+
+    ours = read_nc(str(out))
+    ref = read_nc(str(src / ref_name))
+    for v, tol in (('wet_total', 0.0), ('hydro_total', 0.0),
+                   ('wet', 1e-5), ('hydro', 5e-5)):
+        a = np.asarray(ours[v].data, np.float64)
+        b = np.asarray(ref[v].data, np.float64)
+        assert np.nanmax(np.abs(a - b)) <= tol, v
