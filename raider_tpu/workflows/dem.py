@@ -25,6 +25,11 @@ def download_dem(ll_bounds=None, writeDEM: bool = False, outName: str = 'GLO30.d
         zvals, metadata = rio_open(dem_path)
         return zvals, metadata
 
+    if ll_bounds is None:
+        # no existing file and nothing to download over (reference: dem.py:33)
+        raise ValueError('download_dem: you must supply either an existing '
+                         'DEM file or ll_bounds to download over')
+
     try:
         import dem_stitcher  # noqa: F401
     except ImportError:

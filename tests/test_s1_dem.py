@@ -125,3 +125,29 @@ class TestInterpolateDEM:
         # out of bounds -> NaN
         out_oob = interpolate_dem(str(p), (np.array([50.0]), np.array([-117.5])))
         assert np.isnan(out_oob).all()
+
+
+class TestDownloadDEM:
+    """download_dem file-reuse semantics (reference: test_dem.py)."""
+
+    def test_reads_existing_dem(self):
+        from pathlib import Path
+
+        from raider_tpu.workflows.dem import download_dem
+
+        p = Path('/root/reference/test/scenario_4/warpedDEM.dem')
+        if not p.exists():
+            pytest.skip('reference scenario_4 unavailable')
+        hts, meta = download_dem(dem_path=p, overwrite=False)
+        assert hts.shape[-2:] == (45, 226)
+        assert meta is not None
+        assert meta.get('crs') is None
+
+    def test_requires_bounds_or_file(self, tmp_path, monkeypatch):
+        from raider_tpu.workflows.dem import download_dem
+
+        monkeypatch.chdir(tmp_path)
+        with pytest.raises(ValueError):
+            download_dem()
+        with pytest.raises(ValueError):
+            download_dem(dem_path=tmp_path / 'tmp_file.nc')
