@@ -488,3 +488,68 @@ def test_time_interpolation_matches_reference_product(tmp_path):
         a = np.asarray(ours[v].data, np.float64)
         b = np.asarray(ref[v].data, np.float64)
         assert np.nanmax(np.abs(a - b)) <= tol, v
+
+
+def test_pressure_level_pipeline_with_real_dem(tmp_path, monkeypatch):
+    """Scenario-7 real data end to end at the engine level: the checked-in
+    raw ERA5 PRESSURE-LEVEL file (z/r/q/t on 37 levels - the reference's own
+    test for it is a broken no-op, test_util.py:378-387) runs through the
+    pl loader + pipeline + processed writer, then a point query at heights
+    interpolated from the checked-in warped DEM."""
+    import datetime as _dt
+    import shutil
+
+    from raider_tpu.delay.engine import tropo_delay
+    from raider_tpu.geometry.aoi import StationFile
+    from raider_tpu.geometry.los import Zenith
+    from raider_tpu.io.rasters import rio_open
+    from raider_tpu.wx.base import make_raw_weather_data_filename
+    from raider_tpu.wx.registry import get_wm_by_name
+
+    scen = REFERENCE_DIR / 'test' / 'scenario_7'
+    if not (scen / 'warpedDEM.dem').exists():
+        pytest.skip('reference scenario_7 unavailable')
+
+    t = _dt.datetime(2018, 3, 27, 13, 0, 0)
+    _, Model = get_wm_by_name('ERA5')
+    m = Model()
+    m.setLevelType('pl')
+    m.set_latlon_bounds([16.0, 19.0, -101.0, -98.5])
+    m.setTime(t)
+    m.set_wmLoc(str(tmp_path))
+    shutil.copy(scen / 'ERA-5_2018_03_27_T13_00_00.nc',
+                make_raw_weather_data_filename(str(tmp_path), m.Model(), t))
+    m.load()
+    proc = m.write()
+
+    # query points on land, heights from the real DEM
+    lats_r, _ = rio_open(str(scen / 'lat.rdr'))
+    lons_r, _ = rio_open(str(scen / 'lon.rdr'))
+    ok = (~np.isnan(lats_r) & ~np.isnan(lons_r) & (lats_r > 16.3)
+          & (lats_r < 18.8) & (lons_r > -100.8) & (lons_r < -98.8)
+          & (lats_r != 0) & (lons_r != 0))
+    lats = lats_r[ok][::37]
+    lons = lons_r[ok][::37]
+    # the warped DEM is pixel-aligned with the lat/lon rasters (it carries
+    # no georeference of its own - the radar-coordinate height raster)
+    dem_r, _ = rio_open(str(scen / 'warpedDEM.dem'))
+    hgts = dem_r[ok][::37]
+    fin = np.isfinite(hgts)
+    lats, lons, hgts = lats[fin], lons[fin], hgts[fin]
+    assert lats.size > 50 and (hgts > 1500).sum() > 5
+
+    csv = tmp_path / 'stations.csv'
+    pd.DataFrame({'ID': [f'P{i}' for i in range(lats.size)],
+                  'Lat': lats, 'Lon': lons, 'Hgt_m': hgts}).to_csv(csv, index=False)
+    aoi = StationFile(str(csv))
+    wet, hydro = tropo_delay(t, str(proc), aoi, Zenith(), out_proj=4326)
+    wet = np.asarray(wet)
+    hydro = np.asarray(hydro)
+    assert np.isfinite(wet).all() and np.isfinite(hydro).all()
+    assert np.all((hydro > 1.0) & (hydro < 2.5))
+    assert np.all((wet > 0.0) & (wet < 0.6))
+    # terrain signal: high stations have shorter hydrostatic columns
+    hi = hgts > 2000
+    lo = hgts < 500
+    if hi.any() and lo.any():
+        assert hydro[hi].mean() < hydro[lo].mean() - 0.2
