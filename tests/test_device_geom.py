@@ -205,3 +205,37 @@ class TestFusedEnginePathProjectedCRS:
                                  los, Geographic(), zref=25000.0,
                                  compute_dtype=np.float32)
         np.testing.assert_allclose(wet, np.asarray(w_h), rtol=2e-3)
+
+
+class TestQuadraticAlgo:
+    """The quadratic-seeded level solver (RAIDER_TPU_GEOM_ALGO=quad) agrees
+    with the warm-start scan; kept as an alternative (the scan measured
+    faster on the attached v5e - df64 throughput bound)."""
+
+    def test_quad_matches_scan_closure(self, monkeypatch):
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from test_raytrace import synthetic_orbit, synthetic_wm_dataset
+
+        from raider_tpu.delay.engine import WeatherCube, _build_cube_ray
+        from raider_tpu.geodesy.crs import Geographic
+        from raider_tpu.geometry.los import Raytracing
+
+        monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', '1')
+        t = dt.datetime(2020, 1, 30, 13, 52, 45)
+        wm = WeatherCube(synthetic_wm_dataset(1.0, 2.0))
+        los = Raytracing(orbit=synthetic_orbit(t), time=t)
+        xpts = np.linspace(-118.4, -117.2, 6)
+        ypts = np.linspace(33.2, 33.8, 5)
+        outs = {}
+        for algo in ('scan', 'quad'):
+            monkeypatch.setenv('RAIDER_TPU_GEOM_ALGO', algo)
+            wet, hydro = _build_cube_ray(
+                wm, xpts, ypts, np.array([0.0, 2000.0]), los,
+                Geographic(), zref=25000.0, compute_dtype=np.float32)
+            outs[algo] = np.asarray(wet)
+            np.testing.assert_allclose(np.asarray(hydro) / np.asarray(wet),
+                                       2.0, rtol=1e-5)
+        # CPU df64 precision is degraded but both algorithms degrade the
+        # same way; on TPU the agreement is ~3e-6 m (verify drive)
+        np.testing.assert_allclose(outs['quad'], outs['scan'], rtol=5e-4)
