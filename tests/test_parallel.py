@@ -83,3 +83,32 @@ def test_sharded_raytrace_integration(rng):
     )
     np.testing.assert_allclose(np.asarray(wet2), np.asarray(wet1), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(hydro2), np.asarray(hydro1), rtol=1e-12)
+
+
+def test_sharded_raytrace_with_device_geometry(monkeypatch):
+    """Device geometry + multi-device ray sharding compose: geometry arrays
+    come back as device arrays and the engine shards them over the mesh."""
+    import datetime as dt
+    import sys
+
+    sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+    from test_raytrace import synthetic_orbit, synthetic_wm_dataset
+
+    from raider_tpu.delay.engine import WeatherCube, _build_cube_ray
+    from raider_tpu.geodesy.crs import Geographic
+    from raider_tpu.geometry.los import Raytracing
+
+    monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', '1')
+    t = dt.datetime(2020, 1, 30, 13, 52, 45)
+    wm = WeatherCube(synthetic_wm_dataset(1.0, 2.0))
+    los = Raytracing(orbit=synthetic_orbit(t), time=t)
+    # npix >= 8 * n_dev so the sharding branch actually engages
+    xpts = np.linspace(-118.4, -117.2, 16)
+    ypts = np.linspace(33.2, 33.8, 8)
+    wet, hydro = _build_cube_ray(wm, xpts, ypts, np.array([0.0]), los,
+                                 Geographic(), zref=25000.0,
+                                 compute_dtype=np.float32)
+    wet = np.asarray(wet)
+    assert wet.shape == (1, 8, 16)
+    assert np.isfinite(wet).all()
+    np.testing.assert_allclose(np.asarray(hydro) / wet, 2.0, rtol=1e-5)
