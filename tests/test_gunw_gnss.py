@@ -264,3 +264,66 @@ class TestMissingGUNWErrors:
         self._patch_s3(monkeypatch, [gunw_file, str(meta), None])
         with pytest.raises(ValueError, match='GUNW browse image could not be found'):
             calcDelaysGUNW(self.IARGS)
+
+
+class TestCalcDelaysGUNWSuccess:
+    def test_bucket_flow_packages_and_uploads(self, gunw_file, tmp_path, monkeypatch):
+        """Full S3 orchestration: fetch product/metadata/browse, compute,
+        package into the GUNW, re-upload all three artifacts."""
+        import json as _json
+
+        import raider_tpu.workflows.aws as aws
+        import raider_tpu.workflows.gunw as G
+        from raider_tpu.delay.engine import writeResultsToDataset
+        from raider_tpu.geodesy import Geographic
+        from raider_tpu.io import write_nc
+
+        meta = tmp_path / 'meta.json'
+        meta.write_text(_json.dumps({'metadata': {}}))
+        browse = tmp_path / 'browse.png'
+        browse.write_bytes(b'\x89PNG')
+        fetches = iter([str(gunw_file), str(meta), str(browse)])
+        monkeypatch.setattr(aws, 'get_s3_file', lambda *a, **k: next(fetches))
+        uploads = []
+        monkeypatch.setattr(aws, 'upload_file_to_s3',
+                            lambda p, bucket, prefix: uploads.append((str(p), bucket, prefix)))
+        monkeypatch.setattr(G, 'check_weather_model_availability', lambda f, m: True)
+
+        # two epoch delay cubes (as calcDelays would produce)
+        zpts = np.arange(-500.0, 9500.0, 1000.0)
+        xpts = np.linspace(-118.7, -116.7, 12)
+        ypts = np.linspace(34.9, 33.0, 10)
+        rng = np.random.default_rng(5)
+        cubes = []
+        for datestr in ('20200124', '20200130'):
+            ds = writeResultsToDataset(
+                dt.datetime.strptime(datestr, '%Y%m%d'), xpts, ypts, zpts,
+                Geographic(),
+                rng.uniform(0.01, 0.3, (zpts.size, ypts.size, xpts.size)),
+                rng.uniform(1.0, 2.5, (zpts.size, ypts.size, xpts.size)),
+                'wm.nc', 'slant - raytracing')
+            ds.attrs['model_times_used'] = [datestr]
+            ds.attrs['interpolation_method'] = 'none'
+            p = tmp_path / f'ERA5_tropo_{datestr}T135207_ray.nc'
+            write_nc(ds, p)
+            cubes.append(str(p))
+        monkeypatch.setattr(
+            G, 'prep_from_gunw',
+            lambda *a, **k: (tmp_path / 'cfg.yaml', 0.05546576))
+        import raider_tpu.workflows.calc_delays as cd
+        monkeypatch.setattr(cd, 'calcDelays', lambda argv: cubes)
+
+        out = G.calcDelaysGUNW([
+            '--bucket', 'bkt', '--input-bucket-prefix', 'in-prefix',
+            '--weather-model', 'ERA5',
+            '--output-directory', str(tmp_path)])
+        assert out == cubes
+
+        # metadata got the weather model recorded
+        assert _json.loads(meta.read_text())['metadata']['weather_model'] == ['ERA5']
+        # packaged into the GUNW
+        with h5py.File(gunw_file, 'r') as f:
+            assert f'{G.TROPO_GROUP}/ERA5/reference/troposphereWet' in f
+        # product + metadata + browse re-uploaded
+        assert [Path(u[0]).suffix for u in uploads] == ['.nc', '.json', '.png']
+        assert all(u[1] == 'bkt' for u in uploads)
