@@ -76,7 +76,7 @@ class TestCliFlows:
 
         with pytest.raises(SystemExit):
             calcDelays(['-g', 'example_LA_bbox'])
-        assert (tmp_path / 'raider_example_LA_bbox.yaml').exists()
+        assert (tmp_path / 'example_LA_bbox.yaml').exists()
 
     @pytest.mark.skipif(not REF_WM_DIR.exists(), reason='reference data unavailable')
     def test_download_only_skips_processing(self, tmp_path, monkeypatch):
