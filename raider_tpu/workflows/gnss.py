@@ -341,10 +341,10 @@ def downloadGNSS(iargs: Optional[list] = None) -> None:
                    help='Date(s) YYYYMMDD or range YYYYMMDD YYYYMMDD [step]')
     p.add_argument('--returntime', dest='time', required=True,
                    help='Time of day HH:MM:SS to return delays for')
-    p.add_argument('--bounding_box', '--bbox', dest='bounding_box', default=None,
+    p.add_argument('-b', '--bounding_box', '--bbox', dest='bounding_box', default=None,
                    help='Bounding box "S N W E"')
     p.add_argument('--station_file', default=None, help='CSV of station IDs/locations')
-    p.add_argument('--gpsrepo', dest='gps_repo', default='UNR')
+    p.add_argument('--gpsrepo', '-gr', dest='gps_repo', default='UNR')
     p.add_argument('--download', action='store_true', default=False,
                    help='Physically download the archives (virtual access otherwise)')
     p.add_argument('--cpus', type=int, default=8)
