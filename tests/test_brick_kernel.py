@@ -139,3 +139,36 @@ class TestBrickEquivalence:
         # sum over levels of ray_len * 1.0 (uniform unit lengths here)
         mass = (plan.wa[~plan.pad].sum() + plan.wb[~plan.pad].sum())
         np.testing.assert_allclose(mass, L, rtol=1e-12)
+
+
+class TestBrickFuzz:
+    """Seeded property fuzz: random z-ladders (incl. near-degenerate layers),
+    random start heights / zref caps, and random ray geometry must give
+    brick == pack16 to f64-roundoff on CPU."""
+
+    @pytest.mark.parametrize('seed', range(8))
+    def test_random_configs(self, seed):
+        rng = np.random.default_rng(100 + seed)
+        # random ascending ladder with occasional thin layers
+        nz = int(rng.integers(8, 40))
+        steps = rng.uniform(30.0, 2500.0, nz - 1)
+        thin = rng.random(nz - 1) < 0.15
+        steps[thin] = rng.uniform(0.2, 5.0, thin.sum())
+        zs = np.concatenate([[rng.uniform(-600, -100)],
+                             np.cumsum(steps)]).astype(np.float64)
+        zs += rng.uniform(-50, 50)
+        ht = float(rng.uniform(zs[0] - 200.0, zs[min(3, nz - 2)]))
+        zref = float(rng.uniform(zs[max(2, nz // 2)], zs[-1] + 500.0))
+        heights = level_heights(zs, ht, zref)
+        if heights is None or heights.size < 3:
+            pytest.skip('degenerate chain')
+
+        (w_p, h_p), (w_b, h_b) = run_both(
+            zs, heights, n_rays=97, seed=seed,
+        )
+        both = np.isfinite(w_p) & np.isfinite(w_b)
+        nan_match = np.isnan(w_p) == np.isnan(w_b)
+        assert nan_match.all(), 'NaN patterns must agree'
+        if both.any():
+            np.testing.assert_allclose(w_b[both], w_p[both], rtol=1e-10)
+            np.testing.assert_allclose(h_b[both], h_p[both], rtol=1e-10)
