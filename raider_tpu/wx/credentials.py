@@ -53,7 +53,9 @@ def check_api(
 
     rc_file = Path(output_dir) / rc_filename if output_dir else _rc_path(rc_filename)
 
-    if rc_file.exists() and not update_rc_file and (uid is None and key is None):
+    # never overwrite an existing credentials file unless explicitly asked
+    # (reference: credentials.py:104-107, changed in RAiDER PR #652)
+    if rc_file.exists() and not update_rc_file:
         return
 
     if uid is None or key is None:

@@ -258,3 +258,18 @@ class TestLogger:
         logger.error('boom %d', 7)
         assert 'boom 7' in (tmp_path / 'error.log').read_text()
         assert 'boom 7' in (tmp_path / 'debug.log').read_text()
+
+
+class TestCredentialsNoOverwrite:
+    def test_existing_rc_never_overwritten_without_flag(self, tmp_path):
+        """Reference PR #652 semantics: an existing credentials file is left
+        untouched even when uid/key are passed, unless update_rc_file."""
+        from raider_tpu.wx.credentials import check_api
+
+        rc = tmp_path / '.cdsapirc'
+        rc.write_text('url: custom\nkey: user-managed\n')
+        check_api('ERA5', uid='new', key='new-key', output_dir=str(tmp_path))
+        assert 'user-managed' in rc.read_text()
+        check_api('ERA5', uid='new', key='new-key', output_dir=str(tmp_path),
+                  update_rc_file=True)
+        assert 'new-key' in rc.read_text()
