@@ -1,4 +1,6 @@
 #!/bin/sh
-# HyP3 container entrypoint (capability parity: reference tools/RAiDER/etc/entrypoint.sh)
+# Container entrypoint (capability parity: reference tools/RAiDER/etc/entrypoint.sh):
+# pass everything to the ++process dispatcher, like upstream's
+# `exec python -um RAiDER.cli "$@"`.
 set -e
-python -m raider_tpu.cli ++process calcDelaysGUNW "$@"
+exec python -um raider_tpu.cli "$@"
