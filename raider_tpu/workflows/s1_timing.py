@@ -76,10 +76,16 @@ def get_slc_ids_from_time(lon, lat, time: dt.datetime) -> list:
 
 
 def get_orbits_from_slc_ids_hyp3lib(slc_ids: list, orbit_directory: Optional[str] = None) -> list:
-    """Fetch precise orbits for SLC ids (reference: s1_orbits.py:6-12)."""
+    """Fetch precise orbits for SLC ids, deduplicated and sorted
+    (reference: s1_orbits.py:6-12)."""
+    import pathlib
+
     import s1_orbits
 
-    return [str(s1_orbits.fetch_for_scene(scene, dir=orbit_directory or '.')) for scene in slc_ids]
+    orbit_dir = pathlib.Path(orbit_directory or 'orbits')
+    orbit_dir.mkdir(exist_ok=True)
+    orbits = {str(s1_orbits.fetch_for_scene(scene, orbit_dir)) for scene in slc_ids}
+    return sorted(orbits)
 
 
 def get_n_closest_datetimes(ref_time: dt.datetime, n_target_times: int,

@@ -151,3 +151,36 @@ class TestDownloadDEM:
             download_dem()
         with pytest.raises(ValueError):
             download_dem(dem_path=tmp_path / 'tmp_file.nc')
+
+
+class TestOrbitFetchWrapper:
+    """Mirrors reference test/test_s1_orbits.py: dedupe + sort + mkdir."""
+
+    def test_dedupes_sorts_and_creates_dir(self, tmp_path, monkeypatch):
+        import types
+
+        calls = []
+        results = iter(['foo.eof', 'bar.eof', 'foo.eof'])
+
+        fake = types.ModuleType('s1_orbits')
+
+        def fetch_for_scene(scene, directory):
+            calls.append((scene, directory))
+            return next(results)
+
+        fake.fetch_for_scene = fetch_for_scene
+        monkeypatch.setitem(sys.modules, 's1_orbits', fake)
+
+        from raider_tpu.workflows.s1_timing import get_orbits_from_slc_ids_hyp3lib
+
+        out = get_orbits_from_slc_ids_hyp3lib(
+            ['scene1', 'scene2', 'scene3'], str(tmp_path)
+        )
+        assert out == ['bar.eof', 'foo.eof']
+        assert [c[0] for c in calls] == ['scene1', 'scene2', 'scene3']
+
+        orbit_dir = tmp_path / 'orbits'
+        assert not orbit_dir.exists()
+        fake.fetch_for_scene = lambda scene, directory: 'a.eof'
+        assert get_orbits_from_slc_ids_hyp3lib(['scene4'], str(orbit_dir)) == ['a.eof']
+        assert orbit_dir.exists()
