@@ -95,6 +95,23 @@ def read_txt_file(filename) -> Tuple[list, np.ndarray, np.ndarray]:
     return t, np.asarray(pos, dtype=np.float64), np.asarray(vel, dtype=np.float64)
 
 
+def read_shelve_file(filename) -> Tuple[list, np.ndarray, np.ndarray]:
+    """Parse an ISCE2-style shelve database holding a ``frame`` object with
+    ``frame.orbit.stateVectors`` (each with .time/.position/.velocity)
+    into (datetimes, pos, vel) (reference capability: losreader.py:399-426)."""
+    import shelve
+
+    with shelve.open(str(filename), 'r') as db:
+        obj = db['frame']
+    svs = obj.orbit.stateVectors
+    if len(svs) == 0:
+        raise ValueError('read_shelve_file: the file has no statevectors')
+    t = [sv.time for sv in svs]
+    pos = np.asarray([sv.position for sv in svs], dtype=np.float64)
+    vel = np.asarray([sv.velocity for sv in svs], dtype=np.float64)
+    return t, pos, vel
+
+
 def filter_ESA_orbit_file(orbit_xml: str, ref_time: dt.datetime) -> bool:
     """True if the EOF filename's validity window contains ref_time
     (reference: losreader.py:537-554)."""
@@ -134,11 +151,16 @@ def get_orbit(orbit_file: Union[str, list, PosixPath], ref_time: dt.datetime, pa
     def _try_parse(path):
         try:
             return read_txt_file(path)
-        except ValueError:
-            try:
-                return read_ESA_orbit_file(path)
-            except Exception as e:
-                raise ValueError(f'get_orbit: cannot parse the statevector file {path}: {e}')
+        except (ValueError, UnicodeDecodeError):
+            pass
+        try:
+            return read_ESA_orbit_file(path)
+        except Exception:
+            pass
+        try:
+            return read_shelve_file(path)
+        except Exception as e:
+            raise ValueError(f'get_orbit: cannot parse the statevector file {path}: {e}')
 
     def _filter_safe(path):
         # non-standard EOF names can't be windowed by filename; keep them

@@ -39,6 +39,7 @@ _T_TILE_WIDTH, _T_TILE_LENGTH, _T_TILE_OFFSETS, _T_TILE_COUNTS = 322, 323, 324, 
 _T_SAMPLE_FORMAT = 339
 _T_PIXEL_SCALE, _T_TIEPOINT, _T_TRANSFORM = 33550, 33922, 34264
 _T_GEO_KEYS, _T_GEO_DOUBLES, _T_GEO_ASCII = 34735, 34736, 34737
+_T_GDAL_METADATA = 42112
 _T_GDAL_NODATA = 42113
 
 # TIFF field types: (struct char, byte size)
@@ -255,6 +256,18 @@ def read_gtiff(path: str) -> Tuple[np.ndarray, dict]:
         i, j, x, y = tp[0], tp[1], tp[3], tp[4]
         transform = (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
 
+    meta_tags = {}
+    if _T_GDAL_METADATA in tags:
+        # GDAL metadata XML: <GDALMetadata><Item name="KEY">value</Item>...
+        try:
+            import xml.etree.ElementTree as _ET
+
+            root = _ET.fromstring(str(tags[_T_GDAL_METADATA]).strip().rstrip('\x00'))
+            for item in root.iter('Item'):
+                meta_tags[item.get('name')] = item.text or ''
+        except _ET.ParseError:
+            pass
+
     nodata = None
     if _T_GDAL_NODATA in tags:
         try:
@@ -274,7 +287,7 @@ def read_gtiff(path: str) -> Tuple[np.ndarray, dict]:
         'width': width, 'height': height, 'count': spp,
         'dtype': out.dtype.name,
         'transform': GDALAffine(transform) if transform is not None else None,
-        'crs': crs, 'nodata': nodata, 'driver': 'GTiff',
+        'crs': crs, 'nodata': nodata, 'driver': 'GTiff', 'tags': meta_tags,
     }
     return out, profile
 
@@ -299,8 +312,13 @@ def _entry(tag: int, ftype: int, values, data_heap: list, heap_base: list):
 
 def write_gtiff(array: np.ndarray, path: str, transform=None,
                 crs: Optional[CRS] = None, nodata: Optional[float] = None,
-                compress: bool = False) -> None:
-    """Write (rows, cols) or (bands, rows, cols) to a striped GeoTIFF."""
+                compress: bool = False, metadata: Optional[dict] = None) -> None:
+    """Write (rows, cols) or (bands, rows, cols) to a striped GeoTIFF.
+
+    ``metadata`` key/value strings are stored as GDAL metadata (TIFF tag
+    42112), round-tripping through ``read_gtiff``'s profile['tags'] and
+    readable by GDAL/rasterio (``src.tags()``).
+    """
     arr = np.asarray(array)
     if arr.ndim == 2:
         arr = arr[None]
@@ -321,7 +339,20 @@ def write_gtiff(array: np.ndarray, path: str, transform=None,
     heap: list = []
     # layout: header(8) + ifd + next(4) + heap + strip data
     n_entries_guess = 14 + (3 if crs is not None else 0) \
-        + (2 if transform is not None else 0) + (1 if nodata is not None else 0)
+        + (2 if transform is not None else 0) + (1 if nodata is not None else 0) \
+        + (1 if metadata else 0)
+
+    def _escape(s: str) -> str:
+        return (str(s).replace('&', '&amp;').replace('<', '&lt;')
+                .replace('>', '&gt;').replace('"', '&quot;'))
+
+    meta_xml = None
+    if metadata:
+        items = ''.join(
+            f'  <Item name="{_escape(k)}">{_escape(v)}</Item>\n'
+            for k, v in metadata.items()
+        )
+        meta_xml = f'<GDALMetadata>\n{items}</GDALMetadata>\n'
 
     def build(n_entries):
         ifd_off = 8
@@ -357,6 +388,8 @@ def write_gtiff(array: np.ndarray, path: str, transform=None,
                 keys += [_GK_PROJECTED_TYPE, 0, 1, epsg]
             keys[3] = (len(keys) - 4) // 4
             add(_T_GEO_KEYS, 3, tuple(keys))
+        if meta_xml is not None:
+            add(_T_GDAL_METADATA, 2, meta_xml)
         if nodata is not None:
             add(_T_GDAL_NODATA, 2, repr(float(nodata)) if dt.kind == 'f' else str(int(nodata)))
         return strip_entry_idx, heap_base[0]

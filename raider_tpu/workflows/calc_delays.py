@@ -21,6 +21,7 @@ from raider_tpu.utils.timeutils import get_dt, get_nearest_wmtimes
 from raider_tpu.workflows.check_args import checkArgs
 from raider_tpu.workflows.config import read_run_config_file
 from raider_tpu.wx.exceptions import (
+    DatetimeFailed,
     NoWeatherModelData,
     TryToKeepGoingError,
     WrongNumberOfFiles,
@@ -28,11 +29,6 @@ from raider_tpu.wx.exceptions import (
 from raider_tpu.wx.process import prepareWeatherModel
 
 TIME_INTERPOLATION_METHODS = ['none', 'center_time', 'azimuth_time_grid']
-
-
-class DatetimeFailed(Exception):
-    def __init__(self, model, time) -> None:
-        super().__init__(f'Weather model {model} failed to download for datetime {time}')
 
 
 def calcDelays(iargs: Optional[Sequence[str]] = None) -> list:

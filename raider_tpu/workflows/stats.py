@@ -73,6 +73,90 @@ def grid_statistic(lats, lons, values, lat_edges, lon_edges, statistic: str = 'm
 
 # -------------------------------------------------------------- seasonal fit
 
+def convert_SI(val, unit_in: str, unit_out: str):
+    """Unit conversion for gridded values (reference: statsPlot.py convert_SI).
+
+    Spatial units are scaled through SI; time units (minute/hour/day/year)
+    extract that datetime component when ``val`` is a datetime series."""
+    SI = {'mm': 0.001, 'cm': 0.01, 'm': 1.0, 'km': 1000.0,
+          'mm^2': 1e-6, 'cm^2': 1e-4, 'm^2': 1.0, 'km^2': 1e6}
+    if unit_out in ('minute', 'hour', 'day', 'year'):
+        try:
+            datetimes = val.apply(pd.to_datetime).dt
+            return getattr(datetimes, unit_out).astype(float).astype('Int32')
+        except AttributeError:
+            return val
+    if unit_out not in SI:
+        raise ValueError(f'User-specified output unit {unit_out} not recognized.')
+    return val * SI[unit_in] / SI[unit_out]
+
+
+def save_gridfile(grid: np.ndarray, gridfile_type: str, fname: str, plotbbox,
+                  spacing: float, unit: str, colorbarfmt: str = '%.2f',
+                  stationsongrids=False, time_lines=False,
+                  dtype: str = 'float32', noData: float = np.nan) -> dict:
+    """Persist a gridded array as a GDAL-readable GeoTIFF with plot metadata
+    tags, so later runs can reload instead of recomputing (reference:
+    statsPlot.py save_gridfile :436-488)."""
+    from raider_tpu.geodesy import Geographic
+    from raider_tpu.io.geotiff import write_gtiff
+    from raider_tpu.io.rasters import GDALAffine
+
+    if unit in ('minute', 'hour', 'day', 'year'):
+        colorbarfmt = '%1i'
+    metadata = {
+        'gridfile_type': gridfile_type,
+        'plotbbox': ' '.join(str(i) for i in plotbbox),
+        'spacing': str(spacing),
+        'unit': unit,
+        'colorbarfmt': colorbarfmt,
+        'stationsongrids': (' '.join(str(i) for i in stationsongrids)
+                            if stationsongrids else 'False'),
+        'time_lines': (' '.join(str(i) for i in time_lines)
+                       if time_lines else 'False'),
+    }
+    gt = GDALAffine((plotbbox[0], spacing, 0.0, plotbbox[-1], 0.0, -spacing))
+    write_gtiff(np.asarray(grid, dtype=dtype), fname, transform=gt,
+                crs=Geographic(), nodata=noData, metadata=metadata)
+    return metadata
+
+
+def load_gridfile(fname: str, unit: str):
+    """Reload a grid saved by :func:`save_gridfile`, converting to ``unit``
+    (reference: statsPlot.py load_gridfile :490-556)."""
+    from raider_tpu.io.geotiff import read_gtiff
+
+    try:
+        arr, profile = read_gtiff(fname)
+    except (OSError, TypeError):
+        raise ValueError('fname is not a valid file')
+    grid = arr[0].astype(float)
+    meta = profile.get('tags', {})
+
+    nodat_arr = [0, np.nan, np.inf] if unit not in ('minute', 'hour', 'day', 'year') \
+        else [np.nan, np.inf]
+    for nd in nodat_arr:
+        with np.errstate(invalid='ignore'):
+            grid = np.where(np.isnan(grid) if np.isnan(nd) else grid == nd, np.nan, grid)
+
+    gridfile_type = meta.get('gridfile_type', '')
+    plotbbox = [float(i) for i in meta['plotbbox'].split()]
+    spacing = float(meta['spacing'])
+    colorbarfmt = meta.get('colorbarfmt', '%.2f')
+    inputunit = meta['unit']
+    if '^2' in inputunit:
+        unit = unit.split('^2')[0] + '^2'
+    grid = convert_SI(grid, inputunit, unit)
+
+    stationsongrids = meta.get('stationsongrids', 'False')
+    stationsongrids = (False if stationsongrids == 'False'
+                       else [float(i) for i in stationsongrids.split()])
+    time_lines = meta.get('time_lines', 'False')
+    time_lines = (False if time_lines == 'False'
+                  else [float(i) for i in time_lines.split()])
+    return grid, gridfile_type, plotbbox, spacing, colorbarfmt, stationsongrids, time_lines
+
+
 def seasonal_fit(times_s: np.ndarray, values: np.ndarray, station_idx: np.ndarray,
                  n_stations: int, periods_per_year=(1.0, 2.0)):
     """Batched harmonic regression per station.

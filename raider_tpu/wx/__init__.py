@@ -8,6 +8,8 @@ JAX ops. Capability parity with reference tools/RAiDER/models/.
 from raider_tpu.wx.base import WeatherModel, find_svp  # noqa: F401
 from raider_tpu.wx.exceptions import (  # noqa: F401
     CriticalError,
+    DatetimeFailed,
+    DatetimeNotAvailable,
     DatetimeOutsideRange,
     ExistingWeatherModelTooSmall,
     NoStationDataFoundError,

@@ -3,6 +3,16 @@
 import datetime as dt
 
 
+class DatetimeFailed(Exception):
+    def __init__(self, model: str = '', time: 'dt.datetime | None' = None) -> None:
+        super().__init__(f'Weather model {model} failed to download for datetime {time}')
+
+
+class DatetimeNotAvailable(Exception):
+    def __init__(self, model: str = '', time: 'dt.datetime | None' = None) -> None:
+        super().__init__(f'Weather model {model} was not found for datetime {time}')
+
+
 class DatetimeOutsideRange(Exception):
     def __init__(self, model: str = '', time: 'dt.datetime | None' = None) -> None:
         msg = f'Time {time} is outside the available date range for weather model {model}'

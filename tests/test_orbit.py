@@ -130,3 +130,55 @@ class TestParsing:
     def test_incorrect_file_raises(self):
         with pytest.raises(ValueError):
             get_orbit(str(ORB_DIR / 'incorrect_file.txt'), dt.datetime(2018, 11, 12, 23, 0, 32))
+
+
+class _SV:
+    def __init__(self, time, position, velocity):
+        self.time = time
+        self.position = position
+        self.velocity = velocity
+
+
+class _FakeOrbit:
+    def __init__(self, svs):
+        self.stateVectors = svs
+
+
+class _FakeFrame:
+    def __init__(self, svs):
+        self.orbit = _FakeOrbit(svs)
+
+
+class TestShelveReader:
+    """Shelve (ISCE2 frame) statevector source (reference: losreader.py:399-426)."""
+
+    def _write(self, path, svs):
+        import shelve
+
+        with shelve.open(str(path)) as db:
+            db['frame'] = _FakeFrame(svs)
+
+    def test_round_trip(self, tmp_path):
+        from raider_tpu.geometry.orbit import read_shelve_file
+
+        t_eof, pos_eof, vel_eof = read_ESA_orbit_file(ORB_DIR / 'S1_orbit_example.EOF')
+        svs = [_SV(t_eof[i], pos_eof[i].tolist(), vel_eof[i].tolist()) for i in range(len(t_eof))]
+        self._write(tmp_path / 'frame_db', svs)
+        t, pos, vel = read_shelve_file(tmp_path / 'frame_db')
+        assert t == t_eof
+        np.testing.assert_allclose(pos, pos_eof)
+        np.testing.assert_allclose(vel, vel_eof)
+
+    def test_empty_raises(self, tmp_path):
+        from raider_tpu.geometry.orbit import read_shelve_file
+
+        self._write(tmp_path / 'empty_db', [])
+        with pytest.raises(ValueError):
+            read_shelve_file(tmp_path / 'empty_db')
+
+    def test_get_orbit_from_shelve(self, tmp_path):
+        t_eof, pos_eof, vel_eof = read_ESA_orbit_file(ORB_DIR / 'S1_orbit_example.EOF')
+        svs = [_SV(t_eof[i], pos_eof[i].tolist(), vel_eof[i].tolist()) for i in range(len(t_eof))]
+        self._write(tmp_path / 'frame_db', svs)
+        orb = get_orbit(str(tmp_path / 'frame_db'), dt.datetime(2018, 11, 12, 23, 0, 32), pad=600)
+        assert orb.times.size >= 4

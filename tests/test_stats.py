@@ -155,3 +155,47 @@ class TestRaiderStats:
         out, sill, rng_ = st.plot_variogram('exponential')
         assert (tmp_path / 'variogram.png').exists()
         assert np.isfinite(sill)
+
+
+class TestGridfilePersistence:
+    """save_gridfile/load_gridfile round trip (reference: statsPlot.py:436-556)."""
+
+    def test_round_trip_and_unit_conversion(self, tmp_path):
+        import numpy as np
+
+        from raider_tpu.workflows.stats import load_gridfile, save_gridfile
+
+        grid = np.array([[1.0, 2.0], [np.nan, 4.0]], dtype=np.float32)
+        fname = str(tmp_path / 'grid_mean.tif')
+        meta = save_gridfile(grid, 'grid_delay_mean', fname,
+                             plotbbox=(-118.0, 32.0, -116.0, 34.0),
+                             spacing=1.0, unit='m')
+        assert meta['gridfile_type'] == 'grid_delay_mean'
+
+        out, gtype, bbox, spacing, cbfmt, sog, tl = load_gridfile(fname, 'cm')
+        assert gtype == 'grid_delay_mean'
+        assert bbox == [-118.0, 32.0, -116.0, 34.0]
+        assert spacing == 1.0
+        assert sog is False and tl is False
+        # 0 is masked to nan; values converted m -> cm
+        np.testing.assert_allclose(out[0], [100.0, 200.0])
+        assert np.isnan(out[1, 0])
+
+    def test_convert_si_rejects_unknown(self):
+        import pytest as _pytest
+
+        from raider_tpu.workflows.stats import convert_SI
+
+        with _pytest.raises(ValueError):
+            convert_SI(1.0, 'm', 'furlong')
+
+    def test_metadata_tags_survive_gtiff(self, tmp_path):
+        import numpy as np
+
+        from raider_tpu.io.geotiff import read_gtiff, write_gtiff
+
+        p = str(tmp_path / 'tagged.tif')
+        write_gtiff(np.ones((3, 4), np.float32), p,
+                    metadata={'a': '1 2 3', 'b<c': 'x&"y"'})
+        _, prof = read_gtiff(p)
+        assert prof['tags'] == {'a': '1 2 3', 'b<c': 'x&"y"'}
