@@ -58,7 +58,13 @@ def download_dem(ll_bounds=None, writeDEM: bool = False, outName: str = 'GLO30.d
 
 def interpolate_dem(dem_path, out_ll: Tuple[np.ndarray, np.ndarray], method: str = 'nearest') -> np.ndarray:
     """Interpolate a DEM raster to query lat/lons
-    (reference: interpolator.py:133-217)."""
+    (reference: interpolator.py:133-217).
+
+    DEMs stored in a projected CRS are handled by transforming the query
+    points into the DEM's CRS and sampling the native grid — exact where the
+    reference's reproject_raster (interpolator.py:188-217) first warps the
+    raster to EPSG:4326 with nearest resampling.
+    """
     from scipy.interpolate import RegularGridInterpolator
 
     from raider_tpu.io.rasters import rio_open
@@ -71,6 +77,13 @@ def interpolate_dem(dem_path, out_ll: Tuple[np.ndarray, np.ndarray], method: str
     xs = gt[0] + (np.arange(nx) + 0.5) * gt[1]
     ys = gt[3] + (np.arange(ny) + 0.5) * gt[5]
     lats, lons = out_ll
+    crs = profile.get('crs')
+    if crs is not None and not getattr(crs, 'is_geographic', False):
+        from raider_tpu.geodesy import Geographic, transform_points
+
+        qx, qy = transform_points(Geographic(), crs, np.asarray(lons, dtype=np.float64),
+                                  np.asarray(lats, dtype=np.float64))[:2]
+        lats, lons = np.asarray(qy), np.asarray(qx)
     if ys[0] > ys[-1]:
         ys = ys[::-1]
         data = data[..., ::-1, :]

@@ -184,3 +184,35 @@ class TestOrbitFetchWrapper:
         fake.fetch_for_scene = lambda scene, directory: 'a.eof'
         assert get_orbits_from_slc_ids_hyp3lib(['scene4'], str(orbit_dir)) == ['a.eof']
         assert orbit_dir.exists()
+
+
+class TestProjectedDEM:
+    """DEMs stored in a projected CRS are sampled via point transformation
+    (the capability of reference interpolator.py reproject_raster :188-217)."""
+
+    def test_utm_dem_sampling(self, tmp_path):
+        from raider_tpu.geodesy import Geographic, transform_points
+        from raider_tpu.geodesy.crs import utm_crs
+        from raider_tpu.io.geotiff import write_gtiff
+        from raider_tpu.io.rasters import GDALAffine
+        from raider_tpu.workflows.dem import interpolate_dem
+
+        crs = utm_crs(11)  # zone 11N covers LA
+        # DEM plane z = 1e-4*(x - x0) + 2e-4*(y0 - y) in UTM meters
+        x0, y0 = 370000.0, 3710000.0
+        nx, ny, step = 120, 100, 100.0
+        xs = x0 + (np.arange(nx) + 0.5) * step
+        ys = y0 - (np.arange(ny) + 0.5) * step
+        zz = 1e-4 * (xs[None, :] - x0) + 2e-4 * (y0 - ys[:, None])
+        p = str(tmp_path / 'utm_dem.tiff')
+        write_gtiff(zz.astype(np.float32), p,
+                    transform=GDALAffine((x0, step, 0.0, y0, 0.0, -step)),
+                    crs=crs, nodata=float('nan'))
+
+        lats = np.linspace(33.45, 33.50, 7)
+        lons = np.linspace(-118.38, -118.32, 7)
+        got = interpolate_dem(p, (lats, lons), method='linear')
+
+        qx, qy = transform_points(Geographic(), crs, lons, lats)[:2]
+        want = 1e-4 * (np.asarray(qx) - x0) + 2e-4 * (y0 - np.asarray(qy))
+        np.testing.assert_allclose(got, want, atol=1e-3)
