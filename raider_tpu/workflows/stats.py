@@ -73,6 +73,44 @@ def grid_statistic(lats, lons, values, lat_edges, lon_edges, statistic: str = 'm
 
 # -------------------------------------------------------------- seasonal fit
 
+def midpoint(p1, p2):
+    """Central longitude of the great-circle midpoint between two (lat, lon)
+    points; used for --time_lines (reference: statsPlot.py midpoint :420-433)."""
+    import math
+
+    if p1[1] == p2[1]:
+        return p1[1]
+    lat1, lon1, lat2, lon2 = map(math.radians, (p1[0], p1[1], p2[0], p2[1]))
+    dlon = lon2 - lon1
+    dx = math.cos(lat2) * math.cos(dlon)
+    dy = math.cos(lat2) * math.sin(dlon)
+    lon3 = lon1 + math.atan2(dy, math.cos(lat1) + dx)
+    return int(math.degrees(lon3))
+
+
+def compute_time_lines(df: pd.DataFrame) -> List[int]:
+    """Central longitudes separating the acquisition-hour bands of the
+    stations (reference: statsPlot.py :1483-1512): stations are bucketed by
+    observation hour and each band contributes the midpoint of its lon span."""
+    if 'Datetime' not in df:
+        return []
+    hrs = df['Datetime'].dt.hour.astype(float).astype('Int32')
+    all_hrs = sorted(set(hrs.dropna()))
+    central_points = []
+    if len(all_hrs) == 1:
+        central_points.append(([0, df['Lon'].max()], [0, df['Lon'].min()]))
+    else:
+        for k, _ in enumerate(all_hrs):
+            if k == len(all_hrs) - 1:
+                lons = df[hrs > all_hrs[k - 1]]
+            elif k == 0:
+                lons = df[hrs < all_hrs[k + 1]]
+            else:
+                lons = df[(hrs > all_hrs[k - 1]) & (hrs < all_hrs[k + 1])]
+            central_points.append(([0, lons['Lon'].max()], [0, lons['Lon'].min()]))
+    return [midpoint(p1, p2) for p1, p2 in central_points]
+
+
 def convert_SI(val, unit_in: str, unit_out: str):
     """Unit conversion for gridded values (reference: statsPlot.py convert_SI).
 
@@ -331,6 +369,8 @@ class RaiderStats:
             s, n, w, e = bbox
             df = df[(df['Lat'] >= s) & (df['Lat'] <= n) & (df['Lon'] >= w) & (df['Lon'] <= e)]
         self.df = df.reset_index(drop=True)
+        self.time_lines = (compute_time_lines(self.df)
+                           if self.fmt.get('time_lines') else [])
         if bbox:
             self.snwe = list(bbox)
         else:
@@ -446,6 +486,8 @@ class RaiderStats:
             ax.set_xticks(self.lon_edges, minor=True)
             ax.set_yticks(self.lat_edges, minor=True)
             ax.grid(which='minor', linewidth=0.3, color='k', alpha=0.4)
+        for lon in getattr(self, 'time_lines', []) or []:
+            ax.axvline(lon, color='k', linestyle='--', linewidth=0.8)
         ext = self.fmt.get('plot_format', 'png')
         out = os.path.join(self.workdir, f"{os.path.splitext(fname)[0]}.{ext}")
         fig.savefig(out, dpi=self.fmt.get('figdpi', 100))

@@ -199,3 +199,44 @@ class TestGridfilePersistence:
                     metadata={'a': '1 2 3', 'b<c': 'x&"y"'})
         _, prof = read_gtiff(p)
         assert prof['tags'] == {'a': '1 2 3', 'b<c': 'x&"y"'}
+
+
+class TestTimeLines:
+    """--time_lines central longitudes (reference: statsPlot.py:420-433,1483-1512)."""
+
+    def test_midpoint(self):
+        from raider_tpu.workflows.stats import midpoint
+
+        assert midpoint((0, -118.0), (0, -118.0)) == -118.0
+        # int() truncation toward zero mirrors the reference's midpoint
+        assert abs(midpoint((0, -120.0), (0, -116.0)) - (-118)) <= 1
+
+    def test_compute_time_lines_buckets_by_hour(self):
+        import pandas as pd
+
+        from raider_tpu.workflows.stats import compute_time_lines
+
+        df = pd.DataFrame({
+            'Lon': [-120.0, -119.0, -112.0, -111.0],
+            'Lat': [34.0, 35.0, 34.0, 35.0],
+            'Datetime': pd.to_datetime([
+                '2020-01-01T01:00', '2020-01-01T01:05',
+                '2020-01-01T02:00', '2020-01-01T02:05']),
+        })
+        lines = compute_time_lines(df)
+        assert len(lines) == 2
+        assert abs(lines[0] - (-119)) <= 1  # midpoint of the 1h band lons
+        assert abs(lines[1] - (-111)) <= 1  # midpoint of the 2h band lons
+
+    def test_plot_grid_draws_time_lines(self, tmp_path):
+        import os
+
+        from raider_tpu.workflows.stats import RaiderStats
+
+        csv = tmp_path / 'combined.csv'
+        synthetic_gnss_csv(csv)
+        st = RaiderStats(str(csv), workdir=str(tmp_path),
+                         plot_fmt={'time_lines': True})
+        assert isinstance(st.time_lines, list)
+        out = st.plot_station_distribution()
+        assert os.path.exists(out)
