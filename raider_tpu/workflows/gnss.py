@@ -173,8 +173,12 @@ def get_date(tokens) -> tuple:
     return dt.datetime(year, 1, 1) + dt.timedelta(doy - 1), year, doy
 
 
-def seconds_of_day(returnTime) -> int:
-    """(reference: getStationDelays.py:276-282)."""
+def seconds_of_day(returnTime) -> Optional[int]:
+    """(reference: getStationDelays.py:276-282). None passes through,
+    meaning "all times" (the reference documents this for --returntime but
+    crashes on it; we honor the documented behavior)."""
+    if returnTime is None:
+        return None
     if isinstance(returnTime, dt.time):
         return returnTime.hour * 3600 + returnTime.minute * 60 + returnTime.second
     h, m, s = map(int, str(returnTime).split(':'))
@@ -286,7 +290,7 @@ def get_station_data(inFile, dateList, gps_repo: Optional[str] = None, numCPUs: 
     pathbase.mkdir(exist_ok=True)
 
     returnTime = seconds_of_day(returnTime)
-    if returnTime % 3 != 0:
+    if returnTime is not None and returnTime % 3 != 0:
         grid = np.array(list(range(0, 86400, 300)))
         returnTime = int(grid[np.argmin(np.abs(grid - returnTime))])
 
@@ -339,16 +343,20 @@ def downloadGNSS(iargs: Optional[list] = None) -> None:
     p.add_argument('--out', default='.', help='Output directory')
     p.add_argument('--date', dest='dateList', nargs='+', required=True,
                    help='Date(s) YYYYMMDD or range YYYYMMDD YYYYMMDD [step]')
-    p.add_argument('--returntime', dest='time', required=True,
-                   help='Time of day HH:MM:SS to return delays for')
+    p.add_argument('--returntime', dest='time', default=None,
+                   help='Time of day HH:MM:SS to return delays for '
+                        '(default: all times)')
     p.add_argument('-b', '--bounding_box', '--bbox', dest='bounding_box', default=None,
                    help='Bounding box "S N W E"')
-    p.add_argument('--station_file', default=None, help='CSV of station IDs/locations')
+    p.add_argument('--station_file', '-f', default=None,
+                   help='CSV of station IDs/locations')
     p.add_argument('--gpsrepo', '-gr', dest='gps_repo', default='UNR')
     p.add_argument('--download', action='store_true', default=False,
                    help='Physically download the archives (virtual access otherwise)')
-    p.add_argument('--cpus', type=int, default=8)
-    p.add_argument('--verbose', action='store_true', default=False)
+    p.add_argument('--cpus', default='all',
+                   type=lambda v: os.cpu_count() if v == 'all' else int(v),
+                   help='Worker count, or "all"')
+    p.add_argument('--verbose', '-v', action='count', default=0)
     args = p.parse_args(iargs)
 
     # parse dates: single, list, or start/end[/step]
@@ -363,7 +371,7 @@ def downloadGNSS(iargs: Optional[list] = None) -> None:
     else:
         dates = [coerce_into_date(t) for t in toks]
 
-    return_time = TimeGroup.coerce_into_time(args.time)
+    return_time = TimeGroup.coerce_into_time(args.time) if args.time else None
     out = args.out
     os.makedirs(out, exist_ok=True)
 

@@ -6,6 +6,7 @@ Capability parity: reference tools/RAiDER/gnss/processDelayFiles.py.
 import argparse
 import datetime as dt
 import math
+import os
 import re
 from pathlib import Path
 import pandas as pd
@@ -192,20 +193,44 @@ def main(raider_file, ztd_file, col_name: str = 'ZTD', raider_delay: str = 'tota
     return None
 
 
+def file_choices(parser: argparse.ArgumentParser, choices, fname: str) -> Path:
+    """Argparse type: require one of ``choices`` file extensions
+    (reference: processDelayFiles.py file_choices)."""
+    ext = os.path.splitext(fname)[1][1:]
+    if ext not in [c.lstrip('.') for c in choices]:
+        parser.error(f'File {fname} must end with one of {choices}')
+    return Path(fname)
+
+
+def parse_dir(parser: argparse.ArgumentParser, fname: str) -> Path:
+    """Argparse type: require an existing directory
+    (reference: processDelayFiles.py parse_dir)."""
+    if not os.path.isdir(fname):
+        parser.error(f'{fname} is not a directory')
+    return Path(fname)
+
+
 def create_parser() -> argparse.ArgumentParser:
-    """(reference: processDelayFiles.py:240-346)."""
+    """Flag surface matches the reference exactly
+    (reference: processDelayFiles.py:240-346)."""
     p = argparse.ArgumentParser(
         description='Combine delay files from a directory and merge with GNSS ZTD',
     )
-    p.add_argument('--raider_file', '-r', type=Path, required=True,
-                   help='Combined RAiDER delay CSV (created if missing)')
-    p.add_argument('--raider_folder', '-rd', type=Path, default=Path.cwd())
-    p.add_argument('--gnss_folder', '-gd', type=Path, default=Path.cwd())
-    p.add_argument('--gnss_file', '-g', type=Path, default=None)
-    p.add_argument('--raider_column_name', '-rc', default='totalDelay')
-    p.add_argument('--column_name', '-c', default='ZTD')
-    p.add_argument('--out_name', '-o', type=Path, default=Path('Combined_delays.csv'))
-    p.add_argument('--local_time', '-lt', default=None, help='"<hour> <threshold_hrs>"')
+    p.add_argument('--raider', dest='raider_file', required=True,
+                   type=lambda s: file_choices(p, ('csv', '.csv'), s),
+                   help='Combined RAiDER delay CSV (created from --raiderDir if missing)')
+    p.add_argument('--raiderDir', '-d', dest='raider_folder', default=Path.cwd(),
+                   type=lambda s: parse_dir(p, s))
+    p.add_argument('--gnssDir', '-gd', dest='gnss_folder', default=Path.cwd(),
+                   type=lambda s: parse_dir(p, s))
+    p.add_argument('--gnss', dest='gnss_file', default=None,
+                   type=lambda s: file_choices(p, ('csv', '.csv'), s))
+    p.add_argument('--raider_column', '-r', dest='raider_column_name', default='totalDelay')
+    p.add_argument('--column', '-c', dest='column_name', default='ZTD')
+    p.add_argument('--out', '-o', dest='out_name', type=Path,
+                   default=Path('Combined_delays.csv'))
+    p.add_argument('--localtime', '-lt', dest='local_time', default=None,
+                   help='"<hour> <threshold_hrs>"')
     p.add_argument('--verbose', '-v', action='store_true')
     return p
 

@@ -96,3 +96,46 @@ class TestConsoleEntrypoints:
 
     def test_gunw_entry_importable(self):
         from raider_tpu.workflows.gunw import calcDelaysGUNW  # noqa: F401
+
+
+class TestCombineZTDFilesCLI:
+    """The raiderCombine CLI accepts the reference's exact flag spellings
+    (reference: processDelayFiles.py:240-346)."""
+
+    def test_reference_flags_end_to_end(self, tmp_path, monkeypatch):
+        import pandas as pd
+
+        from raider_tpu.workflows.gnss_combine import combineZTDFiles
+
+        model_dir = tmp_path / 'model'
+        model_dir.mkdir()
+        for datestr in ('20200130', '20200131'):
+            pd.DataFrame({
+                'ID': ['TORP'], 'Lat': [33.8], 'Lon': [-118.3], 'Hgt_m': [-5.2],
+                'wetDelay': [0.1], 'hydroDelay': [2.3], 'totalDelay': [2.4],
+            }).to_csv(model_dir / f'ERA5_Delay_{datestr}T120000_ztd.csv', index=False)
+
+        monkeypatch.chdir(tmp_path)
+        raider_csv = tmp_path / 'raider_combined.csv'
+        combineZTDFiles([
+            '--raider', str(raider_csv),
+            '--raiderDir', str(model_dir),
+        ])
+        assert raider_csv.exists()
+        assert len(pd.read_csv(raider_csv)) == 2
+
+    def test_flag_validation(self, tmp_path, capsys):
+        import pytest as _pytest
+
+        from raider_tpu.workflows.gnss_combine import create_parser
+
+        p = create_parser()
+        # wrong extension for --raider
+        with _pytest.raises(SystemExit):
+            p.parse_args(['--raider', 'file.txt'])
+        # nonexistent --raiderDir
+        with _pytest.raises(SystemExit):
+            p.parse_args(['--raider', 'f.csv', '--raiderDir', str(tmp_path / 'nope')])
+        # -r maps to the raider column name like the reference
+        args = p.parse_args(['--raider', 'f.csv', '-r', 'wetDelay'])
+        assert args.raider_column_name == 'wetDelay'

@@ -327,3 +327,30 @@ class TestCalcDelaysGUNWSuccess:
         # product + metadata + browse re-uploaded
         assert [Path(u[0]).suffix for u in uploads] == ['.nc', '.json', '.png']
         assert all(u[1] == 'bkt' for u in uploads)
+
+
+class TestReturnTimeOptional:
+    """--returntime is optional: None means all times (reference documents
+    this at cli/raider.py:497-503; its code path crashes, ours honors it)."""
+
+    def test_seconds_of_day_none(self):
+        from raider_tpu.workflows.gnss import seconds_of_day
+
+        assert seconds_of_day(None) is None
+        assert seconds_of_day('01:00:00') == 3600
+
+    def test_get_station_data_all_times(self, tmp_path):
+        from raider_tpu.workflows.gnss import get_station_data
+
+        zpath = tmp_path / 'TORP.2020.trop.zip'
+        TestGnssParsing()._make_trop_zip(zpath)
+        paths_csv = tmp_path / 'UNRstations_withpaths.csv'
+        pd.DataFrame({'ID': ['TORP'], 'path': [str(zpath)],
+                      'Lat': [33.8], 'Lon': [-118.3], 'Hgt_m': [10.0]}
+                     ).to_csv(paths_csv, index=False)
+        get_station_data(str(paths_csv), ['2020-01-30'], gps_repo='UNR',
+                         numCPUs=1, outDir=str(tmp_path), returnTime=None)
+        out = list(tmp_path.glob('UNR*combined*'))
+        assert out, 'combined network CSV not written'
+        df = pd.read_csv(out[0])
+        assert len(df) == 288  # every 300 s slot survives
