@@ -71,24 +71,17 @@ def main() -> None:
     L = nz - 1
     zen = rng.uniform(np.deg2rad(25.0), np.deg2rad(45.0), n_rays)
     azi = rng.uniform(0.0, 2.0 * np.pi, n_rays)
-    dzv = (zs[1:] - zs[:-1])
-    dh = dzv[:, None] * np.tan(zen)[None, :]            # horizontal m / level
-    deg_per_m = 1.0 / 111000.0
-    ystep = dh * np.cos(azi) * deg_per_m
-    xstep = dh * np.sin(azi) * deg_per_m
     y0 = rng.uniform(32.0, 38.0, n_rays)
     x0 = rng.uniform(-123.0, -117.0, n_rays)
-    ycum = np.vstack([np.zeros((1, n_rays)), np.cumsum(ystep, axis=0)])
-    xcum = np.vstack([np.zeros((1, n_rays)), np.cumsum(xstep, axis=0)])
-    zbc = np.broadcast_to(zs[:, None], (nz, n_rays))
-    low = np.stack([y0 + ycum[:-1], x0 + xcum[:-1], zbc[:-1]], axis=-1).astype(dtype)
-    high = np.stack([y0 + ycum[1:], x0 + xcum[1:], zbc[1:]], axis=-1).astype(dtype)
-    ray_len = (dzv[:, None] / np.cos(zen)[None, :]).astype(dtype)
-    d2 = (dh**2).astype(dtype)
-    re = np.full(n_rays, 6371000.0, dtype)
-    per_level_max = ray_len.max(axis=1)
+    dzv = (zs[1:] - zs[:-1])
+    deg_per_m = 1.0 / 111000.0
+    # plan inputs: per-level maxima are closed-form in max(zen), no (L, N)
+    # host arrays needed
+    max_sec = float((1.0 / np.cos(zen)).max())
+    max_tan = float(np.tan(zen).max())
+    per_level_max = (dzv * max_sec).astype(dtype)
     heights = zs.copy()
-    hstep_max = dh.max(axis=1) * deg_per_m
+    hstep_max = dzv * max_tan * deg_per_m
     n_samples = build_sampling_plan(per_level_max)[0].size
 
     packed2d, mode = pack_cubes(wet, hydro, grouped=True)
@@ -98,9 +91,30 @@ def main() -> None:
         n_gathers = build_group_plan(per_level_max, heights, hstep_max,
                                      ys, xs, zs).anchor.size
 
-    # stage the ray batch on device ONCE; the perturbation that defeats
-    # result caching is applied on-device so no re-upload happens per run
-    dev = [jnp.asarray(a) for a in (low, high, d2, ray_len, re)]
+    # build the (L, N) ray batch ON DEVICE from the 4 small per-ray arrays:
+    # uploading ~1.6 GB of precomputed endpoints through the remote-TPU
+    # tunnel dominated benchmark wall time, while 4x8 MB is instant. The
+    # measured kernel is unchanged; the perturbation that defeats result
+    # caching is applied on-device so no re-upload happens per run.
+    @jax.jit
+    def build_rays(zen, azi, y0, x0, dzv_j, zs_j):
+        dh = dzv_j[:, None] * jnp.tan(zen)[None, :]     # horizontal m / level
+        ystep = dh * jnp.cos(azi) * deg_per_m
+        xstep = dh * jnp.sin(azi) * deg_per_m
+        zero = jnp.zeros((1, zen.size), ystep.dtype)
+        ycum = jnp.concatenate([zero, jnp.cumsum(ystep, axis=0)], axis=0)
+        xcum = jnp.concatenate([zero, jnp.cumsum(xstep, axis=0)], axis=0)
+        zbc = jnp.broadcast_to(zs_j[:, None], (zs_j.size, zen.size))
+        low = jnp.stack([y0 + ycum[:-1], x0 + xcum[:-1], zbc[:-1]], axis=-1).astype(dtype)
+        high = jnp.stack([y0 + ycum[1:], x0 + xcum[1:], zbc[1:]], axis=-1).astype(dtype)
+        ray_len = (dzv_j[:, None] / jnp.cos(zen)[None, :]).astype(dtype)
+        d2 = (dh * dh).astype(dtype)
+        re = jnp.full(zen.size, 6371000.0, dtype)
+        return low, high, d2, ray_len, re
+
+    dev = jax.block_until_ready(build_rays(
+        jnp.asarray(zen), jnp.asarray(azi), jnp.asarray(y0), jnp.asarray(x0),
+        jnp.asarray(dzv), jnp.asarray(zs)))
 
     def run_std(bump):
         low_d, high_d, d2_d, rl_d, re_d = dev
