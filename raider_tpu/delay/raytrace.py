@@ -20,6 +20,16 @@ gather row per sample:
 
 measured 3.4x (PACK4) to ~10x (PACK16) over the naive 16-gather form.
 
+Ablation on v5e (1M rays, HRRR-sized cube, 11 brick groups/ray): full kernel
+265 ms = gather+index 112 ms + per-sample arithmetic ~98 ms + non-overlap.
+A raw jnp.take of the same 11M x 126-f32 rows runs 81 ms (~135 Mrows/s,
+68 GB/s — the XLA scattered-row ceiling on this chip; sorted indices don't
+help, and a one-per-group coefficient-tensor contraction reproduces the
+result to 1e-7 but saves nothing because XLA materializes the temps either
+way). The kernel is therefore within ~2.4x of the hardware scattered-gather
+limit for this row size; further speedup requires fewer/fatter rows (wider
+bricks) or a fundamentally denser access pattern, not instruction tuning.
+
 Coordinate precision: ray segment ENDPOINTS are computed exactly (f64, host
 CPU) in model CRS; interior sample coordinates are linear interpolation in
 model space plus an analytic chord-sagitta height correction,
