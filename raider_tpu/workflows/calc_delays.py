@@ -53,6 +53,12 @@ def calcDelays(iargs: Optional[Sequence[str]] = None) -> list:
     if args.generate_config is not None:
         ex_dir = Path(__file__).parent.parent / 'cli' / 'examples' / args.generate_config
         for filename in ex_dir.glob('*'):
+            dest = Path.cwd() / filename.name
+            if dest.exists() and sys.stdin.isatty():
+                # reference prompts before clobbering (cli/raider.py:217-220)
+                print(f'File {dest} already exists. Overwrite? [y/n]')
+                if input().lower() != 'y':
+                    continue
             shutil.copy(str(filename), str(Path.cwd()))
             logger.info('Wrote: %s', filename.name)
         sys.exit()
