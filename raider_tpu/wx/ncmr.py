@@ -39,6 +39,20 @@ def read_NCMR_loginInfo(filepath: str = None) -> Tuple[str, str, str]:
             parse_line(lines[2], 'password'))
 
 
+def _show_progress(block_num: int, block_size: int, total_size: int) -> None:
+    """urlretrieve reporthook: log download progress every ~10%%
+    (capability of reference utilFcns.show_progress without the
+    progressbar dependency)."""
+    if total_size <= 0:
+        return
+    done = block_num * block_size
+    pct = int(100 * done / total_size)
+    prev = int(100 * (done - block_size) / total_size)
+    if pct // 10 != prev // 10:
+        from raider_tpu.logger import logger
+        logger.info('NCMR download: %d%%', min(pct, 100))
+
+
 class NCMR(WeatherModel):
     """NCUM global model: 0.117 x 0.176 degrees, 137-level height ladder
     (reference: models/ncmr.py:26-242)."""
@@ -89,7 +103,7 @@ class NCMR(WeatherModel):
             opener = urllib.request.build_opener(handler)
             urllib.request.install_opener(opener)
             logger.info('Downloading %s', remote)
-            urllib.request.urlretrieve(remote, str(local))
+            urllib.request.urlretrieve(remote, str(local), _show_progress)
 
         with netcdf_file(str(local), 'r', maskandscale=True) as f:
             lats_full = f.variables['latitude'][:].copy()

@@ -264,7 +264,7 @@ class TestNCMR:
 
         fetched = {}
 
-        def fake_urlretrieve(remote, local):
+        def fake_urlretrieve(remote, local, reporthook=None):
             fetched['remote'] = remote
             self._write_day_file(local)
 
