@@ -107,8 +107,8 @@ def _eval_pos_vel_acc(times_f32, t_c, coeffs, t: DF):
     coeffsT = coeffs.reshape(nw, 48).T                 # (48, nw)
     t_cT = t_c.T                                       # (2, nw)
     w = _gather_window(times_f32, t.hi)
-    tc2 = jnp.take(t_cT, w, axis=1)                    # (2, N)
-    r4 = jnp.take(coeffsT, w, axis=1).reshape(8, 3, 2, -1)
+    tc2 = jnp.take(t_cT, w, axis=1)                    # (2, ...batch)
+    r4 = jnp.take(coeffsT, w, axis=1).reshape((8, 3, 2) + w.shape)
     tau = df64.sub(t, DF(tc2[0], tc2[1]))
 
     def c(k, comp):

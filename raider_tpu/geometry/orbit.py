@@ -149,18 +149,24 @@ def get_orbit(orbit_file: Union[str, list, PosixPath], ref_time: dt.datetime, pa
     pos_all, vel_all = [], []
 
     def _try_parse(path):
+        errors = []
+        # OSError included: shelve DBs may exist only with a dbm suffix
+        # (path.dat/.dir), so opening `path` as text raises FileNotFoundError
         try:
             return read_txt_file(path)
-        except (ValueError, UnicodeDecodeError):
-            pass
+        except (ValueError, UnicodeDecodeError, OSError) as e:
+            errors.append(f'txt: {e}')
         try:
             return read_ESA_orbit_file(path)
-        except Exception:
-            pass
+        except Exception as e:
+            errors.append(f'EOF: {e}')
         try:
             return read_shelve_file(path)
         except Exception as e:
-            raise ValueError(f'get_orbit: cannot parse the statevector file {path}: {e}')
+            errors.append(f'shelve: {e}')
+        raise ValueError(
+            f'get_orbit: cannot parse the statevector file {path}: '
+            + '; '.join(errors))
 
     def _filter_safe(path):
         # non-standard EOF names can't be windowed by filename; keep them

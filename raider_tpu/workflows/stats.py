@@ -177,6 +177,10 @@ def load_gridfile(fname: str, unit: str):
         with np.errstate(invalid='ignore'):
             grid = np.where(np.isnan(grid) if np.isnan(nd) else grid == nd, np.nan, grid)
 
+    if not all(k in meta for k in ('plotbbox', 'spacing', 'unit')):
+        raise ValueError(
+            f'{fname} has no save_gridfile metadata tags (plotbbox/spacing/'
+            'unit); it was not written by save_gridfile')
     gridfile_type = meta.get('gridfile_type', '')
     plotbbox = [float(i) for i in meta['plotbbox'].split()]
     spacing = float(meta['spacing'])

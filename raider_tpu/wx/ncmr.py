@@ -40,7 +40,7 @@ def read_NCMR_loginInfo(filepath: str = None) -> Tuple[str, str, str]:
 
 
 def _show_progress(block_num: int, block_size: int, total_size: int) -> None:
-    """urlretrieve reporthook: log download progress every ~10%%
+    """urlretrieve reporthook: log download progress every ~10%
     (capability of reference utilFcns.show_progress without the
     progressbar dependency)."""
     if total_size <= 0:
@@ -49,7 +49,6 @@ def _show_progress(block_num: int, block_size: int, total_size: int) -> None:
     pct = int(100 * done / total_size)
     prev = int(100 * (done - block_size) / total_size)
     if pct // 10 != prev // 10:
-        from raider_tpu.logger import logger
         logger.info('NCMR download: %d%%', min(pct, 100))
 
 

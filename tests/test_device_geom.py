@@ -72,6 +72,19 @@ class TestGeo2rdrDevice:
         assert np.abs(sat_dev - np.asarray(sat_h)).max() < 2e-4
 
 
+class TestGeo2rdrDeviceBatchDims:
+    def test_multidim_target_batch(self, poly, targets):
+        """geo2rdr_device accepts (..., 3) batches (docstring contract);
+        regression for the column-major fetch flattening batch dims."""
+        batch = targets[:12].reshape(3, 4, 3)
+        az_d, (p_hi, p_lo), sr_d = dg.geo2rdr_device(poly, batch)
+        flat_az, _, flat_sr = dg.geo2rdr_device(poly, targets[:12])
+        np.testing.assert_allclose(
+            df64.to_f64(az_d).reshape(-1), df64.to_f64(flat_az), rtol=0, atol=0)
+        np.testing.assert_allclose(
+            df64.to_f64(sr_d).reshape(-1), df64.to_f64(flat_sr), rtol=0, atol=0)
+
+
 class TestBuildRayDevice:
     @pytest.mark.xfail(
         strict=False,

@@ -240,3 +240,16 @@ class TestTimeLines:
         assert isinstance(st.time_lines, list)
         out = st.plot_station_distribution()
         assert os.path.exists(out)
+
+
+def test_load_gridfile_rejects_untagged_tiff(tmp_path):
+    """A GeoTIFF without save_gridfile metadata raises ValueError, not KeyError."""
+    import numpy as np
+
+    from raider_tpu.io.geotiff import write_gtiff
+    from raider_tpu.workflows.stats import load_gridfile
+
+    p = str(tmp_path / 'plain.tif')
+    write_gtiff(np.ones((2, 2), np.float32), p)
+    with pytest.raises(ValueError):
+        load_gridfile(p, 'm')
