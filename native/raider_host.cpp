@@ -146,6 +146,85 @@ void interp3d_d(
   });
 }
 
+// Generic N-D multilinear interpolation on a rectilinear ascending grid at
+// scattered query points; fill_value outside. The capability of the
+// reference's RAiDER.interpolate.interpolate() for any rank (its 1/2/3-D
+// specializations and generic corner-weight loop, interpolate.cpp:18-258):
+// per point, locate the cell along each axis, then accumulate the 2^ndim
+// corner products. assume_sorted enables a forward-scan start hint per
+// thread chunk (queries that arrive in ascending order skip the bisection).
+void interpn_d(
+    const double* grids,       // concatenated axes, ascending each
+    const std::int64_t* grid_sizes,  // (ndim,)
+    std::int64_t ndim,         // 1..8
+    const double* values,      // row-major (grid_sizes[0], ..., grid_sizes[ndim-1])
+    const double* points,      // (npts, ndim)
+    double* out,               // (npts,)
+    std::int64_t npts,
+    double fill_value, int assume_sorted, int max_threads) {
+  if (ndim < 1 || ndim > 8) {
+    for (std::int64_t k = 0; k < npts; ++k) out[k] = kNaN;
+    return;
+  }
+  // per-axis offsets into `grids` and row-major strides of `values`
+  std::int64_t offs[8], strides[8];
+  std::int64_t off = 0;
+  for (std::int64_t d = 0; d < ndim; ++d) {
+    offs[d] = off;
+    off += grid_sizes[d];
+  }
+  std::int64_t stride = 1;
+  for (std::int64_t d = ndim - 1; d >= 0; --d) {
+    strides[d] = stride;
+    stride *= grid_sizes[d];
+  }
+  parallel_for(npts, max_threads, [=](std::int64_t k0, std::int64_t k1) {
+    std::int64_t hint[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    for (std::int64_t k = k0; k < k1; ++k) {
+      const double* p = points + k * ndim;
+      std::int64_t idx[8];
+      double frac[8];
+      bool oob = false;
+      for (std::int64_t d = 0; d < ndim; ++d) {
+        const double* g = grids + offs[d];
+        const std::int64_t n = grid_sizes[d];
+        const double v = p[d];
+        if (!(v >= g[0]) || !(v <= g[n - 1])) {  // catches NaN too
+          oob = true;
+          break;
+        }
+        std::int64_t i;
+        if (assume_sorted && hint[d] < n - 1 && g[hint[d]] <= v) {
+          i = hint[d];
+          while (i < n - 2 && g[i + 1] <= v) ++i;
+        } else {
+          i = std::min(locate(g, n, v), n - 2);
+        }
+        hint[d] = i;
+        idx[d] = i;
+        frac[d] = (v - g[i]) / (g[i + 1] - g[i]);
+      }
+      if (oob) {
+        out[k] = fill_value;
+        continue;
+      }
+      double acc = 0.0;
+      const std::int64_t ncorner = std::int64_t{1} << ndim;
+      for (std::int64_t c = 0; c < ncorner; ++c) {
+        double w = 1.0;
+        std::int64_t flat = 0;
+        for (std::int64_t d = 0; d < ndim; ++d) {
+          const int hi = (c >> d) & 1;
+          w *= hi ? frac[d] : (1.0 - frac[d]);
+          flat += (idx[d] + hi) * strides[d];
+        }
+        acc += w * values[flat];
+      }
+      out[k] = acc;
+    }
+  });
+}
+
 // Batch ray-point generation: rays[b, :, k] = start[b, :] + k * step *
 // direction[b, :] for npts equally spaced samples. Capability of the
 // reference's makePoints0D/1D/2D/3D (makePoints.pyx:15-148) with the batch

@@ -51,26 +51,39 @@ def _try_load() -> Optional[ctypes.CDLL]:
             _c_double_p, _c_double_p, ctypes.c_double, ctypes.c_int64,
             _c_double_p, ctypes.c_int64, ctypes.c_int,
         ]
+        lib.interpn_d.argtypes = [
+            _c_double_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            _c_double_p, _c_double_p, _c_double_p, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int,
+        ]
         _lib = lib
     except OSError as e:
         logger.debug('Native host runtime unavailable: %s', e)
+        _lib = None
+    except AttributeError as e:
+        logger.debug('Native host runtime is stale (rebuild with '
+                     'native.build()): %s', e)
         _lib = None
     return _lib
 
 
 def build(force: bool = False) -> bool:
-    """Compile the native library in-tree (requires g++)."""
-    if _LIB_PATH.exists() and not force:
-        return True
+    """Compile the native library in-tree (requires g++).
+
+    Always runs make (incremental: recompiles only when the source is newer
+    than the library, so a stale .so from an older source never lingers).
+    """
     native_dir = Path(__file__).parents[2] / 'native'
+    if not (native_dir / 'Makefile').exists():
+        return _LIB_PATH.exists()
     try:
-        subprocess.run(['make', '-C', str(native_dir)], check=True,
-                       capture_output=True)
+        args = ['make', '-C', str(native_dir)] + (['--always-make'] if force else [])
+        subprocess.run(args, check=True, capture_output=True)
     except (OSError, subprocess.CalledProcessError) as e:
         logger.warning('Could not build native host runtime: %s', e)
-        return False
-    global _load_attempted
-    _load_attempted = False
+        return _LIB_PATH.exists()
+    global _lib, _load_attempted
+    _lib, _load_attempted = None, False
     return _try_load() is not None
 
 
@@ -159,6 +172,58 @@ def interp3d(cube_zyx, zs, ys, xs, pts_y, pts_x, pts_z, max_threads: int = 0) ->
     )
     pts = np.stack([np.ravel(pts_y), np.ravel(pts_x), np.ravel(pts_z)], axis=-1)
     return rgi(pts).reshape(shape)
+
+
+def interpolate(grid_axes, values, interp_points, fill_value: float = np.nan,
+                assume_sorted: bool = False, max_threads: int = 0) -> np.ndarray:
+    """Generic N-D multilinear regular-grid interpolation (1..8 dims).
+
+    The full capability of the reference's C++ ``RAiDER.interpolate.
+    interpolate(points, values, interp_points, fill_value, assume_sorted,
+    max_threads)`` (module.cpp:26-294): per-point cell location on each
+    ascending axis and a 2^ndim corner-weight accumulation, multithreaded
+    over query points. ``assume_sorted`` enables the forward-scan fast path
+    for ascending query streams. Falls back to scipy when the native
+    library is absent.
+    """
+    axes = [np.ascontiguousarray(np.asarray(a, dtype=np.float64).ravel())
+            for a in grid_axes]
+    vals = _as_c(values)
+    ndim = len(axes)
+    if vals.ndim != ndim or any(vals.shape[d] != axes[d].size for d in range(ndim)):
+        raise ValueError(
+            f'values shape {vals.shape} does not match grid sizes '
+            f'{[a.size for a in axes]}')
+    pts = _as_c(interp_points)
+    if pts.ndim == 1:
+        pts = pts.reshape(-1, ndim) if ndim > 1 else pts.reshape(-1, 1)
+    lead = pts.shape[:-1]
+    if pts.shape[-1] != ndim:
+        raise ValueError(f'interp_points last axis {pts.shape[-1]} != ndim {ndim}')
+    pts2 = pts.reshape(-1, ndim)
+
+    lib = _try_load()
+    if lib is not None and 1 <= ndim <= 8:
+        grids = np.ascontiguousarray(np.concatenate(axes))
+        sizes = np.asarray([a.size for a in axes], dtype=np.int64)
+        out = np.empty(pts2.shape[0], dtype=np.float64)
+        lib.interpn_d(
+            grids.ctypes.data_as(_c_double_p),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ndim,
+            vals.ctypes.data_as(_c_double_p),
+            pts2.ctypes.data_as(_c_double_p),
+            out.ctypes.data_as(_c_double_p),
+            pts2.shape[0], float(fill_value),
+            int(bool(assume_sorted)), int(max_threads),
+        )
+        return out.reshape(lead)
+
+    from scipy.interpolate import RegularGridInterpolator
+
+    rgi = RegularGridInterpolator(tuple(axes), vals, bounds_error=False,
+                                  fill_value=fill_value)
+    return np.asarray(rgi(pts2), dtype=np.float64).reshape(lead)
 
 
 def make_ray_points(start, direction, step: float, npts: int,

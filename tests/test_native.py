@@ -85,3 +85,58 @@ class TestMakeRayPoints:
     def test_single_ray(self):
         out = native.make_ray_points(np.zeros(3), np.array([1.0, 0, 0]), 2.0, 5)
         np.testing.assert_allclose(out[0], [0, 2, 4, 6, 8])
+
+
+class TestInterpN:
+    """Generic N-D interpolation vs scipy, mirroring the reference's
+    exhaustive property tests (test/test_interpolator.py:320-985)."""
+
+    @pytest.mark.parametrize('ndim', [1, 2, 3, 4])
+    def test_matches_scipy(self, rng, ndim):
+        sizes = [7, 6, 5, 4][:ndim]
+        axes = [np.sort(rng.uniform(0, 100, s)) for s in sizes]
+        vals = rng.normal(size=sizes)
+        pts = np.stack([rng.uniform(-5, 105, 4000) for _ in range(ndim)], axis=-1)
+        got = native.interpolate(axes, vals, pts, fill_value=np.nan)
+        rgi = RegularGridInterpolator(tuple(axes), vals, bounds_error=False,
+                                      fill_value=np.nan)
+        np.testing.assert_allclose(got, rgi(pts), atol=1e-12, equal_nan=True)
+
+    def test_fill_value(self, rng):
+        axes = [np.linspace(0, 1, 5), np.linspace(0, 1, 5)]
+        vals = rng.normal(size=(5, 5))
+        pts = np.array([[0.5, 0.5], [2.0, 0.5], [0.5, -1.0], [np.nan, 0.5]])
+        got = native.interpolate(axes, vals, pts, fill_value=-9999.0)
+        assert got[1] == -9999.0 and got[2] == -9999.0 and got[3] == -9999.0
+        assert np.isfinite(got[0]) and got[0] != -9999.0
+
+    def test_assume_sorted_matches_unsorted(self, rng):
+        axes = [np.sort(rng.uniform(0, 100, 40))]
+        vals = rng.normal(size=40)
+        q = np.sort(rng.uniform(0, 100, 5000))
+        a = native.interpolate(axes, vals, q[:, None], assume_sorted=True)
+        b = native.interpolate(axes, vals, q[:, None], assume_sorted=False)
+        np.testing.assert_array_equal(a, b)
+
+    def test_threads_consistent(self, rng):
+        axes = [np.sort(rng.uniform(0, 1, 12)) for _ in range(3)]
+        vals = rng.normal(size=(12, 12, 12))
+        pts = rng.uniform(0, 1, (200_000, 3))
+        a = native.interpolate(axes, vals, pts, max_threads=1)
+        b = native.interpolate(axes, vals, pts, max_threads=8)
+        np.testing.assert_array_equal(a, b)
+
+    def test_exact_at_grid_nodes(self, rng):
+        axes = [np.sort(rng.uniform(0, 10, 6)), np.sort(rng.uniform(0, 10, 7))]
+        vals = rng.normal(size=(6, 7))
+        yy, xx = np.meshgrid(axes[0], axes[1], indexing='ij')
+        pts = np.stack([yy.ravel(), xx.ravel()], axis=-1)
+        got = native.interpolate(axes, vals, pts)
+        np.testing.assert_allclose(got, vals.ravel(), atol=1e-9)
+
+    def test_shape_validation(self):
+        with pytest.raises(ValueError):
+            native.interpolate([np.arange(3.0)], np.zeros((4,)), np.zeros((2, 1)))
+        with pytest.raises(ValueError):
+            native.interpolate([np.arange(3.0), np.arange(4.0)],
+                               np.zeros((3, 4)), np.zeros((2, 3)))
