@@ -317,8 +317,15 @@ def _look_from_sat(p_hi, p_lo, t_hi, t_lo, sr):
 
 
 @partial(jax.jit, static_argnames=('crs', 'is_geo'))
-def _finish_slice(lengths, pts, heights_f32, crs, is_geo: bool):
-    """Model-CRS kernel inputs from Newton chain points (see caller)."""
+def _finish_slice(lengths, pts, z_levels, crs, is_geo: bool):
+    """Model-CRS kernel inputs from Newton chain points (see caller).
+
+    ``z_levels``: (L+1, N) the model-z coordinate of each boundary point —
+    the static chain heights for the exactly-converged 'scan'/'quad' algos,
+    or the ACTUAL df64 heights of the points for the reference-exact 'ref'
+    algo (whose intersections, like the reference's, sit up to ~0.5 m off
+    the nominal level at high incidence; sampling must happen where the
+    points really are or delays drift ~1 mm from the reference)."""
     from raider_tpu.geodesy.ellipsoid import ecef2lla
 
     # horizontal model coords from the f32 hi parts (sub-meter is plenty)
@@ -327,14 +334,14 @@ def _finish_slice(lengths, pts, heights_f32, crs, is_geo: bool):
         xs_m, ys_m = lon, lat
     else:
         xs_m, ys_m = crs.forward(lon, lat)
-    z_pts = jnp.broadcast_to(heights_f32[:, None], xs_m.shape)
+    z_pts = z_levels
     # NaN rays: coordinate NaNs must reach every level's coords
     bad = jnp.isnan(lengths).any(axis=0) | jnp.isnan(xs_m).any(axis=0)
     xs_m = jnp.where(bad[None, :], jnp.nan, xs_m)
     ys_m = jnp.where(bad[None, :], jnp.nan, ys_m)
     low = jnp.stack([ys_m[:-1], xs_m[:-1], z_pts[:-1]], axis=-1)
     high = jnp.stack([ys_m[1:], xs_m[1:], z_pts[1:]], axis=-1)
-    dz = (heights_f32[1:] - heights_f32[:-1])[:, None]
+    dz = z_pts[1:] - z_pts[:-1]
     d2 = jnp.maximum(lengths**2 - dz**2, 0.0)
     hstep = jnp.hypot(ys_m[1:] - ys_m[:-1], xs_m[1:] - xs_m[:-1])
     per_level_max = jnp.nanmax(lengths, axis=1)
@@ -461,6 +468,23 @@ def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
     if algo == 'quad':
         pts = _toa_quadratic(p01[0, :, :, 0], p01[0, :, :, 1], look,
                              ab_hi, ab_lo, heights_f32)   # (L+1, N, 3, 2)
+    elif algo == 'ref':
+        # REFERENCE-EXACT intersections (the default): every level boundary
+        # solved from the ground point with 3 fixed Newton iterations and
+        # the cos factor frozen from the first interval, exactly like
+        # build_ray/getTopOfAtmosphere (reference losreader.py:772-835,
+        # :706-733). The reference scheme does NOT fully converge at high
+        # incidence (~0.5 m height error at thin levels, ~1 mm delay);
+        # replicating it keeps device delays within ~0.01 mm of the host/
+        # reference path. The warm-start 'scan' algo below is MORE accurate
+        # (intersections exact to <1 mm height) but therefore diverges from
+        # the reference by up to ~1 mm delay at grazing incidence — select
+        # it with RAIDER_TPU_GEOM_ALGO=scan when accuracy beats parity.
+        # every boundary from ground in one vmapped solve; the exact 10-iter
+        # phase-1 pair is spliced back in at i0 below (shared with 'scan')
+        pts = _toa_newton_df.__wrapped__(
+            targ_hi, targ_lo, look, heights_f32, cos_factor, 3,
+        )                                                # (L+1, N, 3, 2)
     else:
         init = (p01[0, :, :, 0], p01[0, :, :, 1], cos_factor)
         h_pairs = (heights_f32[:-1], heights_f32[1:])
@@ -477,8 +501,20 @@ def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
     # are only loosely converged - the target height equals the start)
     lvl_idx = jnp.arange(lengths.shape[0], dtype=jnp.int32)[:, None]
     lengths = jnp.where(lvl_idx < i0, 0.0, lengths)
+    if algo == 'ref':
+        # sample where the (reference-exactly under-converged) points ARE:
+        # one df64 Vermeille per boundary recovers each point's true height
+        def z_of(q):
+            hz = height_df(DF(q[:, 0, 0], q[:, 0, 1]),
+                           DF(q[:, 1, 0], q[:, 1, 1]),
+                           DF(q[:, 2, 0], q[:, 2, 1]))
+            return hz.hi + hz.lo
+        z_levels = jax.vmap(z_of)(pts)                   # (L+1, N)
+    else:
+        z_levels = jnp.broadcast_to(heights_f32[:, None],
+                                    (pts.shape[0], pts.shape[1]))
     low, high, d2, per_level_max, hstep_max = _finish_slice.__wrapped__(
-        lengths, pts, heights_f32, crs=crs, is_geo=is_geo)
+        lengths, pts, z_levels, crs=crs, is_geo=is_geo)
     return low, high, d2, lengths, per_level_max, hstep_max
 
 
@@ -513,9 +549,10 @@ def raytrace_slice_device_fused(poly: OrbitPoly, xyz_f64: np.ndarray,
                    1.0 / (b_ax + heights_chain) ** 2], axis=-1)
     ab_hi = ab.astype(np.float32)
     ab_lo = (ab - ab_hi.astype(np.float64)).astype(np.float32)
-    # 'scan' measured faster on the attached v5e (df64 throughput-bound:
-    # quad's seed+Newton is ~25% more df64 ops than the warm-start step)
-    algo = _os.environ.get('RAIDER_TPU_GEOM_ALGO', 'scan')
+    # 'ref' replicates the reference's intersection semantics exactly
+    # (parity default); 'scan' (warm-start, more accurate intersections) and
+    # 'quad' remain selectable — see the algo comments in _slice_geom_fused
+    algo = _os.environ.get('RAIDER_TPU_GEOM_ALGO', 'ref')
 
     low, high, d2, lengths, per_level_max, hstep_max = _slice_geom_fused(
         jnp.asarray(poly.times, jnp.float32), poly.t_c, poly.coeffs,
@@ -553,9 +590,18 @@ def raytrace_slice_device(poly: OrbitPoly, xyz_f64: np.ndarray,
     lengths, pts = build_ray_device(heights_chain, xyz_f64, look)
 
     is_geo = crs == Geographic()
+
+    @jax.jit
+    def _z_levels(pts):
+        def z_of(q):
+            hz = height_df(DF(q[:, 0, 0], q[:, 0, 1]),
+                           DF(q[:, 1, 0], q[:, 1, 1]),
+                           DF(q[:, 2, 0], q[:, 2, 1]))
+            return hz.hi + hz.lo
+        return jax.vmap(z_of)(pts)
+
     low, high, d2, per_level_max, hstep_max = _finish_slice(
-        lengths, pts, jnp.asarray(heights_chain, jnp.float32),
-        crs=crs, is_geo=is_geo)
+        lengths, pts, _z_levels(pts), crs=crs, is_geo=is_geo)
     return {
         'low_yxz': low, 'high_yxz': high, 'd2': d2, 'ray_len': lengths,
         'per_level_max': np.asarray(per_level_max),
