@@ -241,7 +241,7 @@ class TestQuadraticAlgo:
         xpts = np.linspace(-118.4, -117.2, 6)
         ypts = np.linspace(33.2, 33.8, 5)
         outs = {}
-        for algo in ('scan', 'quad'):
+        for algo in ('scan', 'quad', 'ref'):
             monkeypatch.setenv('RAIDER_TPU_GEOM_ALGO', algo)
             wet, hydro = _build_cube_ray(
                 wm, xpts, ypts, np.array([0.0, 2000.0]), los,
@@ -252,3 +252,8 @@ class TestQuadraticAlgo:
         # CPU df64 precision is degraded but both algorithms degrade the
         # same way; on TPU the agreement is ~3e-6 m (verify drive)
         np.testing.assert_allclose(outs['quad'], outs['scan'], rtol=5e-4)
+        # 'ref' (the default) replicates the reference's 3-iteration
+        # intersections, which sit up to ~0.5 m off the exact levels at
+        # high incidence - agreement with the exact chains is bounded by
+        # the reference's own approximation error, not our precision
+        np.testing.assert_allclose(outs['ref'], outs['scan'], rtol=3e-3)
