@@ -161,6 +161,11 @@ def tropo_delay(
         cube_y = cube_y[::-1].copy()
         wet3 = wet3[:, ::-1, :]
         hydro3 = hydro3[:, ::-1, :]
+    if cube_z.size > 1 and cube_z[0] > cube_z[-1]:
+        # user-specified descending height_levels
+        cube_z = cube_z[::-1].copy()
+        wet3 = wet3[::-1]
+        hydro3 = hydro3[::-1]
 
     wetDelay = np.asarray(interp3d_points(wet3, cube_y, cube_x, cube_z, pts_y, pts_x, pts_z))
     hydroDelay = np.asarray(interp3d_points(hydro3, cube_y, cube_x, cube_z, pts_y, pts_x, pts_z))
@@ -303,25 +308,27 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     from raider_tpu.utils.profiling import stage
 
     geographic = Geographic()
+    # grid llh and Re are height-independent: hoist out of the slice loop
+    if pts_crs != geographic:
+        lon, lat = (np.asarray(v) for v in pts_crs.inverse(xx, yy))
+    else:
+        lon, lat = xx, yy
+    re_local = np.asarray(get_Re(lat)).reshape(npix)
     for hh, ht in enumerate(zpts):
         logger.info(f'Processing slice {hh + 1} / {len(zpts)}: {ht}')
 
-        # Step 1: output grid -> llh and ECEF
-        if pts_crs != geographic:
-            lon, lat = (np.asarray(v) for v in pts_crs.inverse(xx, yy))
-        else:
-            lon, lat = xx, yy
+        # Step 1: output grid -> ECEF at this height
         hts = np.full(lat.shape, ht, dtype=np.float64)
         x_e, y_e, z_e = (np.asarray(v) for v in lla2ecef(lat, lon, hts))
         xyz = np.stack([x_e, y_e, z_e], axis=-1)
 
-        re_local = np.asarray(get_Re(lat)).reshape(npix)
         heights = (chains[hh] if chains is not None
                    else level_heights(model_zs, ht, zref))
         if heights is None:
-            if ht == zpts[-1]:
-                continue
-            raise ValueError(f'No model levels contribute at height {ht}')
+            # no model level contributes at this output height (at or above
+            # zref / the model top): the delay stays exactly zero, like the
+            # reference's build_ray returning None (losreader.py:832-835)
+            continue
 
         if use_device_geom:
             # Steps 2-4 fused on device (geo2rdr + Newton chain + CRS), df64
@@ -329,7 +336,10 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                 geom = raytrace_slice_device_fused(orbit_poly, xyz, heights, wm.crs)
             per_level_max = np.asarray(geom['per_level_max'], dtype=np.float64)
             hstep_max = geom['hstep_max']
-            if np.isnan(per_level_max).all():
+            # padded chains force their pad levels' lengths to exactly 0.0,
+            # so test only the real (nonzero) levels for total divergence
+            real = per_level_max[~(per_level_max == 0.0)]
+            if real.size and np.isnan(real).all():
                 raise ValueError('geo2rdr did not converge. Check orbit coverage')
             args = (
                 geom['low_yxz'], geom['high_yxz'], geom['d2'], geom['ray_len'],
@@ -369,11 +379,14 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
 
             with np.errstate(invalid='ignore'):
                 per_level_max = np.nanmax(ray_lengths.reshape(seg_flat.shape), axis=1)
-                # per-level max horizontal motion (model units) for grouping
+                # per-level max horizontal motion (model units) for grouping,
+                # inflated by the f32 coordinate quantization (the kernel
+                # receives f32 endpoints) so the brick 2-cell bound stays
+                # conservative - same guard as the device paths
                 hstep_max = np.nanmax(np.hypot(
                     high_yxz[..., 0] - low_yxz[..., 0],
                     high_yxz[..., 1] - low_yxz[..., 1],
-                ), axis=1)
+                ), axis=1) * (1.0 + 1e-5) + 1e-7
 
             args = (
                 low_yxz.astype(compute_dtype), high_yxz.astype(compute_dtype),
@@ -392,6 +405,8 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             (l_a, h_a, d_a, s_a), orig_n = place_ray_arrays(args[:4], ray_axis=1)
             (r_a,), _ = place_ray_arrays([args[4]], ray_axis=0)
             args = (l_a, h_a, d_a, s_a, r_a)
+            # rebinding persists across slices; device_put with an identical
+            # sharding is a no-op, so only the first slice pays the transfer
             packed2d = replicate(packed2d)
 
         with stage('raytrace.integrate', log=False):

@@ -151,8 +151,11 @@ def _locate_uniformish(axis_np, coords):
     n = axis_np.shape[0]
     lo, hi = float(axis_np[0]), float(axis_np[-1])
     in_b = (coords >= lo) & (coords <= hi)
+    if n < 2:
+        # degenerate single-node axis: everything clamps to cell 0
+        return jnp.zeros_like(coords, jnp.int32), jnp.zeros_like(coords), in_b
     diffs = np.diff(axis_np)
-    if np.allclose(diffs, diffs[0], rtol=1e-6, atol=0.0) and n > 1:
+    if np.allclose(diffs, diffs[0], rtol=1e-6, atol=0.0):
         step = (hi - lo) / (n - 1)
         pos = (coords - lo) / step
         idx = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
@@ -317,7 +320,8 @@ def build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
     zs_np = np.asarray(zs, dtype=np.float64)
     nz = zs_np.size
     ys_np, xs_np = np.asarray(ys), np.asarray(xs)
-    min_cell = min(np.diff(ys_np).min(), np.diff(xs_np).min())
+    cell_sizes = np.concatenate([np.diff(ys_np), np.diff(xs_np)])
+    min_cell = float(cell_sizes.min()) if cell_sizes.size else np.inf
 
     # flat dedup point list: (lvl, frac, wa_lvl, wa, wb_lvl, wb, gap_bound)
     pts = []
@@ -403,7 +407,7 @@ def _pack_bricks(cube_wet, cube_hydro, planes: int):
     return packed.reshape(nz * ny * nx, len(rows))
 
 
-def brick_bytes_for(cube_shape, dtype, planes: int = 5) -> int:
+def brick_bytes_for(cube_shape, dtype, planes: int = _BRICK_PLANES) -> int:
     return int(np.prod(cube_shape)) * planes * 18 * np.dtype(dtype).itemsize
 
 

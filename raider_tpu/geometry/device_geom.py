@@ -574,10 +574,12 @@ def raytrace_slice_device(poly: OrbitPoly, xyz_f64: np.ndarray,
     level-chain Newton (df64) -> model-CRS coordinates.
 
     Replaces the host-f64 path (engine._build_cube_ray steps 2-4), which is
-    serial-CPU bound. Precision split: z coordinates are the STATIC heights
-    chain (the Newton targets - exact by construction), horizontal model
-    coordinates are f32 (sub-meter; grid cells are km), segment lengths and
-    the Newton itself run in df64 (delay-critical).
+    serial-CPU bound. Precision split: z coordinates are each point's ACTUAL
+    df64 Vermeille height (the reference-exact Newton leaves points up to
+    ~0.5 m off the nominal level at high incidence, and sampling must happen
+    where the points are - see _finish_slice), horizontal model coordinates
+    are f32 (sub-meter; grid cells are km), segment lengths and the Newton
+    itself run in df64 (delay-critical).
 
     Returns dict with device arrays low/high (L, N, 3) [y, x, z order], d2,
     ray_len (L, N), and host (L,) per_level_max / hstep_max for the static

@@ -13,6 +13,7 @@ from functools import lru_cache
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -67,8 +68,18 @@ def place_ray_arrays(arrays, ray_axis: int, mesh: Optional[Mesh] = None):
     placed = []
     orig_n = None
     for a in arrays:
-        a = np.asarray(a)
-        a, n = pad_to_multiple(a, n_dev, axis=ray_axis)
+        n = a.shape[ray_axis]
+        target = math.ceil(n / n_dev) * n_dev
+        if isinstance(a, jax.Array):
+            # already on device (e.g. device-geometry outputs): pad and
+            # reshard WITHOUT a host round trip
+            if target != n:
+                widths = [(0, 0)] * a.ndim
+                widths[ray_axis] = (0, target - n)
+                a = jnp.pad(a, widths, mode='edge')
+        else:
+            a = np.asarray(a)
+            a, _ = pad_to_multiple(a, n_dev, axis=ray_axis)
         orig_n = n if orig_n is None else orig_n
         spec = [None] * a.ndim
         spec[ray_axis] = RAY_AXIS

@@ -146,3 +146,40 @@ class TestProjectedOutputCrs:
             )
         # CF metadata says meters for projected CRS
         assert ds.coords['x'].attrs['units'] == 'm'
+
+
+class TestReviewRegressions:
+    def test_descending_height_levels_point_aoi(self, era5_la_file, tmp_path):
+        """Descending height_levels must not NaN out point sampling
+        (the cube z axis needs the same ascending normalization as y)."""
+        station_file = tmp_path / 'stations.csv'
+        station_file.write_text(
+            'ID,Lat,Lon,Hgt_m\nTORP,33.81,-118.33,50.0\nAAAA,33.4,-117.8,100.0\n')
+        aoi = StationFile(str(station_file), cube_spacing_in_m=2000.0)
+        aoi.add_buffer(0.25)
+        aoi.set_output_xygrid(4326)
+
+        down = tropo_delay(dt.datetime(2020, 1, 30, 13, 52, 45),
+                           str(era5_la_file), aoi, Zenith(),
+                           height_levels=[3000.0, 2000.0, 1000.0, 0.0])
+        up = tropo_delay(dt.datetime(2020, 1, 30, 13, 52, 45),
+                         str(era5_la_file), aoi, Zenith(),
+                         height_levels=[0.0, 1000.0, 2000.0, 3000.0])
+        for d, u in zip(down, up):
+            assert np.isfinite(np.asarray(d)).all()
+            np.testing.assert_allclose(np.asarray(d), np.asarray(u), rtol=1e-6)
+
+    def test_brick_bytes_default_matches_pack(self):
+        from raider_tpu.delay.raytrace import _BRICK_PLANES, brick_bytes_for
+
+        assert brick_bytes_for((10, 4, 4), np.float32) == \
+            brick_bytes_for((10, 4, 4), np.float32, planes=_BRICK_PLANES)
+
+    def test_locate_uniformish_single_node_axis(self):
+        import jax.numpy as jnp
+
+        from raider_tpu.delay.raytrace import _locate_uniformish
+
+        idx, frac, ok = _locate_uniformish(np.array([5.0]), jnp.asarray([5.0, 6.0]))
+        assert np.asarray(idx).tolist() == [0, 0]
+        assert np.asarray(ok).tolist() == [True, False]
