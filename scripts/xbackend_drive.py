@@ -9,11 +9,14 @@ import os
 import pathlib
 import sys
 
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
 
 def make_inputs(work: pathlib.Path) -> None:
     import numpy as np
 
-    sys.path.insert(0, str(pathlib.Path(__file__).parent / 'tests'))
+    sys.path.insert(0, str(REPO / 'tests'))
     from test_orbit import synthetic_orbit
 
     t0 = dt.datetime(2020, 1, 30, 13, 52, 45)
