@@ -185,6 +185,20 @@ _E4 = _E2 * _E2
 _A2 = float(WGS84_A) ** 2
 
 
+@jax.jit
+def _z_levels_vermeille(pts):
+    """df64 Vermeille height of each (L+1, N, 3, 2) chain point.
+
+    Module-level (jitted once) so every slice shares one trace/executable.
+    """
+    def z_of(q):
+        hz = height_df(DF(q[:, 0, 0], q[:, 0, 1]),
+                       DF(q[:, 1, 0], q[:, 1, 1]),
+                       DF(q[:, 2, 0], q[:, 2, 1]))
+        return hz.hi + hz.lo
+    return jax.vmap(z_of)(pts)
+
+
 def height_df(x: DF, y: DF, z: DF) -> DF:
     """Height above the WGS84 ellipsoid, df64 (Vermeille, height output only).
 
@@ -504,12 +518,7 @@ def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
     if algo == 'ref':
         # sample where the (reference-exactly under-converged) points ARE:
         # one df64 Vermeille per boundary recovers each point's true height
-        def z_of(q):
-            hz = height_df(DF(q[:, 0, 0], q[:, 0, 1]),
-                           DF(q[:, 1, 0], q[:, 1, 1]),
-                           DF(q[:, 2, 0], q[:, 2, 1]))
-            return hz.hi + hz.lo
-        z_levels = jax.vmap(z_of)(pts)                   # (L+1, N)
+        z_levels = _z_levels_vermeille.__wrapped__(pts)  # (L+1, N)
     else:
         z_levels = jnp.broadcast_to(heights_f32[:, None],
                                     (pts.shape[0], pts.shape[1]))
@@ -593,17 +602,8 @@ def raytrace_slice_device(poly: OrbitPoly, xyz_f64: np.ndarray,
 
     is_geo = crs == Geographic()
 
-    @jax.jit
-    def _z_levels(pts):
-        def z_of(q):
-            hz = height_df(DF(q[:, 0, 0], q[:, 0, 1]),
-                           DF(q[:, 1, 0], q[:, 1, 1]),
-                           DF(q[:, 2, 0], q[:, 2, 1]))
-            return hz.hi + hz.lo
-        return jax.vmap(z_of)(pts)
-
     low, high, d2, per_level_max, hstep_max = _finish_slice(
-        lengths, pts, _z_levels(pts), crs=crs, is_geo=is_geo)
+        lengths, pts, _z_levels_vermeille(pts), crs=crs, is_geo=is_geo)
     return {
         'low_yxz': low, 'high_yxz': high, 'd2': d2, 'ray_len': lengths,
         'per_level_max': np.asarray(per_level_max),

@@ -223,7 +223,13 @@ def interpolate(grid_axes, values, interp_points, fill_value: float = np.nan,
 
     rgi = RegularGridInterpolator(tuple(axes), vals, bounds_error=False,
                                   fill_value=fill_value)
-    return np.asarray(rgi(pts2), dtype=np.float64).reshape(lead)
+    out = np.asarray(rgi(pts2), dtype=np.float64)
+    # match the native backend: NaN query coordinates fail the bounds test
+    # and take fill_value (scipy would propagate NaN instead)
+    bad = np.isnan(pts2).any(axis=1)
+    if bad.any():
+        out[bad] = fill_value
+    return out.reshape(lead)
 
 
 def make_ray_points(start, direction, step: float, npts: int,

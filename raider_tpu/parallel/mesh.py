@@ -68,6 +68,8 @@ def place_ray_arrays(arrays, ray_axis: int, mesh: Optional[Mesh] = None):
     placed = []
     orig_n = None
     for a in arrays:
+        if not isinstance(a, jax.Array):
+            a = np.asarray(a)
         n = a.shape[ray_axis]
         target = math.ceil(n / n_dev) * n_dev
         if isinstance(a, jax.Array):
@@ -78,7 +80,6 @@ def place_ray_arrays(arrays, ray_axis: int, mesh: Optional[Mesh] = None):
                 widths[ray_axis] = (0, target - n)
                 a = jnp.pad(a, widths, mode='edge')
         else:
-            a = np.asarray(a)
             a, _ = pad_to_multiple(a, n_dev, axis=ray_axis)
         orig_n = n if orig_n is None else orig_n
         spec = [None] * a.ndim

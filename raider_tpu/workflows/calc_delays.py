@@ -54,8 +54,12 @@ def calcDelays(iargs: Optional[Sequence[str]] = None) -> list:
         ex_dir = Path(__file__).parent.parent / 'cli' / 'examples' / args.generate_config
         for filename in ex_dir.glob('*'):
             dest = Path.cwd() / filename.name
-            if dest.exists() and sys.stdin.isatty():
-                # reference prompts before clobbering (cli/raider.py:217-220)
+            if dest.exists():
+                # reference prompts before clobbering (cli/raider.py:217-220);
+                # without a tty never clobber silently - skip with a warning
+                if not sys.stdin.isatty():
+                    logger.warning('File %s already exists; not overwriting', dest)
+                    continue
                 print(f'File {dest} already exists. Overwrite? [y/n]')
                 if input().lower() != 'y':
                     continue

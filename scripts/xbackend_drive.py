@@ -1,8 +1,11 @@
 """Full-workflow cross-backend drive: calcDelays (raytrace, YAML, orbit txt)
 on CPU-f64 vs TPU, diff the cubes. Per .claude/skills/verify/SKILL.md.
 
-Usage: python _xbackend_drive.py <workdir> <cpu|tpu>
-Then:  python _xbackend_drive.py <workdir> compare
+Usage: python scripts/xbackend_drive.py <workdir> <cpu|tpu> [wm_file.nc]
+Then:  python scripts/xbackend_drive.py <workdir> compare
+
+The weather-model file defaults to the bundled ERA-5 scenario file but can
+be overridden via the third argument or RAIDER_TPU_XB_WM_FILE.
 """
 import datetime as dt
 import os
@@ -60,9 +63,16 @@ def run(work: pathlib.Path, tag: str) -> None:
 
     import raider_tpu.workflows.calc_delays as cd
 
+    default_wm = (pathlib.Path(os.environ.get('RAIDER_TPU_REFERENCE',
+                                              '/root/reference'))
+                  / 'test' / 'weather_files'
+                  / 'ERA-5_2020_01_30_T13_52_45_32N_35N_120W_115W.nc')
     wm_file = pathlib.Path(
-        '/root/reference/test/weather_files/'
-        'ERA-5_2020_01_30_T13_52_45_32N_35N_120W_115W.nc')
+        sys.argv[3] if len(sys.argv) > 3
+        else os.environ.get('RAIDER_TPU_XB_WM_FILE', str(default_wm)))
+    if not wm_file.exists():
+        raise SystemExit(f'weather-model file not found: {wm_file} '
+                         '(pass one as argv[3] or RAIDER_TPU_XB_WM_FILE)')
     cd.prepareWeatherModel = lambda *a, **k: str(wm_file)
 
     outdir = work / 'out'
