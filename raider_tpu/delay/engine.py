@@ -275,6 +275,14 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         and np.dtype(compute_dtype) == np.float32
         and getattr(los, '_orbit', None) is not None
     )
+    if use_device_geom:
+        # runtime guard: a compiler that rewrites the error-free float32
+        # transforms would silently degrade geometry to f32 (mm-level delay
+        # errors); probe once per backend and fall back to host f64
+        from raider_tpu.geometry.device_geom import df64_backend_ok
+
+        if not df64_backend_ok():
+            use_device_geom = False
     orbit_poly = None
     chains = None
     if use_device_geom:

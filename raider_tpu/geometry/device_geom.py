@@ -84,6 +84,66 @@ def build_orbit_poly(orbit: Orbit) -> OrbitPoly:
     return OrbitPoly(times=times, t_c=_pack(t_c), coeffs=_pack(coeffs))
 
 
+# ------------------------------------------------------- df64 runtime guard
+
+_PROBE_OK: dict = {}
+
+
+@jax.jit
+def _df64_probe_jit(a, b, p):
+    """Cancellation probe: residuals that exist ONLY if the compiler keeps
+    the error-free transformations intact.
+
+    Leg 1 (two-sum): (a (+) b) (-) a with b far below a's ulp; exact df64
+    recovers b, a fast-math rewrite of ``b - ((a+b) - a)`` collapses to 0.
+    Leg 2 (two-prod): p*p - round(p*p) for p = 1 + 2^-12; the exact square
+    carries a 2^-24 tail below f32 ulp that only the Dekker product keeps.
+    """
+    s = df64.add(df64.df(a), df64.df(b))
+    r1 = df64.sub(s, df64.df(a))
+    q = df64.sqr(df64.df(p))
+    r2 = df64.sub(q, df64.const(1.0 + 2.0 ** -11))
+    return r1.hi + r1.lo, r2.hi + r2.lo
+
+
+def _run_df64_probe() -> bool:
+    """Execute the probe on the default backend; True = df64 survives."""
+    r1, r2 = _df64_probe_jit(jnp.float32(1.0), jnp.float32(2.0 ** -30),
+                             jnp.float32(1.0 + 2.0 ** -12))
+    ok1 = abs(float(r1) - 2.0 ** -30) < 0.25 * 2.0 ** -30
+    ok2 = abs(float(r2) - 2.0 ** -24) < 0.25 * 2.0 ** -24
+    return bool(ok1 and ok2)
+
+
+def df64_backend_ok() -> bool:
+    """Whether the active backend's compiler preserves df64 arithmetic.
+
+    Runs a one-time-per-backend cancellation probe (see _df64_probe_jit):
+    some XLA pipelines apply floating-point rewrites that silently collapse
+    double-single arithmetic to f32 precision (observed on XLA:CPU for some
+    fusion shapes - module docstring). A failing probe means on-device
+    geometry would silently lose mm precision, so callers must fall back to
+    the host-f64 path. ``RAIDER_TPU_DF64_PROBE=skip`` bypasses the probe
+    (always trusted). Note a tiny probe can't prove every fusion shape is
+    safe - the cross-backend parity drive (scripts/xbackend_drive.py)
+    remains the authoritative check.
+    """
+    import os
+
+    if os.environ.get('RAIDER_TPU_DF64_PROBE', '') == 'skip':
+        return True
+    backend = jax.default_backend()
+    if backend not in _PROBE_OK:
+        _PROBE_OK[backend] = _run_df64_probe()
+        if not _PROBE_OK[backend]:
+            from raider_tpu.logger import logger
+            logger.warning(
+                'df64 cancellation probe FAILED on backend %r: the compiler '
+                'is rewriting error-free float32 transforms. Falling back to '
+                'host-f64 ray geometry (slower, same results).', backend)
+    return _PROBE_OK[backend]
+
+
 def _gather_window(times_f32, t_hi):
     """Window index for query times (f32 hi part is plenty: windows are
     seconds apart)."""

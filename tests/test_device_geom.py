@@ -257,3 +257,52 @@ class TestQuadraticAlgo:
         # high incidence - agreement with the exact chains is bounded by
         # the reference's own approximation error, not our precision
         np.testing.assert_allclose(outs['ref'], outs['scan'], rtol=3e-3)
+
+
+class TestDf64RuntimeGuard:
+    """A backend whose compiler destroys df64 (probe fails) must fall back
+    to host-f64 geometry with a warning (VERDICT r1 item 5)."""
+
+    def _run(self, monkeypatch):
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from test_raytrace import synthetic_orbit, synthetic_wm_dataset
+
+        from raider_tpu.delay.engine import WeatherCube, _build_cube_ray
+        from raider_tpu.geodesy.crs import Geographic
+        from raider_tpu.geometry.los import Raytracing
+
+        t = dt.datetime(2020, 1, 30, 13, 52, 45)
+        wm = WeatherCube(synthetic_wm_dataset(1.0, 2.0))
+        los = Raytracing(orbit=synthetic_orbit(t), time=t)
+        return _build_cube_ray(
+            wm, np.linspace(-118.4, -117.2, 6), np.linspace(33.2, 33.8, 5),
+            np.array([0.0]), los, Geographic(), zref=25000.0,
+            compute_dtype=np.float32)
+
+    def test_probe_passes_on_this_backend(self):
+        assert dg.df64_backend_ok() is True
+
+    def test_bad_backend_falls_back_to_host(self, monkeypatch, caplog):
+        monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', '1')
+        monkeypatch.setattr(dg, '_run_df64_probe', lambda: False)
+        monkeypatch.setattr(dg, '_PROBE_OK', {})
+        # the device-geometry entry point must NOT be reached
+        def boom(*a, **k):
+            raise AssertionError('device geometry used despite failed probe')
+        monkeypatch.setattr(dg, 'raytrace_slice_device_fused', boom)
+
+        import logging
+        with caplog.at_level(logging.WARNING, logger='RAiDER'):
+            wet, hydro = self._run(monkeypatch)
+        wet = np.asarray(wet)
+        assert np.isfinite(wet).all()
+        np.testing.assert_allclose(np.asarray(hydro) / wet, 2.0, rtol=1e-5)
+        assert any('df64 cancellation probe FAILED' in r.message
+                   for r in caplog.records)
+
+    def test_probe_skip_env_trusts_backend(self, monkeypatch):
+        monkeypatch.setattr(dg, '_run_df64_probe', lambda: False)
+        monkeypatch.setattr(dg, '_PROBE_OK', {})
+        monkeypatch.setenv('RAIDER_TPU_DF64_PROBE', 'skip')
+        assert dg.df64_backend_ok() is True
