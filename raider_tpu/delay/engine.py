@@ -218,8 +218,18 @@ def _get_delays_on_cube(datetime, wm: WeatherCube, weather_model_file, aoi,
 def _build_cube(wm: WeatherCube, xpts, ypts, zpts, pts_crs, fields, compute_dtype):
     """ZTD/projected cube: interpolate the integrated-delay fields onto the
     output grid, all height levels in one device op (reference loops per
-    level: delay.py:196-216)."""
+    level: delay.py:196-216).
+
+    On multi-device meshes the output grid's y axis is sharded (the cube and
+    the z/x weight matrices are replicated), so the zenith/projected path
+    scales across chips like the raytraced path does - SPMD with no
+    collectives; results are bit-identical to the single-device run."""
+    import jax
+
     cubes = [wm.field(f, compute_dtype) for f in fields]
+    n_dev = len(jax.devices())
+    shard = (n_dev > 1 and len(ypts) >= n_dev
+             and os.environ.get('RAIDER_TPU_SHARD', '') != '0')
 
     # the separable path touches every cube entry per contraction line, so a
     # single NaN would poison whole rows; gate it on NaN-free cubes
@@ -228,6 +238,18 @@ def _build_cube(wm: WeatherCube, xpts, ypts, zpts, pts_crs, fields, compute_dtyp
         w_y = grid_weights(wm.ys, ypts)
         w_x = grid_weights(wm.xs, xpts)
         w_z = grid_weights(wm.zs, zpts)
+        if shard:
+            from raider_tpu.parallel.mesh import place_ray_arrays, replicate
+
+            # shard w_y rows (= output y rows); out axis 1 comes back sharded
+            (w_y_s,), orig_ny = place_ray_arrays([w_y], ray_axis=0)
+            w_z_r = replicate(jnp.asarray(w_z))
+            w_x_r = replicate(jnp.asarray(w_x))
+            return [
+                np.asarray(interp3d_separable(replicate(jnp.asarray(c)),
+                                              w_z_r, w_y_s, w_x_r))[:, :orig_ny]
+                for c in cubes
+            ]
         return [
             np.asarray(interp3d_separable(c, w_z, w_y, w_x)) for c in cubes
         ]
@@ -240,6 +262,17 @@ def _build_cube(wm: WeatherCube, xpts, ypts, zpts, pts_crs, fields, compute_dtyp
     pts_y = np.broadcast_to(my, (zpts.size,) + my.shape)
     pts_x = np.broadcast_to(mx, (zpts.size,) + mx.shape)
     pts_z = np.broadcast_to(zpts[:, None, None], pts_y.shape)
+    if shard:
+        from raider_tpu.parallel.mesh import place_ray_arrays, replicate
+
+        (py, px, pz), orig_ny = place_ray_arrays(
+            [pts_y, pts_x, pts_z], ray_axis=1)
+        return [
+            np.asarray(interp3d_points(replicate(jnp.asarray(c)),
+                                       wm.ys, wm.xs, wm.zs,
+                                       py, px, pz))[:, :orig_ny]
+            for c in cubes
+        ]
     return [
         np.asarray(interp3d_points(c, wm.ys, wm.xs, wm.zs, pts_y, pts_x, pts_z))
         for c in cubes
@@ -407,7 +440,8 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
 
         n_dev = len(jax.devices())
         orig_n = None
-        if n_dev > 1 and npix >= 8 * n_dev:
+        if (n_dev > 1 and npix >= 8 * n_dev
+                and os.environ.get('RAIDER_TPU_SHARD', '') != '0'):
             from raider_tpu.parallel.mesh import place_ray_arrays, replicate
 
             (l_a, h_a, d_a, s_a), orig_n = place_ray_arrays(args[:4], ray_axis=1)
