@@ -316,14 +316,9 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
 
         if not df64_backend_ok():
             use_device_geom = False
-    orbit_poly = None
+    geom_session = None
     chains = None
     if use_device_geom:
-        from raider_tpu.geometry.device_geom import (
-            build_orbit_poly,
-            raytrace_slice_device_fused,
-        )
-        orbit_poly = build_orbit_poly(los._orbit)
         # pad every slice's level chain to one length by repeating the
         # bottom height (zero-length levels integrate to exactly zero), so
         # all slices share ONE compiled geometry + integrate executable
@@ -355,13 +350,14 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     else:
         lon, lat = xx, yy
     re_local = np.asarray(get_Re(lat)).reshape(npix)
+    if use_device_geom:
+        from raider_tpu.geometry.device_geom import GeomSession
+
+        # uploads ground ECEF + surface normals ONCE; per-slice targets are
+        # derived on device and geo2rdr warm-starts from the previous slice
+        geom_session = GeomSession(los._orbit, lat, lon, wm.crs)
     for hh, ht in enumerate(zpts):
         logger.info(f'Processing slice {hh + 1} / {len(zpts)}: {ht}')
-
-        # Step 1: output grid -> ECEF at this height
-        hts = np.full(lat.shape, ht, dtype=np.float64)
-        x_e, y_e, z_e = (np.asarray(v) for v in lla2ecef(lat, lon, hts))
-        xyz = np.stack([x_e, y_e, z_e], axis=-1)
 
         heights = (chains[hh] if chains is not None
                    else level_heights(model_zs, ht, zref))
@@ -372,11 +368,18 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             continue
 
         if use_device_geom:
-            # Steps 2-4 fused on device (geo2rdr + Newton chain + CRS), df64
+            # Steps 1-4 fused on device (targets + geo2rdr + Newton chain +
+            # CRS), df64; one batched fetch of the two small plan arrays
             with stage('raytrace.device_geometry', log=False):
-                geom = raytrace_slice_device_fused(orbit_poly, xyz, heights, wm.crs)
-            per_level_max = np.asarray(geom['per_level_max'], dtype=np.float64)
-            hstep_max = geom['hstep_max']
+                geom = geom_session.slice(ht, heights)
+            import jax as _jax
+
+            plm, hsm = _jax.device_get((geom['per_level_max'],
+                                        geom['hstep_max']))
+            per_level_max = np.asarray(plm, dtype=np.float64)
+            # inflate by the f32 coordinate quantization so the brick
+            # grouping bound stays conservative
+            hstep_max = np.asarray(hsm, np.float64) * (1.0 + 1e-5) + 1e-7
             # padded chains force their pad levels' lengths to exactly 0.0,
             # so test only the real (nonzero) levels for total divergence
             real = per_level_max[~(per_level_max == 0.0)]
@@ -387,6 +390,11 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                 jnp.asarray(re_local.astype(compute_dtype)),
             )
         else:
+            # Step 1: output grid -> ECEF at this height (host f64)
+            hts = np.full(lat.shape, ht, dtype=np.float64)
+            x_e, y_e, z_e = (np.asarray(v) for v in lla2ecef(lat, lon, hts))
+            xyz = np.stack([x_e, y_e, z_e], axis=-1)
+
             # Step 2: look vectors (batched geo2rdr)
             with stage('raytrace.look_vectors', log=False):
                 look = los.getLookVectors(ht, [lon, lat, hts], xyz, yy)

@@ -174,14 +174,18 @@ def _eval_pos_vel_acc(times_f32, t_c, coeffs, t: DF):
     def c(k, comp):
         return DF(r4[k, comp, 0], r4[k, comp, 1])
 
+    # acceleration only shapes the Newton SLOPE fp (convergence rate, never
+    # the root fn(t*) = 0), so its Horner runs in plain f32 - a third of the
+    # df64 Horner work for free
+    tau_f = tau.hi
     pos, vel, acc = [], [], []
     for comp in range(3):
-        # Horner for p, p', p'' simultaneously
+        # Horner for p, p' (df64) and p'' (f32) simultaneously
         p = c(7, comp)
         d1 = df64.df(jnp.zeros_like(t.hi))
-        d2_ = df64.df(jnp.zeros_like(t.hi))
+        d2_ = jnp.zeros_like(t.hi)
         for k in range(6, -1, -1):
-            d2_ = df64.add(df64.mul(d2_, tau), df64.scale(d1, 2.0))
+            d2_ = d2_ * tau_f + 2.0 * d1.hi
             d1 = df64.add(df64.mul(d1, tau), p)
             p = df64.add(df64.mul(p, tau), c(k, comp))
         pos.append(p)
@@ -200,10 +204,11 @@ def _geo2rdr_df_impl(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init, maxiter: 
         pos, vel, acc = _eval_pos_vel_acc(times_f32, t_c, coeffs, t)
         dr = [df64.sub(pos[i], targ[i]) for i in range(3)]
         fn = df64.dot3(*vel, *dr)
-        vv = df64.add(df64.add(df64.sqr(vel[0]), df64.sqr(vel[1])), df64.sqr(vel[2]))
-        fa = df64.dot3(*acc, *dr)
-        fp = df64.add(fa, vv)
-        t2 = df64.sub(t, df64.div(fn, fp))
+        # slope fp in f32: only the root fn(t*) = 0 defines the answer
+        vv = vel[0].hi ** 2 + vel[1].hi ** 2 + vel[2].hi ** 2
+        fa = acc[0] * dr[0].hi + acc[1] * dr[1].hi + acc[2] * dr[2].hi
+        fp = fa + vv
+        t2 = df64.sub(t, df64.div(fn, df64.df(fp)))
         return (t2.hi, t2.lo)
 
     t_hi, t_lo = jax.lax.fori_loop(0, maxiter, body, (t.hi, t.lo))
@@ -500,7 +505,7 @@ def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
     # geo2rdr -> satellite position (df64) -> look vectors (f32)
     out = _geo2rdr_df_impl.__wrapped__(times_f32, t_c, coeffs,
                                        targ_hi, targ_lo, t_init, maxiter)
-    _, _, p_hi, p_lo, sr_hi, _ = out
+    t_out, _, p_hi, p_lo, sr_hi, _ = out
     look = []
     for i in range(3):
         d = df64.sub(DF(p_hi[..., i], p_lo[..., i]),
@@ -584,7 +589,120 @@ def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
                                     (pts.shape[0], pts.shape[1]))
     low, high, d2, per_level_max, hstep_max = _finish_slice.__wrapped__(
         lengths, pts, z_levels, crs=crs, is_geo=is_geo)
-    return low, high, d2, lengths, per_level_max, hstep_max
+    return low, high, d2, lengths, per_level_max, hstep_max, t_out
+
+
+def _ab_tables(heights_chain: np.ndarray):
+    """Per-level [1/(a+h)^2, 1/(b+h)^2] df64 pairs for the quadratic seed."""
+    from raider_tpu.constants import WGS84_A, WGS84_E2 as _e2
+
+    b_ax = float(WGS84_A) * np.sqrt(1.0 - float(_e2))
+    ab = np.stack([1.0 / (float(WGS84_A) + heights_chain) ** 2,
+                   1.0 / (b_ax + heights_chain) ** 2], axis=-1)
+    ab_hi = ab.astype(np.float32)
+    ab_lo = (ab - ab_hi.astype(np.float64)).astype(np.float32)
+    return ab_hi, ab_lo
+
+
+def _chain_i0(heights_chain: np.ndarray) -> int:
+    """Index of the first real (non-duplicate) pair of a bottom-padded chain."""
+    i0 = int(np.searchsorted(heights_chain, heights_chain[0], side='right') - 1)
+    return min(i0, heights_chain.size - 2)
+
+
+@jax.jit
+def _offset_targets(x0_hi, x0_lo, n_hi, n_lo, h_hi, h_lo):
+    """targ = xyz0 + ht * n in df64 (exact geodesic relation:
+    ECEF(lat, lon, h) = ECEF(lat, lon, 0) + h * surface_normal)."""
+    ht = DF(h_hi, h_lo)
+    out_hi, out_lo = [], []
+    for i in range(3):
+        q = df64.add(DF(x0_hi[:, i], x0_lo[:, i]),
+                     df64.mul(DF(n_hi[:, i], n_lo[:, i]), ht))
+        out_hi.append(q.hi)
+        out_lo.append(q.lo)
+    return jnp.stack(out_hi, -1), jnp.stack(out_lo, -1)
+
+
+class GeomSession:
+    """Per-cube device-geometry session.
+
+    Everything height-independent is uploaded ONCE (orbit tables, ground
+    ECEF, surface normals); each height slice's targets are derived on
+    device via ``xyz0 + ht * n``, so a slice costs zero host->device target
+    traffic. geo2rdr warm-starts from the previous slice's converged
+    azimuth times (the zero-Doppler root moves by << 1e-3 s over a few km
+    of height), cutting the cold 15-iteration Newton to ``maxiter_warm``
+    with identical converged roots.
+
+    Replaces per-slice :func:`raytrace_slice_device_fused` calls in
+    delay.engine._build_cube_ray (reference semantics: delay.py:219-326).
+    """
+
+    def __init__(self, orbit: Orbit, lat, lon, crs,
+                 maxiter_cold: int = 15, maxiter_warm: int = 5) -> None:
+        from raider_tpu.geodesy.crs import Geographic
+        from raider_tpu.geodesy.ellipsoid import lla2ecef
+
+        self.poly = build_orbit_poly(orbit)
+        self.crs = crs
+        self.is_geo = crs == Geographic()
+        self.maxiter_cold = maxiter_cold
+        self.maxiter_warm = maxiter_warm
+
+        lat = np.asarray(lat, dtype=np.float64).ravel()
+        lon = np.asarray(lon, dtype=np.float64).ravel()
+        x0, y0, z0 = (np.asarray(v) for v in lla2ecef(lat, lon, np.zeros(lat.size)))
+        xyz0 = np.stack([x0, y0, z0], axis=-1)
+        phi, lam = np.deg2rad(lat), np.deg2rad(lon)
+        nvec = np.stack([np.cos(phi) * np.cos(lam),
+                         np.cos(phi) * np.sin(lam),
+                         np.sin(phi)], axis=-1)
+
+        def up(a):
+            hi = a.astype(np.float32)
+            lo = (a - hi.astype(np.float64)).astype(np.float32)
+            return jnp.asarray(hi), jnp.asarray(lo)
+
+        self.x_hi, self.x_lo = up(xyz0)
+        self.n_hi, self.n_lo = up(nvec)
+        self.times_f32 = jnp.asarray(self.poly.times, jnp.float32)
+        t_mid = np.float32(0.5 * (self.poly.times[0] + self.poly.times[-1]))
+        self._t_cold = jnp.full(lat.size, t_mid, dtype=jnp.float32)
+        self._t_prev = None
+
+    def slice(self, ht: float, heights_chain: np.ndarray) -> dict:
+        """Slice geometry at output height ``ht`` (same dict contract as
+        :func:`raytrace_slice_device_fused`, with per_level_max/hstep_max
+        left as DEVICE arrays - fetch them batched)."""
+        import os as _os
+
+        heights_chain = np.asarray(heights_chain, dtype=np.float64)
+        ab_hi, ab_lo = _ab_tables(heights_chain)
+        algo = _os.environ.get('RAIDER_TPU_GEOM_ALGO', 'ref')
+        ht = float(ht)
+        h_hi = np.float32(ht)
+        h_lo = np.float32(ht - np.float64(h_hi))
+        targ_hi, targ_lo = _offset_targets(
+            self.x_hi, self.x_lo, self.n_hi, self.n_lo,
+            jnp.float32(h_hi), jnp.float32(h_lo))
+        warm = self._t_prev is not None
+        low, high, d2, lengths, per_level_max, hstep_max, t_out = _slice_geom_fused(
+            self.times_f32, self.poly.t_c, self.poly.coeffs,
+            targ_hi, targ_lo,
+            self._t_prev if warm else self._t_cold,
+            jnp.asarray(heights_chain, jnp.float32),
+            jnp.int32(_chain_i0(heights_chain)),
+            jnp.asarray(ab_hi), jnp.asarray(ab_lo),
+            crs=self.crs, is_geo=self.is_geo,
+            maxiter=self.maxiter_warm if warm else self.maxiter_cold,
+            algo=algo,
+        )
+        self._t_prev = t_out
+        return {
+            'low_yxz': low, 'high_yxz': high, 'd2': d2, 'ray_len': lengths,
+            'per_level_max': per_level_max, 'hstep_max': hstep_max,
+        }
 
 
 def raytrace_slice_device_fused(poly: OrbitPoly, xyz_f64: np.ndarray,
@@ -604,30 +722,21 @@ def raytrace_slice_device_fused(poly: OrbitPoly, xyz_f64: np.ndarray,
     lo = (targ - hi.astype(np.float64)).astype(np.float32)
     t_mid = np.float32(0.5 * (poly.times[0] + poly.times[-1]))
     t_init = jnp.full(targ.shape[0], t_mid, dtype=jnp.float32)
-    # first real (non-duplicate) height pair of a bottom-padded chain
-    i0 = int(np.searchsorted(heights_chain, heights_chain[0], side='right') - 1)
-    i0 = min(i0, heights_chain.size - 2)
 
-    # per-level [1/(a+h)^2, 1/(b+h)^2] as df64 pairs for the quadratic seed
     import os as _os
 
-    from raider_tpu.constants import WGS84_A, WGS84_E2 as _e2
-
-    b_ax = float(WGS84_A) * np.sqrt(1.0 - float(_e2))
-    ab = np.stack([1.0 / (float(WGS84_A) + heights_chain) ** 2,
-                   1.0 / (b_ax + heights_chain) ** 2], axis=-1)
-    ab_hi = ab.astype(np.float32)
-    ab_lo = (ab - ab_hi.astype(np.float64)).astype(np.float32)
+    ab_hi, ab_lo = _ab_tables(heights_chain)
     # 'ref' replicates the reference's intersection semantics exactly
     # (parity default); 'scan' (warm-start, more accurate intersections) and
     # 'quad' remain selectable — see the algo comments in _slice_geom_fused
     algo = _os.environ.get('RAIDER_TPU_GEOM_ALGO', 'ref')
 
-    low, high, d2, lengths, per_level_max, hstep_max = _slice_geom_fused(
+    low, high, d2, lengths, per_level_max, hstep_max, _ = _slice_geom_fused(
         jnp.asarray(poly.times, jnp.float32), poly.t_c, poly.coeffs,
         jnp.asarray(hi), jnp.asarray(lo), t_init,
         jnp.asarray(heights_chain, jnp.float32),
-        jnp.int32(i0), jnp.asarray(ab_hi), jnp.asarray(ab_lo),
+        jnp.int32(_chain_i0(heights_chain)),
+        jnp.asarray(ab_hi), jnp.asarray(ab_lo),
         crs=crs, is_geo=crs == Geographic(), maxiter=maxiter, algo=algo,
     )
     return {
