@@ -350,12 +350,23 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     else:
         lon, lat = xx, yy
     re_local = np.asarray(get_Re(lat)).reshape(npix)
+    pending_geom = {}
+    device_outs = {}
     if use_device_geom:
         from raider_tpu.geometry.device_geom import GeomSession
 
         # uploads ground ECEF + surface normals ONCE; per-slice targets are
         # derived on device and geo2rdr warm-starts from the previous slice
         geom_session = GeomSession(los._orbit, lat, lon, wm.crs)
+
+        def dispatch_geom(idx: int) -> None:
+            """Queue slice idx's geometry (async); warm-start chaining means
+            dispatch order must follow slice order."""
+            if 0 <= idx < zpts.size and idx not in pending_geom \
+                    and chains[idx] is not None:
+                with stage('raytrace.device_geometry', log=False):
+                    pending_geom[idx] = geom_session.slice(
+                        float(zpts[idx]), chains[idx])
     for hh, ht in enumerate(zpts):
         logger.info(f'Processing slice {hh + 1} / {len(zpts)}: {ht}')
 
@@ -369,11 +380,14 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
 
         if use_device_geom:
             # Steps 1-4 fused on device (targets + geo2rdr + Newton chain +
-            # CRS), df64; one batched fetch of the two small plan arrays
-            with stage('raytrace.device_geometry', log=False):
-                geom = geom_session.slice(ht, heights)
+            # CRS), df64. One-slice lookahead: the NEXT slice's geometry is
+            # dispatched before this slice's plan arrays are fetched, so the
+            # synchronous fetch overlaps device compute
             import jax as _jax
 
+            dispatch_geom(hh)
+            geom = pending_geom.pop(hh)
+            dispatch_geom(hh + 1)
             plm, hsm = _jax.device_get((geom['per_level_max'],
                                         geom['hstep_max']))
             per_level_max = np.asarray(plm, dtype=np.float64)
@@ -469,11 +483,20 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                 packed2d=packed2d, mode=pack_mode,
                 heights=heights, hstep_max=hstep_max,
             )
-        if orig_n is not None:
-            wet = np.asarray(wet)[:orig_n]
-            hydro = np.asarray(hydro)[:orig_n]
-        outputArrs[0][hh] = np.asarray(wet).reshape(ypts.size, xpts.size)
-        outputArrs[1][hh] = np.asarray(hydro).reshape(ypts.size, xpts.size)
+        # defer the (synchronous) result fetch: keep device arrays and pull
+        # every slice in one batched transfer after the loop
+        device_outs[hh] = (wet, hydro, orig_n)
+
+    if device_outs:
+        import jax
+
+        fetched = jax.device_get(device_outs)
+        for hh, (w_np, h_np, orig_n) in fetched.items():
+            if orig_n is not None:
+                w_np = w_np[:orig_n]
+                h_np = h_np[:orig_n]
+            outputArrs[0][hh] = np.asarray(w_np).reshape(ypts.size, xpts.size)
+            outputArrs[1][hh] = np.asarray(h_np).reshape(ypts.size, xpts.size)
 
     return outputArrs
 

@@ -486,6 +486,12 @@ class RaiderStats:
         ax.set_xlabel('Longitude')
         ax.set_ylabel('Latitude')
         ax.set_title(self.fmt.get('user_title') or title)
+        if self.fmt.get('coastlines', True):
+            # bundled coarse coastlines: geographic context without cartopy
+            # (the reference draws cartopy basemaps, statsPlot.py:1000-1563)
+            from raider_tpu.workflows.coastlines import draw_coastlines
+
+            draw_coastlines(ax)
         if self.fmt.get('drawgridlines'):
             ax.set_xticks(self.lon_edges, minor=True)
             ax.set_yticks(self.lat_edges, minor=True)

@@ -253,3 +253,33 @@ def test_load_gridfile_rejects_untagged_tiff(tmp_path):
     write_gtiff(np.ones((2, 2), np.float32), p)
     with pytest.raises(ValueError):
         load_gridfile(p, 'm')
+
+
+class TestCoastlines:
+    def test_segments_sane(self):
+        from raider_tpu.workflows.coastlines import COASTLINES
+        assert len(COASTLINES) >= 15
+        for seg in COASTLINES:
+            assert seg.ndim == 2 and seg.shape[1] == 2 and seg.shape[0] >= 5
+            assert np.all(np.abs(seg[:, 0]) <= 180)
+            assert np.all(np.abs(seg[:, 1]) <= 90)
+
+    def test_draw_clips_to_view(self):
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+
+        from raider_tpu.workflows.coastlines import draw_coastlines
+
+        fig, ax = plt.subplots()
+        ax.set_xlim(-125, -114)   # US west coast: North America visible
+        ax.set_ylim(30, 42)
+        n = draw_coastlines(ax)
+        assert n >= 1
+        assert ax.get_xlim() == (-125, -114)
+        fig2, ax2 = plt.subplots()
+        ax2.set_xlim(-150, -140)  # central Pacific: nothing to draw
+        ax2.set_ylim(-10, 0)
+        assert draw_coastlines(ax2) == 0
+        plt.close(fig)
+        plt.close(fig2)
