@@ -139,6 +139,13 @@ def main() -> None:
         t_std.append(time.perf_counter() - t0)
     t_std = min(t_std)
 
+    # free the kernel-section device arrays (brick table ~4 GB + endpoint
+    # batches ~2 GB) before the e2e section allocates its own
+    import gc
+
+    del dev, packed2d
+    gc.collect()
+
     # ----------------- END-TO-END production STD (geometry + integrate)
     # the real _build_cube_ray path: GeomSession device geometry (targets
     # derived on device, geo2rdr warm-started across slices, df64 chain
@@ -181,23 +188,31 @@ def main() -> None:
     los = Raytracing(orbit=orbit, time=t_ref)
     side = int(np.sqrt(n_rays))           # 1000 x 1000 = 1M pixels
     yq = np.linspace(18.5, 21.5, side)
-    hts_e2e = np.array([0.0, 100.0])      # 2 slices; near-identical chains
 
-    def run_e2e(shift):
+    def run_e2e(shift, n_slices):
         xq = np.linspace(-1.5, 1.5, side) + shift
+        hts_e2e = 100.0 * np.arange(n_slices)
         w, h = _build_cube_ray(wm_e2e, xq, yq, hts_e2e, los, Geographic(),
                                zref=float(zs[-1] - 1.0),
                                compute_dtype=np.float32)
         return float(np.nansum(np.asarray(w)))
 
-    t_e2e = []
-    _ = run_e2e(0.0)                      # compile + warm caches
+    # steady-state per-slice time via the SLOPE between a 2-slice and a
+    # 6-slice run: cancels the per-call one-time costs (orbit/target upload,
+    # cube packing, compilation) the same way a production cube with many
+    # height levels amortizes them. Every call perturbs the grid so no
+    # result is served from the remote result cache.
+    _ = run_e2e(0.0, 2)                   # compile + warm caches
+    t_short, t_long = [], []
     for k in range(1, 3):
         t0 = time.perf_counter()
-        _ = run_e2e(float(k) * 1e-7)      # perturbed: defeats result cache
-        t_e2e.append(time.perf_counter() - t0)
-    n_slices = hts_e2e.size
-    t_std_e2e = min(t_e2e) / n_slices     # per 1M-ray slice, steady state
+        _ = run_e2e(float(k) * 1e-7, 2)
+        t_short.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = run_e2e(float(k) * 1e-7 + 5e-8, 6)
+        t_long.append(time.perf_counter() - t0)
+    t_std_e2e = max((min(t_long) - min(t_short)) / 4.0, 1e-9)
+    t_setup = max(min(t_short) - 2.0 * t_std_e2e, 0.0)
 
     total_single_chip = t_ztd + t_std_e2e
     v5e8_estimate = total_single_chip / 8.0
@@ -211,6 +226,7 @@ def main() -> None:
             'ztd_s': round(t_ztd, 4),
             'std_e2e_s': round(t_std_e2e, 4),
             'std_e2e_rays_per_s_chip': round(n_rays / t_std_e2e, 0),
+            'std_e2e_setup_s': round(t_setup, 4),
             'std_kernel_s': round(t_std, 4),
             'std_samples_per_ray': int(n_samples),
             'std_gathers_per_ray': int(n_gathers),

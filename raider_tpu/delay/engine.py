@@ -359,6 +359,12 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         # derived on device and geo2rdr warm-starts from the previous slice
         geom_session = GeomSession(los._orbit, lat, lon, wm.crs)
 
+        # lookahead holds TWO slices' geometry in HBM; skip it for very
+        # large (chain x rays) products where that second copy would risk
+        # exhausting device memory (~3 GB per slice at 48 levels x 1M rays)
+        chain_len = max((c.size for c in chains if c is not None), default=0)
+        lookahead_ok = chain_len * npix <= 24_000_000
+
         def dispatch_geom(idx: int) -> None:
             """Queue slice idx's geometry (async); warm-start chaining means
             dispatch order must follow slice order."""
@@ -387,7 +393,8 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
 
             dispatch_geom(hh)
             geom = pending_geom.pop(hh)
-            dispatch_geom(hh + 1)
+            if lookahead_ok:
+                dispatch_geom(hh + 1)
             plm, hsm = _jax.device_get((geom['per_level_max'],
                                         geom['hstep_max']))
             per_level_max = np.asarray(plm, dtype=np.float64)

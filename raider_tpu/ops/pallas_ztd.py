@@ -14,9 +14,11 @@ once, computing
 top-down in an on-chip scan - the e/T/p cubes are read from HBM exactly
 once and the four derived cubes are written exactly once.
 
-Use `ztd_totals(..., interpret=True)` on CPU (tests); on TPU the kernel is
-validated against the XLA composition and used opportunistically (the XLA
-path remains the fallback - see `wx.base._getZTD`).
+`wx.base._get_ztd` runs this kernel as the PRODUCTION path on TPU backends
+(XLA composition as fallback, RAIDER_TPU_PALLAS_ZTD=0 to force it);
+`ztd_totals(..., interpret=True)` runs the same kernel on CPU (tests).
+On-TPU equivalence vs the XLA composition is checked by
+scripts/pallas_check.py (part of the verify drive).
 """
 
 from functools import partial

@@ -457,13 +457,50 @@ class WeatherModel:
 
     def _get_ztd(self) -> None:
         """Zenith total delay at every grid node, integrated from each level
-        to the model top; one reversed-cumsum device op (replaces the
-        reference's per-level np.trapz loop at weatherModel.py:389-403)."""
+        to the model top (replaces the reference's per-level np.trapz loop
+        at weatherModel.py:389-403).
+
+        On TPU backends the fused Pallas kernel (ops.pallas_ztd.ztd_totals:
+        refractivity + top-down trapezoid scan, one HBM pass) is the
+        production path; the XLA reversed-cumsum composition is the fallback
+        everywhere else (``RAIDER_TPU_PALLAS_ZTD=0`` forces it)."""
+        if self._use_pallas_ztd():
+            try:
+                from raider_tpu.ops.pallas_ztd import ztd_totals
+
+                def to_dev(a):
+                    return jnp.asarray(
+                        np.moveaxis(np.asarray(a, dtype=np.float32), -1, 0))
+
+                wet_t, hyd_t = ztd_totals(
+                    to_dev(self._t), to_dev(self._p), to_dev(self._e),
+                    jnp.asarray(np.asarray(self._zs, dtype=np.float32)),
+                    k1=float(self._k1), k2=float(self._k2), k3=float(self._k3))
+                self._wet_ztd = np.moveaxis(np.asarray(wet_t, np.float64), 0, -1)
+                self._hydrostatic_ztd = np.moveaxis(np.asarray(hyd_t, np.float64), 0, -1)
+                return
+            except Exception as e:  # noqa: BLE001 - any Mosaic/backend failure
+                logger.warning('Pallas ZTD kernel failed (%s); '
+                               'falling back to the XLA path', e)
         wet = jnp.asarray(self._wet_refractivity, dtype=jnp.float64)
         hydro = jnp.asarray(self._hydrostatic_refractivity, dtype=jnp.float64)
         zs = jnp.asarray(self._zs, dtype=jnp.float64)
         self._wet_ztd = np.asarray(cumtrapz_from_top(wet, zs))
         self._hydrostatic_ztd = np.asarray(cumtrapz_from_top(hydro, zs))
+
+    def _use_pallas_ztd(self) -> bool:
+        import os
+
+        import jax
+
+        if os.environ.get('RAIDER_TPU_PALLAS_ZTD', '') == '0':
+            return False
+        try:
+            backend = jax.default_backend()
+        except RuntimeError:
+            return False
+        return (backend == 'tpu' and self._e is not None
+                and np.ndim(self._zs) == 1 and np.ndim(self._t) == 3)
 
     def _calculategeoh(self, z, lnsp):
         from raider_tpu.wx.calcgeoh import calcgeoh

@@ -42,3 +42,44 @@ def test_matches_xla_composition(shape):
     np.testing.assert_allclose(np.asarray(h), ref_h, rtol=2e-6, atol=1e-9)
     # top level integrates to exactly zero
     assert np.all(np.asarray(w)[-1] == 0) and np.all(np.asarray(h)[-1] == 0)
+
+
+class TestProductionWiring:
+    """wx.base._get_ztd selects Pallas only on TPU backends and always has
+    a working XLA fallback (VERDICT r1 item 2a)."""
+
+    def _model(self):
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from test_wx import SyntheticModel
+
+        m = SyntheticModel()
+        m.load_weather()
+        m._get_wet_refractivity()
+        m._get_hydro_refractivity()
+        return m
+
+    def test_cpu_backend_uses_xla(self):
+        m = self._model()
+        assert m._use_pallas_ztd() is False   # conftest pins CPU
+        m._get_ztd()
+        assert np.isfinite(m._wet_ztd).all()
+
+    def test_env_kill_switch(self, monkeypatch):
+        monkeypatch.setenv('RAIDER_TPU_PALLAS_ZTD', '0')
+        assert self._model()._use_pallas_ztd() is False
+
+    def test_pallas_failure_falls_back(self, monkeypatch):
+        """Force the gate open on CPU: the kernel attempt fails (or runs),
+        and _get_ztd must still produce the XLA-identical totals."""
+        import raider_tpu.wx.base as base
+
+        m = self._model()
+        ref = m._get_ztd() or (m._wet_ztd.copy(), m._hydrostatic_ztd.copy())
+        monkeypatch.setattr(base.WeatherModel, '_use_pallas_ztd',
+                            lambda self: True)
+        m2 = self._model()
+        m2._get_ztd()
+        np.testing.assert_allclose(m2._wet_ztd, ref[0], rtol=5e-6, atol=1e-9)
+        np.testing.assert_allclose(m2._hydrostatic_ztd, ref[1], rtol=5e-6,
+                                   atol=1e-9)
