@@ -22,12 +22,28 @@ access pattern" as the only remaining lever. This kernel is that pattern:
     one-hot-gather note in delay/raytrace.py and docs/performance.md).
     The per-ray (plane, y) mix is a cheap VPU weighted reduction.
 
-Applicability: the window is STATIC per compile (WY in {8, 16, 32}); a
-host-side pre-pass measures each tile's true per-group spread and the
-wrapper falls back to the brick kernel whenever any tile would overflow its
-window (e.g. random-azimuth ray batches) or the grid axes are non-uniform.
+Applicability: the window is STATIC per compile (WY buckets); a host-side
+pre-pass measures each tile's true per-group spread and the wrapper falls
+back to the brick kernel whenever any tile would overflow its window
+(e.g. random-azimuth ray batches) or the grid axes are non-uniform.
 NaN semantics, the sampling plan, trapezoid weights, and the sagitta
 correction replicate delay.raytrace._integrate_bricks exactly.
+
+STATUS - EXPERIMENTAL, NOT the production path. Measured on v5e (262k
+coherent rays, 50-level HRRR-sized cube, 12 groups): correct to 4e-7
+relative vs the brick kernel but 28x SLOWER (2351 ms vs 84 ms). Two
+hardware constraints kill the expected win:
+  * HBM arrays are (8,128)-tile addressed, so window DMA anchors must be
+    quantized (y to 8, x to 128) - the x window becomes 256 cells wide
+    regardless of the true ~24-cell spread, and the one-hot contraction
+    pays K=256 for 2 useful lanes (~3.3M MAC/ray at 6-pass f32-exact
+    MXU precision, ~1.6x the brick kernel's total cost at BEST);
+  * per-sample dynamic slicing of the (L, TILE) ray blocks along the
+    SUBLANE dim lowers to expensive per-row shuffles (~0.4 ms/grid-step).
+The XLA brick gather therefore remains the production integrate path
+(delay/raytrace.py); this module is kept as the measured prototype with
+interpret-mode equivalence tests (VERDICT r1 item 2b writeup in
+BASELINE.md).
 
 Reference semantics replaced: tools/RAiDER/delay.py:286-323 (triple loop),
 scipy RegularGridInterpolator gathers.
@@ -39,11 +55,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-WX = 128          # window width in cube x cells (one lane tile)
-TILE_Y = 16       # ray tile = TILE_Y x TILE_X output pixels: favor x,
-TILE_X = 64       # where the 128-cell window has the most headroom
+WX = 256          # window width in cube x cells: HBM arrays are stored
+                  # (8,128)-tiled, so DMA offsets must be 128-aligned in x
+                  # and 8-aligned in y; two lane tiles absorb the x slack
+TILE_Y = 8        # ray tile = TILE_Y x TILE_X output pixels: favor x,
+TILE_X = 64       # where the window has the most headroom (512 rays/tile
+                  # keeps the kernel's VMEM stack well under the 16 MB cap)
 TILE = TILE_Y * TILE_X
-WY_BUCKETS = (8, 16, 32)
+WY_BUCKETS = (8, 16, 32, 40)
 
 
 def _uniform_params(axis_np):
@@ -77,8 +96,10 @@ def _kernel(ay_ref, ax_ref, za_ref, lvl_ref, frac_ref, wal_ref, wa_ref,
         out_w[...] = jnp.zeros_like(out_w)
         out_h[...] = jnp.zeros_like(out_h)
 
-    ay = ay_ref[i, g]
-    ax = ax_ref[i, g]
+    # the wrapper quantizes anchors to the HBM (8,128) tiling; the hint
+    # lets Mosaic prove the DMA slice offsets are tile-aligned
+    ay = pl.multiple_of(ay_ref[i, g], 8)
+    ax = pl.multiple_of(ax_ref[i, g], 128)
     za = za_ref[g]
 
     cw = pltpu.make_async_copy(
@@ -92,16 +113,23 @@ def _kernel(ay_ref, ax_ref, za_ref, lvl_ref, frac_ref, wal_ref, wa_ref,
     cw.wait()
     ch.wait()
 
-    # matmul RHS: wet rows then hydro rows, both (planes*WY, WX)
-    rhs = jnp.concatenate([win_w[...].reshape(planes * WY, WX),
-                           win_h[...].reshape(planes * WY, WX)], axis=0)
+    # matmul RHS per cube: (planes*WY, WX)
+    rhs_w = win_w[...].reshape(planes * WY, WX)
+    rhs_h = win_h[...].reshape(planes * WY, WX)
 
     re = re_ref[0, :]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE, WX), 1)
 
-    acc_w = jnp.zeros((TILE,), jnp.float32)
-    acc_h = jnp.zeros((TILE,), jnp.float32)
-    for s in range(G):
+    # samples iterate through a fori_loop (NOT a python unroll): unrolling
+    # G iterations keeps every iteration's (TILE, WX)-sized temporaries
+    # live at once and overflows the 16 MB VMEM stack
+    def sample_body(s, carry):
+        acc_w, acc_h = carry
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE, WX), 1)
+        # flat (plane, y) index decomposition for the 2-D mix weights
+        # (Mosaic cannot reshape the matmul result to 4-D)
+        jdx = jax.lax.broadcasted_iota(jnp.int32, (TILE, planes * WY), 1)
+        jp = jdx // WY
+        jk = jdx - jp * WY
         lvl = lvl_ref[g, s]
         f = frac_ref[g, s]
         ly = low_y[pl.ds(lvl, 1), :].reshape(TILE)
@@ -146,25 +174,26 @@ def _kernel(ay_ref, ax_ref, za_ref, lvl_ref, frac_ref, wal_ref, wa_ref,
         ohx = (jnp.where(lanes == dxc, 1.0 - fxb, 0.0)
                + jnp.where(lanes == dxc + 1, fxb, 0.0))
 
-        sel = jax.lax.dot_general(
-            ohx, rhs, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )                                           # (TILE, 2*planes*WY)
-        sel = sel.reshape(TILE, 2, planes, WY)
+        dims = (((1,), (1,)), ((), ()))
+        sel_w = jax.lax.dot_general(
+            ohx, rhs_w, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)     # (TILE, planes*WY)
+        sel_h = jax.lax.dot_general(
+            ohx, rhs_h, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
 
-        # per-ray (plane, y) one-hot weights on the VPU
-        pidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, planes), 1)
-        wz = (jnp.where(pidx == dzo, 1.0 - fz[:, None], 0.0)
-              + jnp.where(pidx == dzo + 1, fz[:, None], 0.0))
-        yidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, WY), 1)
+        # per-ray (plane, y) one-hot mix weights on the VPU, 2-D over the
+        # flattened (plane, y) axis
+        fzb = fz[:, None]
+        fyb = fy[:, None]
         dyc = dy[:, None]
-        wyv = (jnp.where(yidx == dyc, 1.0 - fy[:, None], 0.0)
-               + jnp.where(yidx == dyc + 1, fy[:, None], 0.0))
-        mix = wz[:, None, :, None] * wyv[:, None, None, :]  # (TILE,1,pl,WY)
-        vals = jnp.sum(sel * mix, axis=(2, 3))               # (TILE, 2)
-        vw = jnp.where(ok, vals[:, 0], jnp.nan)
-        vh = jnp.where(ok, vals[:, 1], jnp.nan)
+        wz = (jnp.where(jp == dzo, 1.0 - fzb, 0.0)
+              + jnp.where(jp == dzo + 1, fzb, 0.0))
+        wyv = (jnp.where(jk == dyc, 1.0 - fyb, 0.0)
+               + jnp.where(jk == dyc + 1, fyb, 0.0))
+        mix = wz * wyv                               # (TILE, planes*WY)
+        vw = jnp.where(ok, jnp.sum(sel_w * mix, axis=1), jnp.nan)
+        vh = jnp.where(ok, jnp.sum(sel_h * mix, axis=1), jnp.nan)
 
         rl = (wa_ref[g, s] * rl_ref[pl.ds(wal_ref[g, s], 1), :].reshape(TILE)
               + wb_ref[g, s] * rl_ref[pl.ds(wbl_ref[g, s], 1), :].reshape(TILE))
@@ -172,6 +201,12 @@ def _kernel(ay_ref, ax_ref, za_ref, lvl_ref, frac_ref, wal_ref, wa_ref,
         is_pad = pad_ref[g, s] != 0
         acc_w = acc_w + jnp.where(is_pad, 0.0, wt * vw)
         acc_h = acc_h + jnp.where(is_pad, 0.0, wt * vh)
+
+        return acc_w, acc_h
+
+    acc_w, acc_h = jax.lax.fori_loop(
+        0, G, sample_body,
+        (jnp.zeros((TILE,), jnp.float32), jnp.zeros((TILE,), jnp.float32)))
 
     out_w[...] = out_w[...] + acc_w.reshape(1, TILE)
     out_h[...] = out_h[...] + acc_h.reshape(1, TILE)
@@ -193,12 +228,14 @@ def _run_windowed(ay, ax, za, lvl, frac, wal, wa, wbl, wb, dzo, zlo, zinv,
     ylo, _, ystep, ny = yparams
     xlo, _, xstep, nx = xparams
 
+    # (1, TILE) blocks must tile a (1, n) array (the TPU lowering requires
+    # the sublane block dim to divide 8 or equal the array dim)
     ray_spec = pl.BlockSpec((L, TILE), lambda i, g, *_: (0, i),
                             memory_space=pltpu.VMEM)
-    re_spec = pl.BlockSpec((1, TILE), lambda i, g, *_: (i, 0),
+    re_spec = pl.BlockSpec((1, TILE), lambda i, g, *_: (0, i),
                            memory_space=pltpu.VMEM)
     cube_spec = pl.BlockSpec(memory_space=pl.ANY)
-    out_spec = pl.BlockSpec((1, TILE), lambda i, g, *_: (i, 0),
+    out_spec = pl.BlockSpec((1, TILE), lambda i, g, *_: (0, i),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -218,7 +255,7 @@ def _run_windowed(ay, ax, za, lvl, frac, wal, wa, wbl, wb, dzo, zlo, zinv,
         xlo=np.float32(xlo), xinv=np.float32(1.0 / xstep), nx=nx,
         zs0=np.float32(zs0), zs1=np.float32(zs1), z_clip=z_clip,
     )
-    out_shape = jax.ShapeDtypeStruct((n_tiles, TILE), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((1, n_tiles * TILE), jnp.float32)
     with jax.enable_x64(False):
         wet, hyd = pl.pallas_call(
             kern, grid_spec=grid_spec,
@@ -308,7 +345,7 @@ def integrate_rays_windowed(cube_wet, cube_hydro, ys, xs, zs,
         return None, None, False
     nz, ny, nx = np.shape(cube_wet)
     planes = int(plan.planes)
-    if nz < planes or ny < max(WY_BUCKETS) or nx < WX:
+    if nz < planes or ny < max(WY_BUCKETS) + 8:
         return None, None, False
 
     # ---- tile mapping: (nyo, nxo) pixels -> (n_tiles, TILE) ray order
@@ -328,7 +365,7 @@ def integrate_rays_windowed(cube_wet, cube_hydro, ys, xs, zs,
     high = reorder(high_yxz, 1)
     d2_t = reorder(d2, 1)
     rl_t = reorder(ray_len, 1)
-    re_t = reorder(re_local, 0).reshape(n_tiles, TILE)
+    re_t = reorder(re_local, 0).reshape(1, n_tiles * TILE)
 
     lvl = jnp.asarray(plan.lvl, jnp.int32)
     frac = jnp.asarray(plan.frac, jnp.float32)
@@ -342,8 +379,12 @@ def integrate_rays_windowed(cube_wet, cube_hydro, ys, xs, zs,
         yparams=yparams, xparams=xparams)
     ay_np, ax_np, my_np, mx_np = (np.asarray(v) for v in (ay, ax, my, mx))
 
-    # spreads must fit the windows (the +2 covers the upper-cell corner);
-    # all-invalid (tile, group) pairs have my = -1 << ay and drop out
+    # anchors must land on the HBM (8,128) tiling: quantize down and absorb
+    # the slack in the window size. Spreads must then fit the windows
+    # (+2 covers the upper-cell corner); all-invalid (tile, group) pairs
+    # have my = -1 << ay and drop out
+    ay_np = (ay_np // 8) * 8
+    ax_np = (ax_np // 128) * 128
     spread_y = int(np.maximum(my_np - ay_np, -1).max(initial=-1)) + 2
     spread_x = int(np.maximum(mx_np - ax_np, -1).max(initial=-1)) + 2
     wy = next((b for b in WY_BUCKETS if spread_y <= b), None)
@@ -351,8 +392,11 @@ def integrate_rays_windowed(cube_wet, cube_hydro, ys, xs, zs,
         return None, None, False
 
     # clip anchors so windows stay in-bounds; pad cube x to lane multiples
-    ay_np = np.clip(np.minimum(ay_np, ny - wy), 0, max(ny - wy, 0))
-    nxp = -(-nx // WX) * WX
+    ay_np = np.clip(np.minimum(ay_np, ((ny - wy) // 8) * 8), 0,
+                    max(ny - wy, 0))
+    nxp = -(-nx // 128) * 128
+    if nxp < WX:
+        nxp = WX
     ax_np = np.clip(np.minimum(ax_np, nxp - WX), 0, max(nxp - WX, 0))
 
     # z anchors: shift so [za, za+planes) is in-bounds, adjust dzoff

@@ -113,12 +113,19 @@ def main():
         assert used, 'windowed path declined'
         return w, h
 
+    # free the 4 GB brick table before the windowed runs (HBM pressure)
+    import gc
+
+    w_b, h_b = run_brick(0)
+    w_b = jnp.asarray(w_b) + 0.0
+    del packed
+    gc.collect()
+
     t_win = slope(run_window)
     print(f'windowed Pallas: {t_win*1e3:8.1f} ms  '
           f'{n/t_win/1e6:6.2f} M rays/s  ({t_brick/t_win:.2f}x)')
 
-    # correctness on the same inputs
-    w_b, h_b = run_brick(0)
+    # correctness on the same inputs (brick result captured above)
     w_w, h_w = run_window(0)
     d = float(jnp.nanmax(jnp.abs(w_w - w_b)))
     rel = d / float(jnp.nanmax(jnp.abs(w_b)))

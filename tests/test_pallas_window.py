@@ -109,9 +109,10 @@ class TestWindowedEquivalence:
         np.testing.assert_allclose(w_w[fin], w_b[fin], rtol=3e-6)
 
     def test_incoherent_batch_declines(self, rng):
-        """Random azimuths spread each tile past the largest window; the
-        wrapper must hand back used=False (caller falls back to brick)."""
-        sc = make_scene(rng, azimuth=0.0, azi_jitter=np.pi, zen=(40.0, 60.0))
+        """Fully random azimuths at steep incidence spread each tile far
+        past the largest window; the wrapper must hand back used=False
+        (caller falls back to brick)."""
+        sc = make_scene(rng, azimuth=0.0, azi_jitter=np.pi, zen=(60.0, 72.0))
         _, _, used = run_window(sc)
         assert used is False
 
