@@ -109,23 +109,26 @@ def main() -> None:
         zero = jnp.zeros((1, zen.size), ystep.dtype)
         ycum = jnp.concatenate([zero, jnp.cumsum(ystep, axis=0)], axis=0)
         xcum = jnp.concatenate([zero, jnp.cumsum(xstep, axis=0)], axis=0)
-        zbc = jnp.broadcast_to(zs_j[:, None], (zs_j.size, zen.size))
-        low = jnp.stack([y0 + ycum[:-1], x0 + xcum[:-1], zbc[:-1]], axis=-1).astype(dtype)
-        high = jnp.stack([y0 + ycum[1:], x0 + xcum[1:], zbc[1:]], axis=-1).astype(dtype)
+        # contiguous segments: ONE boundary-point array per component
+        bnd_y = (y0 + ycum).astype(dtype)
+        bnd_x = (x0 + xcum).astype(dtype)
+        bnd_z = jnp.broadcast_to(zs_j[:, None].astype(dtype),
+                                 (zs_j.size, zen.size))
         ray_len = (dzv_j[:, None] / jnp.cos(zen)[None, :]).astype(dtype)
         d2 = (dh * dh).astype(dtype)
         re = jnp.full(zen.size, 6371000.0, dtype)
-        return low, high, d2, ray_len, re
+        return bnd_y, bnd_x, bnd_z, d2, ray_len, re
 
     dev = jax.block_until_ready(build_rays(
         jnp.asarray(zen), jnp.asarray(azi), jnp.asarray(y0), jnp.asarray(x0),
         jnp.asarray(dzv), jnp.asarray(zs)))
 
     def run_std(bump):
-        low_d, high_d, d2_d, rl_d, re_d = dev
+        by_d, bx_d, bz_d, d2_d, rl_d, re_d = dev
         w_out, h_out = integrate_rays(
             wet, hydro, ys, xs, zs,
-            low_d + bump, high_d + bump, d2_d, rl_d, re_d, per_level_max,
+            by_d + bump, bx_d + bump, bz_d + bump, d2_d, rl_d, re_d,
+            per_level_max,
             packed2d=packed2d, mode=mode,
             heights=heights, hstep_max=hstep_max,
         )

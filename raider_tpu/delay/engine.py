@@ -361,9 +361,10 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
 
         # lookahead holds TWO slices' geometry in HBM; skip it for very
         # large (chain x rays) products where that second copy would risk
-        # exhausting device memory (~3 GB per slice at 48 levels x 1M rays)
+        # exhausting device memory (boundary components cost ~5 f32 words
+        # per (level x ray) ~= 1 GB per slice at 50 levels x 1M rays)
         chain_len = max((c.size for c in chains if c is not None), default=0)
-        lookahead_ok = chain_len * npix <= 24_000_000
+        lookahead_ok = chain_len * npix <= 60_000_000
 
         def dispatch_geom(idx: int) -> None:
             """Queue slice idx's geometry (async); warm-start chaining means
@@ -407,7 +408,8 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             if real.size and np.isnan(real).all():
                 raise ValueError('geo2rdr did not converge. Check orbit coverage')
             args = (
-                geom['low_yxz'], geom['high_yxz'], geom['d2'], geom['ray_len'],
+                geom['bnd_y'], geom['bnd_x'], geom['bnd_z'],
+                geom['d2'], geom['ray_len'],
                 jnp.asarray(re_local.astype(compute_dtype)),
             )
         else:
@@ -427,7 +429,9 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             if np.isnan(ray_lengths).all():
                 raise ValueError('geo2rdr did not converge. Check orbit coverage')
 
-            # Step 4: endpoints -> model CRS (f64, host; L+1 unique points)
+            # Step 4: boundary points -> model CRS (f64, host). Segments are
+            # contiguous (high[k] is low[k+1], both views of one array), so
+            # only the L+1 UNIQUE boundary points are transformed and shipped
             def to_model(pts_xyz):
                 gx, gy, gz = (
                     np.asarray(v) for v in transform_points(
@@ -438,28 +442,31 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                 # interpolator ordering is (y, x, z)
                 return np.stack([gy, gx, gz], axis=-1)
 
-            low_yxz = to_model(low_xyzs).reshape(ray_lengths.shape[0], npix, 3)
-            high_yxz = to_model(high_xyzs).reshape(ray_lengths.shape[0], npix, 3)
-            seg_flat = ray_lengths.reshape(ray_lengths.shape[0], npix)
+            bounds_xyz = np.concatenate([low_xyzs, high_xyzs[-1:]], axis=0)
+            L = ray_lengths.shape[0]
+            bnd_yxz = to_model(bounds_xyz).reshape(L + 1, npix, 3)
+            seg_flat = ray_lengths.reshape(L, npix)
 
             # squared horizontal chord for the sagitta correction
             chord2 = np.sum((high_xyzs - low_xyzs) ** 2, axis=-1).reshape(seg_flat.shape)
-            dz = high_yxz[..., 2] - low_yxz[..., 2]
+            dz = bnd_yxz[1:, :, 2] - bnd_yxz[:-1, :, 2]
             d2 = np.maximum(chord2 - dz**2, 0.0)
 
             with np.errstate(invalid='ignore'):
-                per_level_max = np.nanmax(ray_lengths.reshape(seg_flat.shape), axis=1)
+                per_level_max = np.nanmax(seg_flat, axis=1)
                 # per-level max horizontal motion (model units) for grouping,
                 # inflated by the f32 coordinate quantization (the kernel
                 # receives f32 endpoints) so the brick 2-cell bound stays
                 # conservative - same guard as the device paths
                 hstep_max = np.nanmax(np.hypot(
-                    high_yxz[..., 0] - low_yxz[..., 0],
-                    high_yxz[..., 1] - low_yxz[..., 1],
+                    bnd_yxz[1:, :, 0] - bnd_yxz[:-1, :, 0],
+                    bnd_yxz[1:, :, 1] - bnd_yxz[:-1, :, 1],
                 ), axis=1) * (1.0 + 1e-5) + 1e-7
 
             args = (
-                low_yxz.astype(compute_dtype), high_yxz.astype(compute_dtype),
+                bnd_yxz[..., 0].astype(compute_dtype),
+                bnd_yxz[..., 1].astype(compute_dtype),
+                bnd_yxz[..., 2].astype(compute_dtype),
                 d2.astype(compute_dtype), seg_flat.astype(compute_dtype),
                 re_local.astype(compute_dtype),
             )
@@ -473,9 +480,9 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                 and os.environ.get('RAIDER_TPU_SHARD', '') != '0'):
             from raider_tpu.parallel.mesh import place_ray_arrays, replicate
 
-            (l_a, h_a, d_a, s_a), orig_n = place_ray_arrays(args[:4], ray_axis=1)
-            (r_a,), _ = place_ray_arrays([args[4]], ray_axis=0)
-            args = (l_a, h_a, d_a, s_a, r_a)
+            placed, orig_n = place_ray_arrays(args[:5], ray_axis=1)
+            (r_a,), _ = place_ray_arrays([args[5]], ray_axis=0)
+            args = (*placed, r_a)
             # rebinding persists across slices; device_put with an identical
             # sharding is a no-op, so only the first slice pays the transfer
             packed2d = replicate(packed2d)

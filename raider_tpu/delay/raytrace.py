@@ -170,8 +170,7 @@ def _locate_uniformish(axis_np, coords):
 @partial(jax.jit, static_argnames=('ys', 'xs', 'zs', 'z_clip', 'mode'))
 def _integrate_packed(
     packed2d,                   # (nz*ny*nx, 16|4) packed corner table
-    low_y, low_x, low_z,        # (L, N) segment lower endpoints, model CRS
-    high_y, high_x, high_z,     # (L, N) segment upper endpoints
+    bnd_y, bnd_x, bnd_z,        # (L+1, N) level-boundary points, model CRS
     d2,                         # (L, N) squared horizontal chord length
     ray_len,                    # (L, N) segment lengths [m]
     re_local,                   # (N,) local earth radius [m]
@@ -184,12 +183,12 @@ def _integrate_packed(
     ny, nx = ys_np.size, xs_np.size
 
     def sample_one(lvl, ff, la, ca, lb, cb):
-        ly = jnp.take(low_y, lvl, axis=0)
-        lx = jnp.take(low_x, lvl, axis=0)
-        lz = jnp.take(low_z, lvl, axis=0)
-        hy = jnp.take(high_y, lvl, axis=0)
-        hx = jnp.take(high_x, lvl, axis=0)
-        hz = jnp.take(high_z, lvl, axis=0)
+        ly = jnp.take(bnd_y, lvl, axis=0)
+        lx = jnp.take(bnd_x, lvl, axis=0)
+        lz = jnp.take(bnd_z, lvl, axis=0)
+        hy = jnp.take(bnd_y, lvl + 1, axis=0)
+        hx = jnp.take(bnd_x, lvl + 1, axis=0)
+        hz = jnp.take(bnd_z, lvl + 1, axis=0)
         dd2 = jnp.take(d2, lvl, axis=0)
         rl = ca * jnp.take(ray_len, la, axis=0) + cb * jnp.take(ray_len, lb, axis=0)
 
@@ -253,7 +252,7 @@ def _integrate_packed(
         dw, dh = sample_one(lvl, ff, la, ca, lb, cb)
         return (acc_w + dw, acc_h + dh), None
 
-    n = low_y.shape[1]
+    n = bnd_y.shape[1]
     init = (jnp.zeros(n, compute_dtype), jnp.zeros(n, compute_dtype))
     plan = (
         jnp.asarray(coord_lvl, jnp.int32),
@@ -414,8 +413,7 @@ def brick_bytes_for(cube_shape, dtype, planes: int = _BRICK_PLANES) -> int:
 @partial(jax.jit, static_argnames=('ys', 'xs', 'zs', 'z_clip', 'G', 'planes'))
 def _integrate_bricks(
     table2d,                    # (nz*ny*nx, planes*18) brick table
-    low_y, low_x, low_z,        # (L, N)
-    high_y, high_x, high_z,     # (L, N)
+    bnd_y, bnd_x, bnd_z,        # (L+1, N) level-boundary points, model CRS
     d2, ray_len,                # (L, N)
     re_local,                   # (N,)
     anchor, lvl, frac, wa_lvl, wa, wb_lvl, wb, dzoff, zlo, zinv, pad,
@@ -424,7 +422,7 @@ def _integrate_bricks(
     compute_dtype = table2d.dtype
     ys_np, xs_np, zs_np = np.asarray(ys), np.asarray(xs), np.asarray(zs)
     ny, nx = ys_np.size, xs_np.size
-    n = low_y.shape[1]
+    n = bnd_y.shape[1]
 
     def body(carry, g):
         acc_w, acc_h = carry
@@ -433,12 +431,12 @@ def _integrate_bricks(
         samples = []
         iy_all, ix_all = [], []
         for s in range(G):
-            ly = jax.lax.dynamic_index_in_dim(low_y, lv[s], 0, False)
-            lx = jax.lax.dynamic_index_in_dim(low_x, lv[s], 0, False)
-            lz = jax.lax.dynamic_index_in_dim(low_z, lv[s], 0, False)
-            hy = jax.lax.dynamic_index_in_dim(high_y, lv[s], 0, False)
-            hx = jax.lax.dynamic_index_in_dim(high_x, lv[s], 0, False)
-            hz = jax.lax.dynamic_index_in_dim(high_z, lv[s], 0, False)
+            ly = jax.lax.dynamic_index_in_dim(bnd_y, lv[s], 0, False)
+            lx = jax.lax.dynamic_index_in_dim(bnd_x, lv[s], 0, False)
+            lz = jax.lax.dynamic_index_in_dim(bnd_z, lv[s], 0, False)
+            hy = jax.lax.dynamic_index_in_dim(bnd_y, lv[s] + 1, 0, False)
+            hx = jax.lax.dynamic_index_in_dim(bnd_x, lv[s] + 1, 0, False)
+            hz = jax.lax.dynamic_index_in_dim(bnd_z, lv[s] + 1, 0, False)
             dd2 = jax.lax.dynamic_index_in_dim(d2, lv[s], 0, False)
             f = ff[s]
             py = ly + f * (hy - ly)
@@ -536,7 +534,7 @@ def pack_mode_for(cube_shape, dtype, grouped: bool = False) -> str:
 
 def integrate_rays(
     cube_wet, cube_hydro, ys, xs, zs,
-    low_yxz, high_yxz, d2, ray_len, re_local,
+    bnd_y, bnd_x, bnd_z, d2, ray_len, re_local,
     ray_lengths_max,
     max_segment_length: float = MAX_SEGMENT_LENGTH,
     z_clip: bool = True,
@@ -547,10 +545,18 @@ def integrate_rays(
 ):
     """Integrate wet/hydro delay along all rays for one output height slice.
 
+    Segments are CONTIGUOUS along each ray (reference build_ray semantics:
+    level k's upper endpoint IS level k+1's lower endpoint), so the geometry
+    arrives as ONE boundary-point array per coordinate: level k runs from
+    boundary k to boundary k+1. This halves the endpoint HBM footprint and
+    traffic versus separate low/high stacks (the dedup sampling plan already
+    relied on this contiguity for its shared-boundary samples).
+
     Args:
         cube_wet/hydro: (nz, ny, nx) pointwise refractivity cubes.
         ys, xs, zs:     grid axes (numpy, ascending).
-        low_yxz/high_yxz: (L, N, 3) segment endpoints in model CRS (y, x, z).
+        bnd_y/bnd_x/bnd_z: (L+1, N) level-boundary point components in model
+                        CRS (y, x, z order as separate arrays).
         d2:             (L, N) squared horizontal chord lengths [m^2].
         ray_len:        (L, N) segment lengths [m].
         re_local:       (N,) local earth radii for the sagitta correction.
@@ -572,10 +578,8 @@ def integrate_rays(
                                     grouped=grouped_ok)
     dtype = packed2d.dtype
     ray_args = (
-        jnp.asarray(low_yxz[..., 0], dtype), jnp.asarray(low_yxz[..., 1], dtype),
-        jnp.asarray(low_yxz[..., 2], dtype),
-        jnp.asarray(high_yxz[..., 0], dtype), jnp.asarray(high_yxz[..., 1], dtype),
-        jnp.asarray(high_yxz[..., 2], dtype),
+        jnp.asarray(bnd_y, dtype), jnp.asarray(bnd_x, dtype),
+        jnp.asarray(bnd_z, dtype),
         jnp.asarray(d2, dtype), jnp.asarray(ray_len, dtype),
         jnp.asarray(re_local, dtype),
     )

@@ -307,6 +307,75 @@ def height_df(x: DF, y: DF, z: DF) -> DF:
 
 
 @partial(jax.jit, static_argnames=('max_iter',))
+def _toa_newton_s(pos_hi, pos_lo, look, heights_f32, factor, max_iter: int):
+    """Line-parametrized batched ray/height-level Newton (reference scheme).
+
+    Every iterate of the reference's getTopOfAtmosphere Newton lies on the
+    ray line p(s) = pos + s*look (losreader.py:706-733 adds multiples of the
+    look vector), so the solve tracks ONE df64 scalar s per (level, ray)
+    instead of a 3-D point: same iterates, a third of the df64 state, and
+    segment lengths become exact scalar differences s[k+1]-s[k] (|look| is
+    f32-unit, off 1 by <2e-7, i.e. <1e-4 delay-mm over a 4 km segment).
+
+    The ellipsoidal height of the FINAL point is also returned for free:
+    after the last update s3 = s2 + delta2, height(p(s3)) = height(p(s2))
+    + delta2 * (n.look) + O(delta2^2 / Re), with height(p(s2)) the last
+    Newton evaluation and n the (f32) ellipsoid normal at p(s2). The
+    reference leaves delta2 up to ~meters at grazing incidence, so the
+    quadratic term is < 1e-6 m - replacing the fourth per-boundary df64
+    Vermeille evaluation the old chain spent on recovering final heights.
+
+    Returns (s_hi, s_lo, z_est), each (L, N).
+    """
+    px0 = DF(pos_hi[:, 0], pos_lo[:, 0])
+    py0 = DF(pos_hi[:, 1], pos_lo[:, 1])
+    pz0 = DF(pos_hi[:, 2], pos_lo[:, 2])
+    lx, ly, lz = look[:, 0], look[:, 1], look[:, 2]
+    ia2 = np.float32(1.0 / _A2)
+    ib2 = np.float32(1.0 / (_A2 * (1.0 - _E2)))
+
+    def one_height(h):
+        s = df64.df(jnp.full_like(lx, h))   # reference guess: pos + h*look
+        z_est = None
+        for it in range(max_iter):
+            px = df64.add(px0, df64.mul(s, df64.df(lx)))
+            py = df64.add(py0, df64.mul(s, df64.df(ly)))
+            pz = df64.add(pz0, df64.mul(s, df64.df(lz)))
+            hh = height_df(px, py, pz)
+            delta = ((h - hh.hi) - hh.lo) / factor
+            if it == max_iter - 1:
+                gx = px.hi * ia2
+                gy = py.hi * ia2
+                gz = pz.hi * ib2
+                gn = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+                cosn = (gx * lx + gy * ly + gz * lz) / gn
+                z_est = (hh.hi + hh.lo) + delta * cosn
+            s = df64.add(s, df64.df(delta))
+        return s.hi, s.lo, z_est
+
+    return jax.vmap(one_height)(heights_f32)
+
+
+def _boundary_xyz(pos_hi, pos_lo, look, s_hi, s_lo):
+    """ECEF hi parts of boundary points p(s) = pos + s*look: 3 x (L, N) f32.
+
+    f32 hi precision (~0.5 m at earth radius) is plenty: these feed only the
+    HORIZONTAL model coordinates (grid cells are km); heights and lengths
+    come from the df64 Newton itself.
+    """
+    def one(level_s_hi, level_s_lo):
+        s = DF(level_s_hi, level_s_lo)
+        out = []
+        for i in range(3):
+            c = df64.add(DF(pos_hi[:, i], pos_lo[:, i]),
+                         df64.mul(s, df64.df(look[:, i])))
+            out.append(c.hi)
+        return tuple(out)
+
+    return jax.vmap(one)(s_hi, s_lo)
+
+
+@partial(jax.jit, static_argnames=('max_iter',))
 def _toa_newton_df(pos_hi, pos_lo, look, heights_f32, factor, max_iter: int):
     """Batched ray/height-level intersections in df64.
 
@@ -396,19 +465,25 @@ def _look_from_sat(p_hi, p_lo, t_hi, t_lo, sr):
 
 
 @partial(jax.jit, static_argnames=('crs', 'is_geo'))
-def _finish_slice(lengths, pts, z_levels, crs, is_geo: bool):
-    """Model-CRS kernel inputs from Newton chain points (see caller).
+def _finish_slice(lengths, bx, by, bz, z_levels, crs, is_geo: bool):
+    """Model-CRS kernel inputs from chain boundary points (see caller).
 
+    ``bx/by/bz``: (L+1, N) ECEF f32 components of the boundary points
+    (sub-meter precision is plenty: they feed only horizontal coordinates).
     ``z_levels``: (L+1, N) the model-z coordinate of each boundary point —
     the static chain heights for the exactly-converged 'scan'/'quad' algos,
-    or the ACTUAL df64 heights of the points for the reference-exact 'ref'
+    or the ACTUAL heights of the points for the reference-exact 'ref'
     algo (whose intersections, like the reference's, sit up to ~0.5 m off
     the nominal level at high incidence; sampling must happen where the
-    points really are or delays drift ~1 mm from the reference)."""
+    points really are or delays drift ~1 mm from the reference).
+
+    Returns boundary COMPONENTS (bnd_y, bnd_x, bnd_z) of shape (L+1, N)
+    plus d2 / per_level_max / hstep_max — the raytrace.integrate_rays
+    contract (contiguous segments share boundaries; no low/high stacks)."""
     from raider_tpu.geodesy.ellipsoid import ecef2lla
 
     # horizontal model coords from the f32 hi parts (sub-meter is plenty)
-    lat, lon, _ = ecef2lla(pts[..., 0, 0], pts[..., 1, 0], pts[..., 2, 0])
+    lat, lon, _ = ecef2lla(bx, by, bz)
     if is_geo:
         xs_m, ys_m = lon, lat
     else:
@@ -418,14 +493,12 @@ def _finish_slice(lengths, pts, z_levels, crs, is_geo: bool):
     bad = jnp.isnan(lengths).any(axis=0) | jnp.isnan(xs_m).any(axis=0)
     xs_m = jnp.where(bad[None, :], jnp.nan, xs_m)
     ys_m = jnp.where(bad[None, :], jnp.nan, ys_m)
-    low = jnp.stack([ys_m[:-1], xs_m[:-1], z_pts[:-1]], axis=-1)
-    high = jnp.stack([ys_m[1:], xs_m[1:], z_pts[1:]], axis=-1)
     dz = z_pts[1:] - z_pts[:-1]
     d2 = jnp.maximum(lengths**2 - dz**2, 0.0)
     hstep = jnp.hypot(ys_m[1:] - ys_m[:-1], xs_m[1:] - xs_m[:-1])
     per_level_max = jnp.nanmax(lengths, axis=1)
     hstep_max = jnp.nanmax(hstep, axis=1)
-    return low, high, d2, per_level_max, hstep_max
+    return ys_m, xs_m, z_pts, d2, per_level_max, hstep_max
 
 
 def _toa_quadratic(p0_hi, p0_lo, look, ab_hi, ab_lo, heights_f32):
@@ -517,6 +590,44 @@ def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
     n = targ_hi.shape[0]
     ones = jnp.ones(n, jnp.float32)
     h01 = jax.lax.dynamic_slice_in_dim(heights_f32, i0, 2)
+
+    if algo == 'ref':
+        # REFERENCE-EXACT intersections (the default), line-parametrized:
+        # every level boundary solved from the ground point with 3 fixed
+        # Newton iterations and the cos factor frozen from the first
+        # interval, exactly like build_ray/getTopOfAtmosphere (reference
+        # losreader.py:772-835, :706-733). The reference scheme does NOT
+        # fully converge at high incidence (~0.5 m height error at thin
+        # levels, ~1 mm delay); replicating it keeps device delays within
+        # ~0.01 mm of the host/reference path, and sampling happens at the
+        # points' ACTUAL heights (z_pts from the Newton itself). The
+        # warm-start 'scan' algo below is MORE accurate (intersections
+        # exact to <1 mm height) but therefore diverges from the reference
+        # by up to ~1 mm delay at grazing incidence — select it with
+        # RAIDER_TPU_GEOM_ALGO=scan when accuracy beats parity.
+        s01_hi, s01_lo, z01 = _toa_newton_s.__wrapped__(
+            targ_hi, targ_lo, look, h01, ones, 10)
+        seg0 = df64.sub(DF(s01_hi[1], s01_lo[1]), DF(s01_hi[0], s01_lo[0])).hi
+        cos_factor = (h01[1] - h01[0]) / seg0
+        s_hi, s_lo, z_pts = _toa_newton_s.__wrapped__(
+            targ_hi, targ_lo, look, heights_f32, cos_factor, 3)
+        # splice the exact 10-iteration phase-1 pair back in (for unpadded
+        # chains this reproduces the host path at the first two levels)
+        s_hi = jax.lax.dynamic_update_slice_in_dim(s_hi, s01_hi, i0, axis=0)
+        s_lo = jax.lax.dynamic_update_slice_in_dim(s_lo, s01_lo, i0, axis=0)
+        z_pts = jax.lax.dynamic_update_slice_in_dim(z_pts, z01, i0, axis=0)
+        d = df64.sub(DF(s_hi[1:], s_lo[1:]), DF(s_hi[:-1], s_lo[:-1]))
+        lengths = d.hi
+        bx, by, bz = _boundary_xyz(targ_hi, targ_lo, look, s_hi, s_lo)
+        # pad levels (below the first real pair) are NOT part of the
+        # reference's chain: force their contribution to exactly zero
+        lvl_idx = jnp.arange(lengths.shape[0], dtype=jnp.int32)[:, None]
+        lengths = jnp.where(lvl_idx < i0, 0.0, lengths)
+        bnd_y, bnd_x, bnd_z, d2, per_level_max, hstep_max = \
+            _finish_slice.__wrapped__(lengths, bx, by, bz, z_pts,
+                                      crs=crs, is_geo=is_geo)
+        return bnd_y, bnd_x, bnd_z, d2, lengths, per_level_max, hstep_max, t_out
+
     p01 = _toa_newton_df.__wrapped__(targ_hi, targ_lo, look, h01, ones, 10)
     seg0 = _seg_length.__wrapped__(p01[0], p01[1])
     cos_factor = (h01[1] - h01[0]) / seg0
@@ -547,23 +658,6 @@ def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
     if algo == 'quad':
         pts = _toa_quadratic(p01[0, :, :, 0], p01[0, :, :, 1], look,
                              ab_hi, ab_lo, heights_f32)   # (L+1, N, 3, 2)
-    elif algo == 'ref':
-        # REFERENCE-EXACT intersections (the default): every level boundary
-        # solved from the ground point with 3 fixed Newton iterations and
-        # the cos factor frozen from the first interval, exactly like
-        # build_ray/getTopOfAtmosphere (reference losreader.py:772-835,
-        # :706-733). The reference scheme does NOT fully converge at high
-        # incidence (~0.5 m height error at thin levels, ~1 mm delay);
-        # replicating it keeps device delays within ~0.01 mm of the host/
-        # reference path. The warm-start 'scan' algo below is MORE accurate
-        # (intersections exact to <1 mm height) but therefore diverges from
-        # the reference by up to ~1 mm delay at grazing incidence — select
-        # it with RAIDER_TPU_GEOM_ALGO=scan when accuracy beats parity.
-        # every boundary from ground in one vmapped solve; the exact 10-iter
-        # phase-1 pair is spliced back in at i0 below (shared with 'scan')
-        pts = _toa_newton_df.__wrapped__(
-            targ_hi, targ_lo, look, heights_f32, cos_factor, 3,
-        )                                                # (L+1, N, 3, 2)
     else:
         init = (p01[0, :, :, 0], p01[0, :, :, 1], cos_factor)
         h_pairs = (heights_f32[:-1], heights_f32[1:])
@@ -580,16 +674,14 @@ def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
     # are only loosely converged - the target height equals the start)
     lvl_idx = jnp.arange(lengths.shape[0], dtype=jnp.int32)[:, None]
     lengths = jnp.where(lvl_idx < i0, 0.0, lengths)
-    if algo == 'ref':
-        # sample where the (reference-exactly under-converged) points ARE:
-        # one df64 Vermeille per boundary recovers each point's true height
-        z_levels = _z_levels_vermeille.__wrapped__(pts)  # (L+1, N)
-    else:
-        z_levels = jnp.broadcast_to(heights_f32[:, None],
-                                    (pts.shape[0], pts.shape[1]))
-    low, high, d2, per_level_max, hstep_max = _finish_slice.__wrapped__(
-        lengths, pts, z_levels, crs=crs, is_geo=is_geo)
-    return low, high, d2, lengths, per_level_max, hstep_max, t_out
+    # scan/quad intersections converge onto the nominal chain heights
+    z_levels = jnp.broadcast_to(heights_f32[:, None],
+                                (pts.shape[0], pts.shape[1]))
+    bnd_y, bnd_x, bnd_z, d2, per_level_max, hstep_max = \
+        _finish_slice.__wrapped__(
+            lengths, pts[..., 0, 0], pts[..., 1, 0], pts[..., 2, 0],
+            z_levels, crs=crs, is_geo=is_geo)
+    return bnd_y, bnd_x, bnd_z, d2, lengths, per_level_max, hstep_max, t_out
 
 
 def _ab_tables(heights_chain: np.ndarray):
@@ -687,20 +779,22 @@ class GeomSession:
             self.x_hi, self.x_lo, self.n_hi, self.n_lo,
             jnp.float32(h_hi), jnp.float32(h_lo))
         warm = self._t_prev is not None
-        low, high, d2, lengths, per_level_max, hstep_max, t_out = _slice_geom_fused(
-            self.times_f32, self.poly.t_c, self.poly.coeffs,
-            targ_hi, targ_lo,
-            self._t_prev if warm else self._t_cold,
-            jnp.asarray(heights_chain, jnp.float32),
-            jnp.int32(_chain_i0(heights_chain)),
-            jnp.asarray(ab_hi), jnp.asarray(ab_lo),
-            crs=self.crs, is_geo=self.is_geo,
-            maxiter=self.maxiter_warm if warm else self.maxiter_cold,
-            algo=algo,
-        )
+        bnd_y, bnd_x, bnd_z, d2, lengths, per_level_max, hstep_max, t_out = \
+            _slice_geom_fused(
+                self.times_f32, self.poly.t_c, self.poly.coeffs,
+                targ_hi, targ_lo,
+                self._t_prev if warm else self._t_cold,
+                jnp.asarray(heights_chain, jnp.float32),
+                jnp.int32(_chain_i0(heights_chain)),
+                jnp.asarray(ab_hi), jnp.asarray(ab_lo),
+                crs=self.crs, is_geo=self.is_geo,
+                maxiter=self.maxiter_warm if warm else self.maxiter_cold,
+                algo=algo,
+            )
         self._t_prev = t_out
         return {
-            'low_yxz': low, 'high_yxz': high, 'd2': d2, 'ray_len': lengths,
+            'bnd_y': bnd_y, 'bnd_x': bnd_x, 'bnd_z': bnd_z,
+            'd2': d2, 'ray_len': lengths,
             'per_level_max': per_level_max, 'hstep_max': hstep_max,
         }
 
@@ -731,16 +825,18 @@ def raytrace_slice_device_fused(poly: OrbitPoly, xyz_f64: np.ndarray,
     # 'quad' remain selectable — see the algo comments in _slice_geom_fused
     algo = _os.environ.get('RAIDER_TPU_GEOM_ALGO', 'ref')
 
-    low, high, d2, lengths, per_level_max, hstep_max, _ = _slice_geom_fused(
-        jnp.asarray(poly.times, jnp.float32), poly.t_c, poly.coeffs,
-        jnp.asarray(hi), jnp.asarray(lo), t_init,
-        jnp.asarray(heights_chain, jnp.float32),
-        jnp.int32(_chain_i0(heights_chain)),
-        jnp.asarray(ab_hi), jnp.asarray(ab_lo),
-        crs=crs, is_geo=crs == Geographic(), maxiter=maxiter, algo=algo,
-    )
+    bnd_y, bnd_x, bnd_z, d2, lengths, per_level_max, hstep_max, _ = \
+        _slice_geom_fused(
+            jnp.asarray(poly.times, jnp.float32), poly.t_c, poly.coeffs,
+            jnp.asarray(hi), jnp.asarray(lo), t_init,
+            jnp.asarray(heights_chain, jnp.float32),
+            jnp.int32(_chain_i0(heights_chain)),
+            jnp.asarray(ab_hi), jnp.asarray(ab_lo),
+            crs=crs, is_geo=crs == Geographic(), maxiter=maxiter, algo=algo,
+        )
     return {
-        'low_yxz': low, 'high_yxz': high, 'd2': d2, 'ray_len': lengths,
+        'bnd_y': bnd_y, 'bnd_x': bnd_x, 'bnd_z': bnd_z,
+        'd2': d2, 'ray_len': lengths,
         'per_level_max': np.asarray(per_level_max, dtype=np.float64),
         'hstep_max': np.asarray(hstep_max, dtype=np.float64) * (1.0 + 1e-5) + 1e-7,
     }
@@ -771,10 +867,12 @@ def raytrace_slice_device(poly: OrbitPoly, xyz_f64: np.ndarray,
 
     is_geo = crs == Geographic()
 
-    low, high, d2, per_level_max, hstep_max = _finish_slice(
-        lengths, pts, _z_levels_vermeille(pts), crs=crs, is_geo=is_geo)
+    bnd_y, bnd_x, bnd_z, d2, per_level_max, hstep_max = _finish_slice(
+        lengths, pts[..., 0, 0], pts[..., 1, 0], pts[..., 2, 0],
+        _z_levels_vermeille(pts), crs=crs, is_geo=is_geo)
     return {
-        'low_yxz': low, 'high_yxz': high, 'd2': d2, 'ray_len': lengths,
+        'bnd_y': bnd_y, 'bnd_x': bnd_x, 'bnd_z': bnd_z,
+        'd2': d2, 'ray_len': lengths,
         'per_level_max': np.asarray(per_level_max),
         # inflate by the f32 coordinate quantization so the grouping bound
         # stays conservative

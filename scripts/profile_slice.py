@@ -121,7 +121,7 @@ def main():
               f'max_hstep={np.nanmax(hstep_max):.4f} deg')
 
         t0 = time.perf_counter()
-        args = (geom['low_yxz'], geom['high_yxz'], geom['d2'],
+        args = (geom['bnd_y'], geom['bnd_x'], geom['bnd_z'], geom['d2'],
                 geom['ray_len'], jnp.asarray(re_local))
         w, h = integrate_rays(
             cube_wet, cube_hydro, wm.ys, wm.xs, wm.zs, *args,

@@ -59,14 +59,15 @@ def main():
         xcum = jnp.concatenate([jnp.zeros((1, n)),
                                 jnp.cumsum(dh * jnp.sin(azi) * deg_per_m, 0)], 0)
         zbc = jnp.broadcast_to(jnp.asarray(heights)[:, None], (L + 1, n))
-        low = jnp.stack([y0 + ycum[:-1], x0 + xcum[:-1], zbc[:-1]], -1)
-        high = jnp.stack([y0 + ycum[1:], x0 + xcum[1:], zbc[1:]], -1)
+        bnd_y = (y0 + ycum).astype(jnp.float32)
+        bnd_x = (x0 + xcum).astype(jnp.float32)
+        bnd_z = zbc.astype(jnp.float32)
         ray_len = jnp.asarray(dzv)[:, None] / jnp.cos(zen)[None, :]
         d2 = dh * dh
-        return (low.astype(jnp.float32), high.astype(jnp.float32),
+        return (bnd_y, bnd_x, bnd_z,
                 d2.astype(jnp.float32), ray_len.astype(jnp.float32))
 
-    low, high, d2, rl = jax.block_until_ready(
+    bnd_y, bnd_x, bnd_z, d2, rl = jax.block_until_ready(
         build(jnp.asarray(zen), jnp.asarray(azi), jnp.asarray(y0),
               jnp.asarray(x0)))
     re = jnp.full(n, 6371000.0, jnp.float32)
@@ -98,7 +99,8 @@ def main():
 
     def run_brick(i):
         return integrate_rays(
-            wet, hydro, ys, xs, zs, low + np.float32(i) * 1e-7, high, d2, rl,
+            wet, hydro, ys, xs, zs, bnd_y + np.float32(i) * 1e-7,
+            bnd_x, bnd_z, d2, rl,
             re, per_level_max, packed2d=packed, mode=mode,
             heights=heights, hstep_max=hstep_max)
 
@@ -107,6 +109,8 @@ def main():
           f'{n/t_brick/1e6:6.2f} M rays/s')
 
     def run_window(i):
+        low = jnp.stack([bnd_y[:-1], bnd_x[:-1], bnd_z[:-1]], -1)
+        high = jnp.stack([bnd_y[1:], bnd_x[1:], bnd_z[1:]], -1)
         w, h, used = integrate_rays_windowed(
             wet, hydro, ys, xs, zs, low + np.float32(i) * 1e-7, high, d2, rl,
             re, plan, (SIDE, SIDE))

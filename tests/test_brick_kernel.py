@@ -30,14 +30,14 @@ def contiguous_rays(heights, n_rays, rng, azimuth=None, zenith_deg=(20, 50)):
     xcum = np.vstack([np.zeros((1, n_rays)), np.cumsum(dh * np.sin(azi) * deg_per_m, axis=0)])
     y0 = rng.uniform(33.2, 33.8, n_rays)
     x0 = rng.uniform(-117.8, -117.2, n_rays)
-    zbc = np.broadcast_to(heights[:, None], (L + 1, n_rays))
-    low = np.stack([y0 + ycum[:-1], x0 + xcum[:-1], zbc[:-1]], axis=-1)
-    high = np.stack([y0 + ycum[1:], x0 + xcum[1:], zbc[1:]], axis=-1)
+    bnd_y = y0 + ycum
+    bnd_x = x0 + xcum
+    bnd_z = np.broadcast_to(heights[:, None], (L + 1, n_rays)).copy()
     ray_len = dzv[:, None] / np.cos(zen)[None, :]
     d2 = dh**2
-    hstep_max = np.nanmax(np.hypot(high[..., 0] - low[..., 0],
-                                   high[..., 1] - low[..., 1]), axis=1)
-    return low, high, d2, ray_len, hstep_max
+    hstep_max = np.nanmax(np.hypot(np.diff(bnd_y, axis=0),
+                                   np.diff(bnd_x, axis=0)), axis=1)
+    return bnd_y, bnd_x, bnd_z, d2, ray_len, hstep_max
 
 
 def run_both(zs, heights, n_rays=257, seed=0, mutate=None):
@@ -46,16 +46,17 @@ def run_both(zs, heights, n_rays=257, seed=0, mutate=None):
     xs = np.arange(-118.0, -116.99, 0.1)
     wet = rng.uniform(0.5, 2.0, (zs.size, ys.size, xs.size))
     hydro = rng.uniform(1.0, 4.0, (zs.size, ys.size, xs.size))
-    low, high, d2, ray_len, hstep_max = contiguous_rays(heights, n_rays, rng)
+    bnd_y, bnd_x, bnd_z, d2, ray_len, hstep_max = contiguous_rays(
+        heights, n_rays, rng)
     if mutate is not None:
-        mutate(low, high, ray_len)
+        mutate(bnd_y, bnd_x, bnd_z, ray_len)
     re = np.full(n_rays, 6371000.0)
     per_level_max = np.nanmax(ray_len, axis=1)
     out = {}
     for mode in ('pack16', 'brick'):
         packed, _ = pack_cubes(wet, hydro, mode=mode)
         out[mode] = integrate_rays(
-            wet, hydro, ys, xs, zs, low, high, d2, ray_len, re,
+            wet, hydro, ys, xs, zs, bnd_y, bnd_x, bnd_z, d2, ray_len, re,
             per_level_max, packed2d=packed, mode=mode,
             heights=heights, hstep_max=hstep_max,
         )
@@ -99,9 +100,10 @@ class TestBrickEquivalence:
         zs = np.arange(-500.0, 10001.0, 1000.0)
         heights = level_heights(zs, 0.0, 9000.0)
 
-        def mutate(low, high, ray_len):
-            low[:, :7, :] = np.nan
-            high[:, :7, :] = np.nan
+        def mutate(bnd_y, bnd_x, bnd_z, ray_len):
+            bnd_y[:, :7] = np.nan
+            bnd_x[:, :7] = np.nan
+            bnd_z[:, :7] = np.nan
             ray_len[:, :7] = np.nan
 
         (w_p, _), (w_b, _) = run_both(zs, heights, mutate=mutate)
@@ -113,9 +115,8 @@ class TestBrickEquivalence:
         zs = np.arange(-500.0, 10001.0, 1000.0)
         heights = level_heights(zs, 0.0, 9000.0)
 
-        def mutate(low, high, ray_len):
-            low[:, 0, 1] += 5.0   # push ray 0 east out of the grid
-            high[:, 0, 1] += 5.0
+        def mutate(bnd_y, bnd_x, bnd_z, ray_len):
+            bnd_x[:, 0] += 5.0   # push ray 0 east out of the grid
 
         (w_p, _), (w_b, _) = run_both(zs, heights, mutate=mutate)
         assert np.isnan(w_b[0]) and np.isnan(w_p[0])

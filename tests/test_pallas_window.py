@@ -43,15 +43,17 @@ def make_scene(rng, nyo=40, nxo=48, azimuth=0.7, azi_jitter=0.02,
     xcum = np.vstack([np.zeros((1, n)),
                       np.cumsum(dh * np.sin(azi) * deg_per_m, axis=0)])
     zbc = np.broadcast_to(heights[:, None], (L + 1, n))
-    low = np.stack([y0 + ycum[:-1], x0 + xcum[:-1], zbc[:-1]], axis=-1)
-    high = np.stack([y0 + ycum[1:], x0 + xcum[1:], zbc[1:]], axis=-1)
+    bnd_y, bnd_x, bnd_z = y0 + ycum, x0 + xcum, zbc.copy()
+    low = np.stack([bnd_y[:-1], bnd_x[:-1], bnd_z[:-1]], axis=-1)
+    high = np.stack([bnd_y[1:], bnd_x[1:], bnd_z[1:]], axis=-1)
     ray_len = dzv[:, None] / np.cos(zenith)[None, :]
     d2 = dh ** 2
     re = np.full(n, 6371000.0)
-    hstep_max = np.nanmax(np.hypot(high[..., 0] - low[..., 0],
-                                   high[..., 1] - low[..., 1]), axis=1)
+    hstep_max = np.nanmax(np.hypot(np.diff(bnd_y, axis=0),
+                                   np.diff(bnd_x, axis=0)), axis=1)
     return dict(zs=zs, ys=ys, xs=xs, wet=wet, hydro=hydro, heights=heights,
                 low=low, high=high, d2=d2, ray_len=ray_len, re=re,
+                bnd_y=bnd_y, bnd_x=bnd_x, bnd_z=bnd_z,
                 hstep_max=hstep_max, shape=(nyo, nxo))
 
 
@@ -74,7 +76,8 @@ def run_brick(sc):
     packed, mode = pack_cubes(wet32, hyd32, mode='brick')
     return integrate_rays(
         wet32, hyd32, sc['ys'], sc['xs'], sc['zs'],
-        f32(sc['low']), f32(sc['high']), f32(sc['d2']), f32(sc['ray_len']),
+        f32(sc['bnd_y']), f32(sc['bnd_x']), f32(sc['bnd_z']),
+        f32(sc['d2']), f32(sc['ray_len']),
         f32(sc['re']), per_level_max, packed2d=packed, mode=mode,
         heights=sc['heights'], hstep_max=sc['hstep_max'])
 
@@ -93,11 +96,16 @@ class TestWindowedEquivalence:
 
     def test_nan_and_oob_rays(self, rng):
         sc = make_scene(rng)
+        # low/high (windowed kernel) and bnd_* (brick kernel) are separate
+        # views of the same geometry: mutate both
         sc['low'][:, :5, :] = np.nan
         sc['high'][:, :5, :] = np.nan
         sc['ray_len'][:, :5] = np.nan
         sc['low'][:, 7, 1] += 5.0    # out of the grid
         sc['high'][:, 7, 1] += 5.0
+        for k in ('bnd_y', 'bnd_x', 'bnd_z'):
+            sc[k][:, :5] = np.nan
+        sc['bnd_x'][:, 7] += 5.0
         w_w, h_w, used = run_window(sc)
         assert used
         w_b, _ = run_brick(sc)

@@ -53,33 +53,33 @@ def test_sharded_raytrace_integration(rng):
 
     n_rays = 200
     n_lev = 4
-    low = np.stack([
-        rng.uniform(31, 35, (n_lev, n_rays)),
-        rng.uniform(-119, -115, (n_lev, n_rays)),
-        np.broadcast_to(zs[:n_lev, None], (n_lev, n_rays)) + 1.0,
-    ], axis=-1)
-    high = low + np.array([0.01, 0.01, 900.0])
+    # contiguous segments: (n_lev+1, n_rays) boundary components
+    bnd_y = rng.uniform(31, 35, (1, n_rays)) + 0.01 * np.arange(n_lev + 1)[:, None]
+    bnd_x = rng.uniform(-119, -115, (1, n_rays)) + 0.01 * np.arange(n_lev + 1)[:, None]
+    bnd_z = np.broadcast_to(zs[:n_lev + 1, None], (n_lev + 1, n_rays)) + 1.0
     ray_len = np.full((n_lev, n_rays), 1200.0)
     d2 = np.full((n_lev, n_rays), 500.0**2)
     re = np.full(n_rays, 6371000.0)
     per_level_max = ray_len.max(axis=1)
 
-    wet1, hydro1 = integrate_rays(cube_w, cube_h, ys, xs, zs, low, high, d2,
+    wet1, hydro1 = integrate_rays(cube_w, cube_h, ys, xs, zs,
+                                  bnd_y, bnd_x, bnd_z, d2,
                                   ray_len, re, per_level_max)
 
     # shard over the ray axis (axis 1 of the level-major arrays -> transpose)
-    def fn(low_t, high_t, d2_t, rl_t, re_s, cw, ch):
+    def fn(by_t, bx_t, bz_t, d2_t, rl_t, re_s, cw, ch):
         return integrate_rays(
             cw, ch, ys, xs, zs,
-            jnp.swapaxes(low_t, 0, 1), jnp.swapaxes(high_t, 0, 1),
+            jnp.swapaxes(by_t, 0, 1), jnp.swapaxes(bx_t, 0, 1),
+            jnp.swapaxes(bz_t, 0, 1),
             jnp.swapaxes(d2_t, 0, 1), jnp.swapaxes(rl_t, 0, 1),
             re_s, per_level_max,
         )
 
-    sharded = shard_rays(fn, ray_axis_argnums=(0, 1, 2, 3, 4))
+    sharded = shard_rays(fn, ray_axis_argnums=(0, 1, 2, 3, 4, 5))
     wet2, hydro2 = sharded(
-        low.swapaxes(0, 1), high.swapaxes(0, 1), d2.swapaxes(0, 1),
-        ray_len.swapaxes(0, 1), re, cube_w, cube_h,
+        bnd_y.swapaxes(0, 1), bnd_x.swapaxes(0, 1), bnd_z.swapaxes(0, 1),
+        d2.swapaxes(0, 1), ray_len.swapaxes(0, 1), re, cube_w, cube_h,
     )
     np.testing.assert_allclose(np.asarray(wet2), np.asarray(wet1), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(hydro2), np.asarray(hydro1), rtol=1e-12)
