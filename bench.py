@@ -153,8 +153,16 @@ def main() -> None:
     # the real _build_cube_ray path: GeomSession device geometry (targets
     # derived on device, geo2rdr warm-started across slices, df64 chain
     # Newton, CRS) feeding the fused integration kernel. Synthetic orbit +
-    # cube over the orbit footprint; 2 height slices x 1M rays, steady
-    # state measured as the marginal cost of the second (warm) call.
+    # cube over the orbit footprint; 1M rays/slice, steady state measured
+    # as the marginal cost per extra slice (slope between a 2- and 6-slice
+    # run). The scene is a realistic SAR acquisition: a near-polar 700 km
+    # orbit with the 1M-pixel query box spanning 30.5-46 deg zenith at the
+    # targets (a Sentinel-1-IW-like ~260 km swath at 366-626 km ground
+    # range from the track) - real missions acquire in this band, and the
+    # reference's nParts rule (delay.py:283, global per-level max over the
+    # scene) makes every ray's sampling plan pay for the worst ray, so a
+    # physically impossible grazing-edge scene would measure plan
+    # inflation, not engine throughput.
     import datetime as dt
 
     from raider_tpu.delay.engine import WeatherCube, _build_cube_ray
@@ -165,7 +173,7 @@ def main() -> None:
 
     t_ref = dt.datetime(2020, 1, 1, 12, 0, 0)
     tt = np.arange(-600.0, 601.0, 30.0)
-    inc = np.deg2rad(37.0)
+    inc = np.deg2rad(90.0)               # polar orbit: ground track = lon 0
     r_orb = 6378137.0 + 700e3
     om = 2.0 * np.pi / 5800.0
     ang = om * tt
@@ -177,9 +185,9 @@ def main() -> None:
     vel_o = np.gradient(pos_o, 30.0, axis=0)
     orbit = Orbit(times=tt, pos=pos_o, vel=vel_o, ref_time=t_ref)
 
-    # HRRR-sized cube over the orbit footprint (same 50-level z grid)
+    # HRRR-sized cube over the swath (same 50-level z grid)
     ys_e = np.linspace(16.0, 24.0, ny)
-    xs_e = np.linspace(-4.0, 4.0, nx)
+    xs_e = np.linspace(1.5, 7.5, nx)
     coords = {'x': Variable(('x',), xs_e, {}), 'y': Variable(('y',), ys_e, {}),
               'z': Variable(('z',), zs, {})}
     variables = {
@@ -190,10 +198,10 @@ def main() -> None:
     wm_e2e = WeatherCube(Dataset(coords=coords, variables=variables, attrs={}))
     los = Raytracing(orbit=orbit, time=t_ref)
     side = int(np.sqrt(n_rays))           # 1000 x 1000 = 1M pixels
-    yq = np.linspace(18.5, 21.5, side)
+    yq = np.linspace(18.5, 21.5, side)    # along-track
 
     def run_e2e(shift, n_slices):
-        xq = np.linspace(-1.5, 1.5, side) + shift
+        xq = np.linspace(3.5, 6.0, side) + shift   # cross-track swath
         hts_e2e = 100.0 * np.arange(n_slices)
         w, h = _build_cube_ray(wm_e2e, xq, yq, hts_e2e, los, Geographic(),
                                zref=float(zs[-1] - 1.0),

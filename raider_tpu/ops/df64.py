@@ -135,15 +135,19 @@ def sqr(x: DF) -> DF:
 
 
 def div(x: DF, y: DF) -> DF:
+    """One-refinement double-single division (~2^-47 relative error).
+
+    q1 carries f32 accuracy; the residual r = x - q1*y is formed error-free
+    in df64, so the f32 correction q2 = r.hi/y.hi lands the total at
+    ~|x/y| * 2^-47. A second refinement stage (q3) would only chase the
+    last one or two bits of the 48-bit mantissa at ~40% extra cost - the
+    geometry needs ~2^-32 relative, so one stage has orders of margin.
+    """
     q1 = x.hi / y.hi
-    # r = x - q1 * y, computed in df64
+    # r = x - q1 * y, computed in df64 (error-free cancellation)
     r = sub(x, mul(df(q1), y))
     q2 = r.hi / y.hi
-    r2 = sub(r, mul(df(q2), y))
-    q3 = r2.hi / y.hi
     hi, lo = _quick_two_sum(q1, q2)
-    lo = lo + q3
-    hi, lo = _quick_two_sum(hi, lo)
     return DF(hi, lo)
 
 
@@ -160,16 +164,25 @@ def sqrt(x: DF) -> DF:
 
 
 def cbrt(x: DF) -> DF:
-    """df64 cube root: f32 seed + two df64 Newton steps (mul/div only)."""
+    """df64 cube root: f32 seed + ONE Newton step with f32 correction.
+
+    The f32 seed y is ~2^-24-relative accurate, so the Newton correction
+    (x - y^3) / (3 y^2) is ~2^-24 relative to y - computing it beyond f32
+    precision is wasted work (its own rounding lands at ~2^-48 of the
+    result). Only the residual x - y^3 needs df64 (catastrophic
+    cancellation of the leading 24 bits); the divide runs in plain f32.
+    """
     y = jnp.cbrt(x.hi)
+    # XLA's f32 cbrt is a few ulp off; one plain-f32 Newton polish brings
+    # the seed to ~1 ulp so the df64 step's quadratic term lands at ~2^-48
+    y = y - (y * y * y - x.hi) / (3.0 * y * y)
     est = df(y)
-    for _ in range(2):
-        y2 = sqr(est)
-        y3 = mul(y2, est)
-        num = sub(x, y3)
-        den = mul(df(3.0), y2)
-        est = add(est, div(num, den))
-    return est
+    y2 = sqr(est)
+    y3 = mul(y2, est)
+    num = sub(x, y3)                       # ~2^-24 * x, exact leading bits
+    corr = num.hi / (3.0 * y * y)
+    hi, lo = _quick_two_sum(y, corr)
+    return DF(hi, lo)
 
 
 def scale(x: DF, c) -> DF:

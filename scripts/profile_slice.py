@@ -46,7 +46,7 @@ def main():
 
     t_ref = dt.datetime(2020, 1, 1, 12, 0, 0)
     tt = np.arange(-600.0, 601.0, 30.0)
-    inc = np.deg2rad(37.0)
+    inc = np.deg2rad(90.0)   # polar orbit; swath at 30-46 deg zenith (bench scene)
     r_orb = 6378137.0 + 700e3
     om = 2.0 * np.pi / 5800.0
     ang = om * tt
@@ -59,7 +59,7 @@ def main():
     orbit = Orbit(times=tt, pos=pos_o, vel=vel_o, ref_time=t_ref)
 
     ys_e = np.linspace(16.0, 24.0, ny)
-    xs_e = np.linspace(-4.0, 4.0, nx)
+    xs_e = np.linspace(1.5, 7.5, nx)
     wet = rng.uniform(0.1, 100.0, (nz, ny, nx))
     hydro = rng.uniform(50.0, 300.0, (nz, ny, nx))
     coords = {'x': Variable(('x',), xs_e, {}), 'y': Variable(('y',), ys_e, {}),
@@ -73,7 +73,7 @@ def main():
 
     side = int(np.sqrt(n_rays))
     yq = np.linspace(18.5, 21.5, side)
-    xq = np.linspace(-1.5, 1.5, side)
+    xq = np.linspace(3.5, 6.0, side)
     xx, yy = np.meshgrid(xq, yq)
     lat, lon = yy, xx
     re_local = np.asarray(get_Re(lat)).reshape(-1).astype(np.float32)
@@ -157,7 +157,7 @@ def engine_compare():
     zs = -500.0 + 26500.0 * np.linspace(0.0, 1.0, nz) ** 1.4
     t_ref = dt.datetime(2020, 1, 1, 12, 0, 0)
     tt = np.arange(-600.0, 601.0, 30.0)
-    inc = np.deg2rad(37.0)
+    inc = np.deg2rad(90.0)   # polar orbit; swath at 30-46 deg zenith (bench scene)
     r_orb = 6378137.0 + 700e3
     om = 2.0 * np.pi / 5800.0
     ang = om * tt
@@ -169,7 +169,7 @@ def engine_compare():
     vel_o = np.gradient(pos_o, 30.0, axis=0)
     orbit = Orbit(times=tt, pos=pos_o, vel=vel_o, ref_time=t_ref)
     ys_e = np.linspace(16.0, 24.0, ny)
-    xs_e = np.linspace(-4.0, 4.0, nx)
+    xs_e = np.linspace(1.5, 7.5, nx)
     coords = {'x': Variable(('x',), xs_e, {}), 'y': Variable(('y',), ys_e, {}),
               'z': Variable(('z',), zs, {})}
     variables = {
@@ -183,7 +183,7 @@ def engine_compare():
     yq = np.linspace(18.5, 21.5, side)
 
     def run(shift, n_slices):
-        xq = np.linspace(-1.5, 1.5, side) + shift
+        xq = np.linspace(3.5, 6.0, side) + shift
         hts = 100.0 * np.arange(n_slices)
         w, h = _build_cube_ray(wm, xq, yq, hts, los, Geographic(),
                                zref=float(zs[-1] - 1.0),
