@@ -35,7 +35,7 @@ from raider_tpu.geodesy import (
 from raider_tpu.geodesy.ellipsoid import lla2ecef
 from raider_tpu.geometry.aoi import AOI, BoundingBox, Geocube
 from raider_tpu.geometry.los import LOS
-from raider_tpu.geometry.rays import build_ray, level_heights
+from raider_tpu.geometry.rays import build_ray, clip_chain, level_heights
 from raider_tpu.io import Dataset, read_nc
 from raider_tpu.io.ncdf import Variable
 from raider_tpu.logger import logger
@@ -319,16 +319,22 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     geom_session = None
     chains = None
     if use_device_geom:
-        # pad every slice's level chain to one length by repeating the
-        # bottom height (zero-length levels integrate to exactly zero), so
-        # all slices share ONE compiled geometry + integrate executable
-        chains = [level_heights(model_zs, float(ht), zref) for ht in zpts]
-        lmax = max((c.size for c in chains if c is not None), default=0)
-        chains = [
-            None if c is None else
-            np.concatenate([np.full(lmax - c.size, c[0]), c])
-            for c in chains
-        ]
+        # full-length clamped chains: level k <-> model cell k for EVERY
+        # slice (zero-length levels integrate to exactly zero), so all
+        # slices share ONE compiled geometry executable AND one cube-global
+        # static integration plan (built from the lowest slice, whose
+        # per-level maxima bound every higher slice's). Trim the shared
+        # span to the cube's active range: levels below the LOWEST output
+        # height or above zref are zero-length for every slice - dead
+        # Newton solves and dead samples otherwise.
+        hmin = float(np.min(zpts)) if zpts.size else 0.0
+        j0 = max(int(np.searchsorted(model_zs, hmin, side='right')) - 1, 0)
+        j1 = min(int(np.searchsorted(model_zs, zref, side='left')),
+                 model_zs.size - 1)
+        zs_chain = model_zs[j0:j1 + 1]
+        chains = [clip_chain(zs_chain, float(ht), zref,
+                             nudge_top=(j1 == model_zs.size - 1))
+                  for ht in zpts]
     # pack both fields + trilinear corners into gather rows once, reused by
     # every height slice (the kernel is gather-count bound); the grouped
     # brick layout serves a whole group of samples with one gather
@@ -350,7 +356,8 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     else:
         lon, lat = xx, yy
     re_local = np.asarray(get_Re(lat)).reshape(npix)
-    pending_geom = {}
+    re_device = None      # uploaded once; per-slice re-upload costs ~10s of
+    pending_geom = {}     # ms per slice through a remote-TPU tunnel
     device_outs = {}
     if use_device_geom:
         from raider_tpu.geometry.device_geom import GeomSession
@@ -368,13 +375,22 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
 
         def dispatch_geom(idx: int) -> None:
             """Queue slice idx's geometry (async); warm-start chaining means
-            dispatch order must follow slice order."""
+            dispatch order must follow processing order."""
             if 0 <= idx < zpts.size and idx not in pending_geom \
                     and chains[idx] is not None:
                 with stage('raytrace.device_geometry', log=False):
                     pending_geom[idx] = geom_session.slice(
                         float(zpts[idx]), chains[idx])
-    for hh, ht in enumerate(zpts):
+    # Device geometry processes slices bottom-up so the FIRST contributing
+    # slice (the lowest) seeds the cube-global sampling plan: its per-level
+    # maxima bound every higher slice's (clamping only shortens segments),
+    # so one static-plan executable serves the whole cube.
+    order = (np.argsort(zpts, kind='stable') if use_device_geom
+             else np.arange(zpts.size))
+    order_pos = {int(hh): k for k, hh in enumerate(order)}
+    plan_state = None
+    for hh in (int(i) for i in order):
+        ht = zpts[hh]
         logger.info(f'Processing slice {hh + 1} / {len(zpts)}: {ht}')
 
         heights = (chains[hh] if chains is not None
@@ -395,22 +411,59 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             dispatch_geom(hh)
             geom = pending_geom.pop(hh)
             if lookahead_ok:
-                dispatch_geom(hh + 1)
+                nxt = order_pos[hh] + 1
+                if nxt < len(order):
+                    dispatch_geom(int(order[nxt]))
             plm, hsm = _jax.device_get((geom['per_level_max'],
                                         geom['hstep_max']))
             per_level_max = np.asarray(plm, dtype=np.float64)
             # inflate by the f32 coordinate quantization so the brick
-            # grouping bound stays conservative
-            hstep_max = np.asarray(hsm, np.float64) * (1.0 + 1e-5) + 1e-7
-            # padded chains force their pad levels' lengths to exactly 0.0,
-            # so test only the real (nonzero) levels for total divergence
+            # grouping bound stays conservative (coords ~O(10-100) in model
+            # units make the absolute f32 jitter ~1e-5 of a unit)
+            hstep_max = np.asarray(hsm, np.float64) * (1.0 + 1e-4) + 1e-5
+            # clamped chains force zero-length levels to exactly 0.0, so
+            # test only the real (nonzero) levels for total divergence
             real = per_level_max[~(per_level_max == 0.0)]
             if real.size and np.isnan(real).all():
                 raise ValueError('geo2rdr did not converge. Check orbit coverage')
+            # RAIDER_TPU_CUBE_PLAN=0: per-slice plans + traced kernel (the
+            # pre-r2 behavior) - a safety valve and the attribution tool for
+            # quadrature-vs-kernel parity deltas
+            if os.environ.get('RAIDER_TPU_CUBE_PLAN', '') == '0':
+                plan_state = None
+            elif plan_state is None:
+                plan_state = [per_level_max, hstep_max, heights]
+            else:
+                # bottom-up order makes this a no-op in practice (clamping
+                # only shortens segments). Widen ONLY on STRUCTURAL
+                # violations - f32 jitter in a higher slice's maxima must
+                # not rebuild the plan, or the baked static integrate
+                # recompiles per slice:
+                #  * nParts would increase (quadrature coarser than the
+                #    reference rule by a whole sample), or
+                #  * horizontal motion exceeds the plan's inflated grouping
+                #    bound by more than the inflation margin itself (would
+                #    break the brick 2-cell guarantee -> NaN poisoning)
+                n_plan = np.ceil(np.nan_to_num(plan_state[0])
+                                 / max_segment_length)
+                n_here = np.ceil(np.nan_to_num(per_level_max)
+                                 / max_segment_length)
+                grew = (np.any(n_here > n_plan)
+                        or np.any(np.nan_to_num(hstep_max)
+                                  > np.nan_to_num(plan_state[1])
+                                  * (1.0 + 5e-4) + 5e-5))
+                if grew:
+                    logger.debug('cube plan widened by slice %s', hh)
+                    plan_state[0] = np.fmax(plan_state[0], per_level_max)
+                    plan_state[1] = np.fmax(plan_state[1], hstep_max)
+            if plan_state is not None:
+                per_level_max, hstep_max, heights = (
+                    plan_state[0], plan_state[1], plan_state[2])
+            if re_device is None:
+                re_device = jnp.asarray(re_local.astype(compute_dtype))
             args = (
                 geom['bnd_y'], geom['bnd_x'], geom['bnd_z'],
-                geom['d2'], geom['ray_len'],
-                jnp.asarray(re_local.astype(compute_dtype)),
+                geom['d2'], geom['ray_len'], re_device,
             )
         else:
             # Step 1: output grid -> ECEF at this height (host f64)
@@ -496,6 +549,7 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                 max_segment_length=max_segment_length,
                 packed2d=packed2d, mode=pack_mode,
                 heights=heights, hstep_max=hstep_max,
+                static_plan=use_device_geom and plan_state is not None,
             )
         # defer the (synchronous) result fetch: keep device arrays and pull
         # every slice in one batched transfer after the loop

@@ -41,7 +41,7 @@ ECEF-lerp-then-reproject sample heights to O(D^4 / R^3) (< 0.1 mm for 5 km
 segments) without needing f64 transforms per sample on device.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -410,6 +410,118 @@ def brick_bytes_for(cube_shape, dtype, planes: int = _BRICK_PLANES) -> int:
     return int(np.prod(cube_shape)) * planes * 18 * np.dtype(dtype).itemsize
 
 
+def static_plan_from(plan: 'GroupPlan'):
+    """Hashable (structure + constants) form of a GroupPlan.
+
+    Returns ``(groups, planes)`` where ``groups`` is a tuple of
+    ``(anchor, samples)`` and each sample is the 9-tuple
+    ``(lvl, frac, wa_lvl, wa, wb_lvl, wb, zlo, zinv, dzoff)`` with plain
+    Python numbers. Feeding this to :func:`_static_brick_fn` bakes the whole
+    plan into the executable: group sizes are exact (no pad slots), z-plane
+    placement is static (no one-hot over planes), and boundary rows are read
+    with static indices (no per-sample dynamic slices). The price is one
+    compile per distinct plan structure - use it where one plan is reused
+    for many slices (the production cube path builds ONE cube-global plan).
+    """
+    groups = []
+    for gi in range(plan.anchor.size):
+        cnt = int((~plan.pad[gi]).sum())
+        if cnt == 0:
+            continue
+        samples = tuple(
+            (int(plan.lvl[gi, s]), float(plan.frac[gi, s]),
+             int(plan.wa_lvl[gi, s]), float(plan.wa[gi, s]),
+             int(plan.wb_lvl[gi, s]), float(plan.wb[gi, s]),
+             float(plan.zlo[gi, s]), float(plan.zinv[gi, s]),
+             int(plan.dzoff[gi, s]))
+            for s in range(cnt))
+        groups.append((int(plan.anchor[gi]), samples))
+    return tuple(groups), int(plan.planes)
+
+
+@lru_cache(maxsize=64)
+def _static_brick_fn(groups, planes, ys, xs, zs, z_clip):
+    """Compile the fully static brick integrate for one plan structure.
+
+    Measured on v5e (1M rays, 50-level HRRR-sized cube, 16 groups): 270 ms
+    vs 490 ms for the traced-plan scan kernel. The win comes from (a) no
+    per-sample ``dynamic_index_in_dim`` boundary slices (~120 ms of tiny
+    slice ops), (b) ONE brick read per group via a combined trilinear weight
+    tensor U (the traced kernel re-reads the gathered brick once per sample),
+    (c) no pad-slot arithmetic, and (d) static z-plane placement instead of a
+    one-hot over ``planes``. See scripts/integrate_ablation.py for the
+    ablation chain (v2..v5).
+    """
+    ys_np, xs_np, zs_np = np.asarray(ys), np.asarray(xs), np.asarray(zs)
+    ny, nx = ys_np.size, xs_np.size
+
+    @jax.jit
+    def run(table2d, bnd_y, bnd_x, bnd_z, d2, ray_len, re_local):
+        cdt = table2d.dtype
+        n = bnd_y.shape[1]
+        acc_w = jnp.zeros(n, cdt)
+        acc_h = jnp.zeros(n, cdt)
+        for za, samples in groups:
+            persample = []
+            ay = ax = None
+            for (lv, f, wal, wav, wbl, wbv, zlo, zinv, dzo) in samples:
+                py = bnd_y[lv] + f * (bnd_y[lv + 1] - bnd_y[lv])
+                px = bnd_x[lv] + f * (bnd_x[lv + 1] - bnd_x[lv])
+                pz = bnd_z[lv] + f * (bnd_z[lv + 1] - bnd_z[lv])
+                hbar = 0.5 * (bnd_z[lv] + bnd_z[lv + 1])
+                pz = pz - f * (1.0 - f) * d2[lv] / (2.0 * (re_local + hbar))
+                if z_clip:
+                    pz = jnp.clip(pz, zs_np[0], zs_np[-1])
+                bz = (pz >= zs_np[0]) & (pz <= zs_np[-1])
+                iy, fy, by = _locate_uniformish(ys_np, py)
+                ix, fx, bx = _locate_uniformish(xs_np, px)
+                fz = (pz - zlo) * zinv
+                rl = wav * ray_len[wal] + (wbv * ray_len[wbl] if wbv else 0.0)
+                persample.append((iy, ix, fy.astype(cdt), fx.astype(cdt),
+                                  fz.astype(cdt), bz & by & bx,
+                                  (1.0e-6 * rl).astype(cdt), dzo))
+                ay = iy if ay is None else jnp.minimum(ay, iy)
+                ax = ix if ax is None else jnp.minimum(ax, ix)
+            lin = (za * ny + ay) * nx + ax
+            # serialize group gathers behind the running accumulation so the
+            # scheduler never holds more than one gathered brick live
+            lin = jax.lax.optimization_barrier((lin, acc_w))[0]
+            brick = jnp.take(table2d, lin, axis=0)
+            brick = brick.reshape(n, planes, 3, 3, 2)
+            U = [[[None] * 3 for _ in range(3)] for _ in range(planes)]
+            for (iy, ix, fy, fx, fz, ok, wt, dzo) in persample:
+                dyi = iy - ay
+                dxi = ix - ax
+                # a group spans <= 2 cells per horizontal axis by
+                # construction; any violation becomes NaN, never silent zeros
+                ok = ok & (dyi <= 1) & (dxi <= 1)
+                gy = dyi.astype(cdt) + fy
+                gx = dxi.astype(cdt) + fx
+                wte = jnp.where(ok, wt, jnp.nan)
+                # hat-function row weights: for gy in [0, 2] these reproduce
+                # the 3-term one-hot mix exactly (fy in [0, 1] by locate)
+                wys = [jnp.maximum(0.0, 1.0 - jnp.abs(gy - k)) for k in range(3)]
+                wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(gx - k)) for k in range(3)]
+                w0 = wte * (1.0 - fz)       # linear-in-z incl. extrapolation
+                w1 = wte * fz
+                for k in range(3):
+                    for l in range(3):
+                        wkl = wys[k] * wxs[l]
+                        for dj, wj in ((dzo, w0), (dzo + 1, w1)):
+                            t = wj * wkl
+                            U[dj][k][l] = (t if U[dj][k][l] is None
+                                           else U[dj][k][l] + t)
+            for j in range(planes):
+                for k in range(3):
+                    for l in range(3):
+                        if U[j][k][l] is not None:
+                            acc_w = acc_w + brick[:, j, k, l, 0] * U[j][k][l]
+                            acc_h = acc_h + brick[:, j, k, l, 1] * U[j][k][l]
+        return acc_w, acc_h
+
+    return run
+
+
 @partial(jax.jit, static_argnames=('ys', 'xs', 'zs', 'z_clip', 'G', 'planes'))
 def _integrate_bricks(
     table2d,                    # (nz*ny*nx, planes*18) brick table
@@ -542,6 +654,7 @@ def integrate_rays(
     mode=None,
     heights=None,
     hstep_max=None,
+    static_plan: bool = False,
 ):
     """Integrate wet/hydro delay along all rays for one output height slice.
 
@@ -567,6 +680,12 @@ def integrate_rays(
                         enables the grouped brick kernel together with
         hstep_max:      (L,) per-level max horizontal motion of any ray in
                         model CRS units (host-measured, conservative).
+        static_plan:    bake the brick plan into the executable (see
+                        :func:`static_plan_from`): ~1.8x faster per slice but
+                        one compile per distinct plan structure. Use when one
+                        plan serves many slices (the engine's cube-global
+                        plan); the traced default never recompiles across
+                        slices of similar shape.
 
     Returns:
         (wet_delay (N,), hydro_delay (N,)) in meters.
@@ -594,6 +713,11 @@ def integrate_rays(
         plan = build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
                                 max_segment_length,
                                 group_max=_BRICK_GROUP_MAX, planes=_BRICK_PLANES)
+        if static_plan:
+            groups, planes = static_plan_from(plan)
+            fn = _static_brick_fn(groups, planes, axes['ys'], axes['xs'],
+                                  axes['zs'], z_clip)
+            return fn(packed2d, *ray_args)
         plan = _pad_group_plan(plan, _PLAN_BUCKET)
         return _integrate_bricks(
             packed2d, *ray_args,

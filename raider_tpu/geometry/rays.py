@@ -98,6 +98,52 @@ def level_heights(model_zs, ht: float, max_tropo_height: float = float(_ZREF)) -
     return np.asarray(heights, dtype=np.float64)
 
 
+def clip_chain(model_zs, ht: float, max_tropo_height: float = float(_ZREF),
+               nudge_top: bool = True) -> Optional[np.ndarray]:
+    """Full-length clamped boundary chain: entry k is model level k clipped
+    into [ht, max_tropo_height] (topmost level nudged down 0.01 m like the
+    reference, losreader.py:788).
+
+    Unlike :func:`level_heights`, the chain always has ``len(model_zs)``
+    entries: levels entirely below ``ht`` or above the integration top become
+    zero-length (equal boundaries) and integrate to exactly zero. Level k
+    therefore always corresponds to model cell k for EVERY output height
+    slice, which is what lets the delay engine build ONE cube-global static
+    sampling plan (see raytrace.static_plan_from) instead of one per slice.
+
+    The reference's <1 m edge-drop rules (losreader.py:798-809: a clamped
+    bottom or top partial interval thinner than 1 m is excluded from the
+    integral) are reproduced by collapsing the affected entries onto the
+    nearest kept boundary. Mid-chain intervals are never thinner than 1 m
+    for real weather grids (z spacing >= tens of meters).
+
+    Returns None when no level contributes.
+    """
+    z = np.asarray(model_zs, dtype=np.float64).copy()
+    if nudge_top:
+        # only when the chain includes the true topmost model level (a
+        # caller passing a trimmed span disables it, losreader.py:788)
+        z[-1] -= 0.01
+    c = np.clip(z, ht, max_tropo_height)
+    above = np.nonzero(c > ht)[0]
+    if above.size == 0:
+        return None
+    jb = above[0]
+    if c[jb] - ht < 1.0:
+        # bottom partial interval [ht, c[jb]] is dropped, not integrated
+        c[:jb] = c[jb]
+    below = np.nonzero(c < max_tropo_height)[0]
+    if below.size == 0:
+        return None
+    jt = below[-1]
+    if jt + 1 < c.size and c[jt + 1] - c[jt] < 1.0 and c[jt + 1] == max_tropo_height:
+        # top partial interval [c[jt], zref] is dropped, not integrated
+        c[jt + 1:] = c[jt]
+    if c[-1] - c[0] < 1.0:
+        return None
+    return c
+
+
 def build_ray(model_zs, ht: float, xyz, look_vecs,
               max_tropo_height: float = float(_ZREF)) -> Tuple:
     """Per-level ray segment lengths and ECEF endpoints for all pixels.

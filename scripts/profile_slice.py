@@ -35,7 +35,7 @@ def main():
     from raider_tpu.geodesy.crs import Geographic
     from raider_tpu.geometry.device_geom import GeomSession
     from raider_tpu.geometry.orbit import Orbit
-    from raider_tpu.geometry.rays import level_heights
+    from raider_tpu.geometry.rays import clip_chain
     from raider_tpu.io.ncdf import Dataset, Variable
     from raider_tpu.geodesy.gravity import get_Re
 
@@ -80,9 +80,12 @@ def main():
 
     zref = float(zs[-1] - 1.0)
     zpts = 100.0 * np.arange(6)
-    chains = [level_heights(zs, float(ht), zref) for ht in zpts]
-    lmax = max(c.size for c in chains)
-    chains = [np.concatenate([np.full(lmax - c.size, c[0]), c]) for c in chains]
+    # trim to the cube's active span, like the engine
+    j0 = max(int(np.searchsorted(zs, float(zpts.min()), side='right')) - 1, 0)
+    j1 = min(int(np.searchsorted(zs, zref, side='left')), zs.size - 1)
+    zs_chain = zs[j0:j1 + 1]
+    chains = [clip_chain(zs_chain, float(ht), zref,
+                         nudge_top=(j1 == zs.size - 1)) for ht in zpts]
 
     cube_wet = wm.field('wet', np.float32)
     cube_hydro = wm.field('hydro', np.float32)
@@ -106,13 +109,15 @@ def main():
 
         t0 = time.perf_counter()
         plm, hsm = jax.device_get((geom['per_level_max'], geom['hstep_max']))
-        per_level_max = np.asarray(plm, np.float64)
-        hstep_max = np.asarray(hsm, np.float64) * (1.0 + 1e-5) + 1e-7
         t_fetch = time.perf_counter() - t0
         print(f'  plan fetch:{t_fetch:7.3f} s')
+        if hh == 0:
+            # cube-global plan from the lowest slice, like the engine
+            per_level_max = np.asarray(plm, np.float64)
+            hstep_max = np.asarray(hsm, np.float64) * (1.0 + 1e-5) + 1e-7
 
         plan = build_sampling_plan(per_level_max)
-        gp = build_group_plan(per_level_max, chains[hh], hstep_max,
+        gp = build_group_plan(per_level_max, chains[0], hstep_max,
                               wm.ys, wm.xs, wm.zs)
         print(f'  plan: {plan[0].size} samples/ray, '
               f'{gp.anchor.size} gathers/ray, '
@@ -127,7 +132,8 @@ def main():
             cube_wet, cube_hydro, wm.ys, wm.xs, wm.zs, *args,
             ray_lengths_max=per_level_max,
             packed2d=packed2d, mode=pack_mode,
-            heights=chains[hh], hstep_max=hstep_max,
+            heights=chains[0], hstep_max=hstep_max,
+            static_plan=True,
         )
         t_disp = time.perf_counter() - t0
         sync((w, h))
@@ -170,20 +176,25 @@ def engine_compare():
     orbit = Orbit(times=tt, pos=pos_o, vel=vel_o, ref_time=t_ref)
     ys_e = np.linspace(16.0, 24.0, ny)
     xs_e = np.linspace(1.5, 7.5, nx)
-    coords = {'x': Variable(('x',), xs_e, {}), 'y': Variable(('y',), ys_e, {}),
-              'z': Variable(('z',), zs, {})}
-    variables = {
-        'wet': Variable(('z', 'y', 'x'), rng.uniform(0.1, 100.0, (nz, ny, nx)), {}),
-        'hydro': Variable(('z', 'y', 'x'), rng.uniform(50.0, 300.0, (nz, ny, nx)), {}),
-        'proj': Variable((), np.int64(0), Geographic().to_cf()),
-    }
-    wm = WeatherCube(Dataset(coords=coords, variables=variables, attrs={}))
+    wet_np = rng.uniform(0.1, 100.0, (nz, ny, nx))
+    hydro_np = rng.uniform(50.0, 300.0, (nz, ny, nx))
     los = Raytracing(orbit=orbit, time=t_ref)
     side = int(np.sqrt(n_rays))
     yq = np.linspace(18.5, 21.5, side)
+    xq = np.linspace(3.5, 6.0, side)
 
-    def run(shift, n_slices):
-        xq = np.linspace(3.5, 6.0, side) + shift
+    def run(bump, n_slices):
+        # perturb CUBE VALUES, not the grid: keeps the cube-global static
+        # plan bit-identical across calls (bench.py does the same)
+        coords = {'x': Variable(('x',), xs_e, {}),
+                  'y': Variable(('y',), ys_e, {}),
+                  'z': Variable(('z',), zs, {})}
+        variables = {
+            'wet': Variable(('z', 'y', 'x'), wet_np + bump, {}),
+            'hydro': Variable(('z', 'y', 'x'), hydro_np, {}),
+            'proj': Variable((), np.int64(0), Geographic().to_cf()),
+        }
+        wm = WeatherCube(Dataset(coords=coords, variables=variables, attrs={}))
         hts = 100.0 * np.arange(n_slices)
         w, h = _build_cube_ray(wm, xq, yq, hts, los, Geographic(),
                                zref=float(zs[-1] - 1.0),
@@ -194,7 +205,7 @@ def engine_compare():
     stage_report(reset=True)
     for k, n in ((1, 2), (2, 6), (3, 14), (4, 2)):
         t0 = time.perf_counter()
-        _ = run(float(k) * 1e-7, n)
+        _ = run(float(k) * 1e-4, n)
         print(f'{n} slices: {time.perf_counter() - t0:7.3f} s')
         print(json.dumps(stage_report(reset=True), indent=1))
 
