@@ -4,6 +4,10 @@ Per docs/performance.md: identical executions can be served from a result
 cache (perturb an input on device each call) and only SLOPE timings are
 trustworthy (time at two iteration counts, divide the difference).
 
+Profiles the WARM-slice configuration the production GeomSession uses
+(geo2rdr maxiter=3, 'ref' line-parametrized chain: 2x10 phase-1 iters +
+Lx3 chain iters), then each stage standalone.
+
 Usage: python scripts/profile_geom.py [n_rays] [n_levels]
 """
 import pathlib
@@ -14,7 +18,7 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 131_072
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 NLEV = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 
 
@@ -67,7 +71,7 @@ def main():
     # ---- synthetic orbit + targets (bench.py's geometry scenario)
     t_ref = dt.datetime(2020, 1, 1, 12, 0, 0)
     tt = np.arange(-600.0, 601.0, 30.0)
-    inc = np.deg2rad(37.0)
+    inc = np.deg2rad(90.0)
     r_orb = 6378137.0 + 700e3
     om = 2.0 * np.pi / 5800.0
     ang = om * tt
@@ -80,8 +84,8 @@ def main():
     poly = dg.build_orbit_poly(Orbit(times=tt, pos=pos_o, vel=vel_o, ref_time=t_ref))
 
     rng = np.random.default_rng(0)
-    glon = rng.uniform(-2.0, 2.0, N)
-    glat = rng.uniform(18.0, 22.0, N)
+    glon = rng.uniform(3.5, 6.0, N)
+    glat = rng.uniform(18.5, 21.5, N)
     gx, gy, gz = (np.asarray(v) for v in lla2ecef(glat, glon, np.zeros(N)))
     targ = np.stack([gx, gy, gz], -1)
     hi = jnp.asarray(targ.astype(np.float32))
@@ -96,35 +100,36 @@ def main():
     L1 = chain.size
     print(f'{N} rays, {L1} chain boundaries')
 
-    from raider_tpu.constants import WGS84_A, WGS84_E2
-    b_ax = float(WGS84_A) * np.sqrt(1.0 - float(WGS84_E2))
-    ab = np.stack([1.0 / (float(WGS84_A) + chain) ** 2,
-                   1.0 / (b_ax + chain) ** 2], axis=-1)
-    ab_hi = jnp.asarray(ab.astype(np.float32))
-    ab_lo = jnp.asarray((ab - ab.astype(np.float32)).astype(np.float32))
+    ab_hi_np, ab_lo_np = dg._ab_tables(chain)
+    ab_hi = jnp.asarray(ab_hi_np)
+    ab_lo = jnp.asarray(ab_lo_np)
 
     # pre-built perturbed copies (perturbing per call would add an eager
     # device op and its tunnel round trip inside the timed region)
     K = 16
     los = jax.block_until_ready([lo + np.float32(i) * 1e-7 for i in range(K)])
 
-    # ---- full fused slice ('ref' algo)
+    # warm-start azimuth times like GeomSession does after slice 0
+    t_warm = jax.block_until_ready(dg._geo2rdr_df_impl(
+        times_f32, poly.t_c, poly.coeffs, hi, lo, t_init, 15)[0])
+
+    # ---- full fused slice ('ref' algo, warm config)
     def full(i):
         out = dg._slice_geom_fused(
             times_f32, poly.t_c, poly.coeffs, hi, los[i % K],
-            t_init, heights_f32, jnp.int32(0), ab_hi, ab_lo,
-            crs=Geographic(), is_geo=True, maxiter=15, algo='ref')
+            t_warm, heights_f32, jnp.int32(0), ab_hi, ab_lo,
+            crs=Geographic(), is_geo=True, maxiter=3, algo='ref')
         return out[3]
     t_full = slope(full)
-    print(f'full fused (ref):   {t_full*1e3:8.1f} ms  {N/t_full/1e6:6.2f} M rays/s')
+    print(f'full fused (ref, warm): {t_full*1e3:8.1f} ms  {N/t_full/1e6:6.2f} M rays/s')
 
-    # ---- geo2rdr alone
+    # ---- geo2rdr alone (warm: 3 iters)
     def g2r(i):
         return dg._geo2rdr_df_impl(
             times_f32, poly.t_c, poly.coeffs, hi, los[i % K],
-            t_init, 15)[0]
+            t_warm, 3)[0]
     t_g2r = slope(g2r)
-    print(f'geo2rdr (15 it):    {t_g2r*1e3:8.1f} ms')
+    print(f'geo2rdr (3 it):         {t_g2r*1e3:8.1f} ms')
 
     # look vectors for the standalone stages
     out = dg._geo2rdr_df_impl(times_f32, poly.t_c, poly.coeffs, hi, lo, t_init, 15)
@@ -135,50 +140,48 @@ def main():
         look.append((d.hi + d.lo) / sr_hi)
     look = jax.block_until_ready(jnp.stack(look, -1))
 
-    # ---- phase-1 (2 heights x 10 iters)
     ones = jnp.ones(N, jnp.float32)
 
+    # ---- phase-1 (2 heights x 10 iters, line-parametrized)
     def ph1(i):
-        return dg._toa_newton_df(hi, los[i % K], look,
-                                 heights_f32[:2], ones, 10)
+        return dg._toa_newton_s(hi, los[i % K], look,
+                                heights_f32[:2], ones, 10)[0]
     t_p1 = slope(ph1)
-    print(f'phase-1 (2x10 it):  {t_p1*1e3:8.1f} ms')
+    print(f'phase-1 s (2x10 it):    {t_p1*1e3:8.1f} ms')
 
-    # ---- 'ref' chain: all levels x 3 iters
+    # ---- 'ref' chain: all levels x 3 iters (line-parametrized)
     def chain3(i):
-        return dg._toa_newton_df(hi, los[i % K], look,
-                                 heights_f32, ones, 3)
+        return dg._toa_newton_s(hi, los[i % K], look,
+                                heights_f32, ones, 3)[0]
     t_ch = slope(chain3)
-    print(f'ref chain (Lx3 it): {t_ch*1e3:8.1f} ms')
+    print(f'ref chain s (Lx3 it):   {t_ch*1e3:8.1f} ms')
 
-    pts = jax.block_until_ready(dg._toa_newton_df(hi, lo, look, heights_f32, ones, 3))
-    K2 = 10  # (L+1, N, 3, 2) copies are big; 10 covers the 9 calls/stage
-    ptss = jax.block_until_ready([pts + np.float32(i) * 1e-7 for i in range(K2)])
+    s_hi, s_lo, z_pts = jax.block_until_ready(
+        dg._toa_newton_s(hi, lo, look, heights_f32, ones, 3))
 
-    # ---- z_levels (Vermeille per boundary point)
-    def zlev(i):
-        return dg._z_levels_vermeille(ptss[i % K2])
-    t_zl = slope(zlev)
-    print(f'z_levels (L+1):     {t_zl*1e3:8.1f} ms')
+    # ---- boundary xyz from s
+    K2 = 8
+    shis = jax.block_until_ready([s_hi + np.float32(i) * 1e-4 for i in range(K2)])
 
-    # ---- finish_slice (ecef2lla + CRS + lengths etc.)
-    lengths = jax.block_until_ready(jax.vmap(dg._seg_length)(pts[:-1], pts[1:]))
-    zl = jax.block_until_ready(dg._z_levels_vermeille(pts))
+    def bxyz(i):
+        return dg._boundary_xyz(hi, lo, look, shis[i % K2], s_lo)
+    t_bx = slope(bxyz)
+    print(f'boundary xyz:           {t_bx*1e3:8.1f} ms')
 
+    bx, by, bz = jax.block_until_ready(dg._boundary_xyz(hi, lo, look, s_hi, s_lo))
+    d = df64.sub(DF(s_hi[1:], s_lo[1:]), DF(s_hi[:-1], s_lo[:-1]))
+    lengths = jax.block_until_ready(d.hi)
+    bxs = jax.block_until_ready([bx + np.float32(i) * 1e-4 for i in range(K2)])
+
+    # ---- finish_slice (ecef2lla f32 + NaN masks + plan maxima)
     def fin(i):
-        return dg._finish_slice(lengths, ptss[i % K2], zl,
+        return dg._finish_slice(lengths, bxs[i % K2], by, bz, z_pts,
                                 crs=Geographic(), is_geo=True)[0]
     t_fin = slope(fin)
-    print(f'finish_slice:       {t_fin*1e3:8.1f} ms')
+    print(f'finish_slice:           {t_fin*1e3:8.1f} ms')
 
-    # ---- seg lengths alone
-    def segs(i):
-        return jax.vmap(dg._seg_length)(ptss[i % K2][:-1], pts[1:])
-    t_seg = slope(segs)
-    print(f'seg lengths:        {t_seg*1e3:8.1f} ms')
-
-    known = t_g2r + t_p1 + t_ch + t_zl + t_fin + t_seg
-    print(f'sum of stages:      {known*1e3:8.1f} ms (full = {t_full*1e3:.1f})')
+    known = t_g2r + t_p1 + t_ch + t_bx + t_fin
+    print(f'sum of stages:          {known*1e3:8.1f} ms (full = {t_full*1e3:.1f})')
 
 
 if __name__ == '__main__':
