@@ -20,6 +20,7 @@ import datetime as dt
 import os
 from typing import Optional, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,6 +81,13 @@ class WeatherCube:
         if self._flip_x:
             arr = arr[:, :, ::-1]
         return np.ascontiguousarray(arr)
+
+
+@jax.jit
+def _stack2(w, h):
+    """One (2, N) device buffer per slice: a single bulk d2h stream beats
+    two per-array copies through a remote-TPU tunnel (fetch_overlap.py)."""
+    return jnp.stack([w, h])
 
 
 def _default_compute_dtype():
@@ -357,38 +365,73 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         lon, lat = xx, yy
     re_local = np.asarray(get_Re(lat)).reshape(npix)
     re_device = None      # uploaded once; per-slice re-upload costs ~10s of
-    pending_geom = {}     # ms per slice through a remote-TPU tunnel
-    device_outs = {}
+    device_outs = {}      # ms per slice through a remote-TPU tunnel
     if use_device_geom:
         from raider_tpu.geometry.device_geom import GeomSession
 
         # uploads ground ECEF + surface normals ONCE; per-slice targets are
         # derived on device and geo2rdr warm-starts from the previous slice
         geom_session = GeomSession(los._orbit, lat, lon, wm.crs)
-
-        # lookahead holds TWO slices' geometry in HBM; skip it for very
-        # large (chain x rays) products where that second copy would risk
-        # exhausting device memory (boundary components cost ~5 f32 words
-        # per (level x ray) ~= 1 GB per slice at 50 levels x 1M rays)
-        chain_len = max((c.size for c in chains if c is not None), default=0)
-        lookahead_ok = chain_len * npix <= 60_000_000
-
-        def dispatch_geom(idx: int) -> None:
-            """Queue slice idx's geometry (async); warm-start chaining means
-            dispatch order must follow processing order."""
-            if 0 <= idx < zpts.size and idx not in pending_geom \
-                    and chains[idx] is not None:
-                with stage('raytrace.device_geometry', log=False):
-                    pending_geom[idx] = geom_session.slice(
-                        float(zpts[idx]), chains[idx])
     # Device geometry processes slices bottom-up so the FIRST contributing
     # slice (the lowest) seeds the cube-global sampling plan: its per-level
     # maxima bound every higher slice's (clamping only shortens segments),
     # so one static-plan executable serves the whole cube.
     order = (np.argsort(zpts, kind='stable') if use_device_geom
              else np.arange(zpts.size))
-    order_pos = {int(hh): k for k, hh in enumerate(order)}
     plan_state = None
+    # RAIDER_TPU_CUBE_PLAN=0: per-slice plans + traced kernel (the pre-r2
+    # behavior) - a safety valve and the attribution tool for
+    # quadrature-vs-kernel parity deltas
+    per_slice_plans = os.environ.get('RAIDER_TPU_CUBE_PLAN', '') == '0'
+    deferred = []         # (hh, plm_dev, hsm_dev): batch-validated post-loop
+    done_order = []       # integrate-dispatched slices (backpressure window)
+
+    def run_integrate(args, per_level_max, hstep_max, heights, static):
+        """Dispatch one slice's integration (sharded when a mesh exists) and
+        start its device->host result transfer immediately: on
+        remote-attached TPUs the copy stream is slower than the kernels, so
+        serializing transfers after the loop would dominate wall time.
+
+        wet+hydro are stacked into ONE (2, N) device buffer first so each
+        slice issues a single bulk copy: two per-slice copies measured
+        0.60 s/slice steady state vs 0.38-0.57 for the stacked single
+        stream (scripts/fetch_overlap.py; compute floor 0.35)."""
+        nonlocal packed2d
+        import jax
+
+        # shard the ray batch over all available devices (SPMD: replicated
+        # packed cube, sharded indices, no collectives needed)
+        n_dev = len(jax.devices())
+        orig_n = None
+        if (n_dev > 1 and npix >= 8 * n_dev
+                and os.environ.get('RAIDER_TPU_SHARD', '') != '0'):
+            from raider_tpu.parallel.mesh import place_ray_arrays, replicate
+
+            placed, orig_n = place_ray_arrays(args[:5], ray_axis=1)
+            (r_a,), _ = place_ray_arrays([args[5]], ray_axis=0)
+            args = (*placed, r_a)
+            # rebinding persists across slices; device_put with an identical
+            # sharding is a no-op, so only the first slice pays the transfer
+            packed2d = replicate(packed2d)
+        with stage('raytrace.integrate', log=False):
+            wet, hydro = integrate_rays(
+                cube_wet, cube_hydro,
+                wm.ys, wm.xs, wm.zs,
+                *args,
+                ray_lengths_max=per_level_max,
+                max_segment_length=max_segment_length,
+                packed2d=packed2d, mode=pack_mode,
+                heights=heights, hstep_max=hstep_max,
+                static_plan=static,
+            )
+        out = _stack2(wet, hydro)
+        if os.environ.get('RAIDER_TPU_ASYNC_FETCH', '') != '0':
+            try:
+                out.copy_to_host_async()
+            except (AttributeError, RuntimeError):  # non-jax arrays
+                pass
+        return out, orig_n
+
     for hh in (int(i) for i in order):
         ht = zpts[hh]
         logger.info(f'Processing slice {hh + 1} / {len(zpts)}: {ht}')
@@ -403,59 +446,42 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
 
         if use_device_geom:
             # Steps 1-4 fused on device (targets + geo2rdr + Newton chain +
-            # CRS), df64. One-slice lookahead: the NEXT slice's geometry is
-            # dispatched before this slice's plan arrays are fetched, so the
-            # synchronous fetch overlaps device compute
+            # CRS), df64
             import jax as _jax
 
-            dispatch_geom(hh)
-            geom = pending_geom.pop(hh)
-            if lookahead_ok:
-                nxt = order_pos[hh] + 1
-                if nxt < len(order):
-                    dispatch_geom(int(order[nxt]))
-            plm, hsm = _jax.device_get((geom['per_level_max'],
-                                        geom['hstep_max']))
-            per_level_max = np.asarray(plm, dtype=np.float64)
-            # inflate by the f32 coordinate quantization so the brick
-            # grouping bound stays conservative (coords ~O(10-100) in model
-            # units make the absolute f32 jitter ~1e-5 of a unit)
-            hstep_max = np.asarray(hsm, np.float64) * (1.0 + 1e-4) + 1e-5
-            # clamped chains force zero-length levels to exactly 0.0, so
-            # test only the real (nonzero) levels for total divergence
-            real = per_level_max[~(per_level_max == 0.0)]
-            if real.size and np.isnan(real).all():
-                raise ValueError('geo2rdr did not converge. Check orbit coverage')
-            # RAIDER_TPU_CUBE_PLAN=0: per-slice plans + traced kernel (the
-            # pre-r2 behavior) - a safety valve and the attribution tool for
-            # quadrature-vs-kernel parity deltas
-            if os.environ.get('RAIDER_TPU_CUBE_PLAN', '') == '0':
-                plan_state = None
-            elif plan_state is None:
-                plan_state = [per_level_max, hstep_max, heights]
+            with stage('raytrace.device_geometry', log=False):
+                geom = geom_session.slice(float(ht), chains[hh])
+            if plan_state is None or per_slice_plans:
+                # the FIRST contributing (lowest) slice seeds the cube-global
+                # plan: one synchronous fetch per cube
+                plm, hsm = _jax.device_get((geom['per_level_max'],
+                                            geom['hstep_max']))
+                per_level_max = np.asarray(plm, dtype=np.float64)
+                # inflate by the f32 coordinate quantization so the brick
+                # grouping bound stays conservative (coords ~O(10-100) in
+                # model units make the absolute f32 jitter ~1e-5 of a unit)
+                hstep_max = np.asarray(hsm, np.float64) * (1.0 + 1e-4) + 1e-5
+                # clamped chains force zero-length levels to exactly 0.0, so
+                # test only the real (nonzero) levels for total divergence
+                real = per_level_max[~(per_level_max == 0.0)]
+                if real.size and np.isnan(real).all():
+                    raise ValueError(
+                        'geo2rdr did not converge. Check orbit coverage')
+                if not per_slice_plans:
+                    plan_state = [per_level_max, hstep_max, heights]
             else:
-                # bottom-up order makes this a no-op in practice (clamping
-                # only shortens segments). Widen ONLY on STRUCTURAL
-                # violations - f32 jitter in a higher slice's maxima must
-                # not rebuild the plan, or the baked static integrate
-                # recompiles per slice:
-                #  * nParts would increase (quadrature coarser than the
-                #    reference rule by a whole sample), or
-                #  * horizontal motion exceeds the plan's inflated grouping
-                #    bound by more than the inflation margin itself (would
-                #    break the brick 2-cell guarantee -> NaN poisoning)
-                n_plan = np.ceil(np.nan_to_num(plan_state[0])
-                                 / max_segment_length)
-                n_here = np.ceil(np.nan_to_num(per_level_max)
-                                 / max_segment_length)
-                grew = (np.any(n_here > n_plan)
-                        or np.any(np.nan_to_num(hstep_max)
-                                  > np.nan_to_num(plan_state[1])
-                                  * (1.0 + 5e-4) + 5e-5))
-                if grew:
-                    logger.debug('cube plan widened by slice %s', hh)
-                    plan_state[0] = np.fmax(plan_state[0], per_level_max)
-                    plan_state[1] = np.fmax(plan_state[1], hstep_max)
+                # bottom-up order + clamping-only-shortens means every higher
+                # slice's maxima fit the seed plan; CHECKING that per slice
+                # would cost a blocking fetch that serializes the loop behind
+                # the device, so validation is DEFERRED: the maxima stay on
+                # device, are batch-fetched after the loop, and a structural
+                # violation triggers an exact recompute of the offending
+                # slices (see below). A violated grouping bound can never
+                # yield silent wrong results in between - the brick kernel
+                # turns it into NaN, and the quadrature rule only ever errs
+                # by staying FINER than required.
+                deferred.append((hh, geom['per_level_max'],
+                                 geom['hstep_max']))
             if plan_state is not None:
                 per_level_max, hstep_max, heights = (
                     plan_state[0], plan_state[1], plan_state[2])
@@ -523,48 +549,70 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                 d2.astype(compute_dtype), seg_flat.astype(compute_dtype),
                 re_local.astype(compute_dtype),
             )
-        # shard the ray batch over all available devices (SPMD: replicated
-        # packed cube, sharded indices, no collectives needed)
-        import jax
+        device_outs[hh] = run_integrate(
+            args, per_level_max, hstep_max, heights,
+            static=use_device_geom and plan_state is not None)
+        done_order.append(hh)
+        # backpressure: the free-running dispatch loop would otherwise queue
+        # every slice's geometry at once (~5 f32 words per (level x ray) of
+        # HBM each); waiting on the integrate output two slices back bounds
+        # the in-flight window to ~3 slices at zero steady-state cost
+        if use_device_geom and len(done_order) >= 3:
+            import jax as _jax
 
-        n_dev = len(jax.devices())
-        orig_n = None
-        if (n_dev > 1 and npix >= 8 * n_dev
-                and os.environ.get('RAIDER_TPU_SHARD', '') != '0'):
-            from raider_tpu.parallel.mesh import place_ray_arrays, replicate
+            _jax.block_until_ready(device_outs[done_order[-3]][0])
 
-            placed, orig_n = place_ray_arrays(args[:5], ray_axis=1)
-            (r_a,), _ = place_ray_arrays([args[5]], ray_axis=0)
-            args = (*placed, r_a)
-            # rebinding persists across slices; device_put with an identical
-            # sharding is a no-op, so only the first slice pays the transfer
-            packed2d = replicate(packed2d)
+    if deferred:
+        # deferred cube-plan validation (see the loop comment): one batched
+        # fetch of every slice's per-level maxima, then exact recomputes for
+        # any slice whose quadrature or grouping bound outgrew the seed plan
+        import jax as _jax
 
-        with stage('raytrace.integrate', log=False):
-            wet, hydro = integrate_rays(
-                cube_wet, cube_hydro,
-                wm.ys, wm.xs, wm.zs,
-                *args,
-                ray_lengths_max=per_level_max,
-                max_segment_length=max_segment_length,
-                packed2d=packed2d, mode=pack_mode,
-                heights=heights, hstep_max=hstep_max,
-                static_plan=use_device_geom and plan_state is not None,
-            )
-        # defer the (synchronous) result fetch: keep device arrays and pull
-        # every slice in one batched transfer after the loop
-        device_outs[hh] = (wet, hydro, orig_n)
+        fetched_plans = _jax.device_get([(p, h) for _, p, h in deferred])
+        redo = []
+        for (hh, _, _), (plm, hsm) in zip(deferred, fetched_plans):
+            plm = np.asarray(plm, dtype=np.float64)
+            hsm = np.asarray(hsm, np.float64) * (1.0 + 1e-4) + 1e-5
+            real = plm[~(plm == 0.0)]
+            if real.size and np.isnan(real).all():
+                raise ValueError('geo2rdr did not converge. Check orbit coverage')
+            # structural-violation test, same thresholds as the old in-loop
+            # check: nParts growth (quadrature coarser than the reference
+            # rule) or horizontal motion beyond the inflated grouping bound
+            # (brick 2-cell guarantee -> NaN poisoning)
+            n_plan = np.ceil(np.nan_to_num(plan_state[0]) / max_segment_length)
+            n_here = np.ceil(np.nan_to_num(plm) / max_segment_length)
+            if (np.any(n_here > n_plan)
+                    or np.any(np.nan_to_num(hsm)
+                              > np.nan_to_num(plan_state[1])
+                              * (1.0 + 5e-4) + 5e-5)):
+                plan_state[0] = np.fmax(plan_state[0], plm)
+                plan_state[1] = np.fmax(plan_state[1], hsm)
+                redo.append(hh)
+        if redo:
+            logger.debug('cube plan widened by slices %s: recomputing them '
+                         'with the widened plan', redo)
+            for hh in redo:
+                geom = geom_session.slice(float(zpts[hh]), chains[hh],
+                                          cold=True)
+                args = (geom['bnd_y'], geom['bnd_x'], geom['bnd_z'],
+                        geom['d2'], geom['ray_len'], re_device)
+                device_outs[hh] = run_integrate(
+                    args, plan_state[0], plan_state[1], plan_state[2],
+                    static=True)
 
     if device_outs:
         import jax
 
-        fetched = jax.device_get(device_outs)
-        for hh, (w_np, h_np, orig_n) in fetched.items():
+        with stage('raytrace.final_fetch', log=False):
+            fetched = jax.device_get(device_outs)
+        for hh, (out_np, orig_n) in fetched.items():
+            w_np, h_np = np.asarray(out_np)
             if orig_n is not None:
                 w_np = w_np[:orig_n]
                 h_np = h_np[:orig_n]
-            outputArrs[0][hh] = np.asarray(w_np).reshape(ypts.size, xpts.size)
-            outputArrs[1][hh] = np.asarray(h_np).reshape(ypts.size, xpts.size)
+            outputArrs[0][hh] = w_np.reshape(ypts.size, xpts.size)
+            outputArrs[1][hh] = h_np.reshape(ypts.size, xpts.size)
 
     return outputArrs
 

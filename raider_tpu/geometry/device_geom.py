@@ -144,6 +144,16 @@ def df64_backend_ok() -> bool:
     return _PROBE_OK[backend]
 
 
+def _default_ref_algo() -> str:
+    """'ref' (reference iterates on the H(s) polynomial surrogate, ~8x
+    fewer geometry flops) on accelerator backends; 'ref_exact' (df64
+    Vermeille at every iterate) on CPU, where XLA:CPU's fast-math rewrites
+    degrade the fit's df64 node combination to ~0.3 m heights while the
+    per-iterate Vermeille fusion shapes survive (module doc; measured r2:
+    fit error 2e-4 m on v5e vs 0.3 m on XLA:CPU)."""
+    return 'ref' if jax.default_backend() != 'cpu' else 'ref_exact'
+
+
 def _gather_window(times_f32, t_hi):
     """Window index for query times (f32 hi part is plenty: windows are
     seconds apart)."""
@@ -375,6 +385,118 @@ def _boundary_xyz(pos_hi, pos_lo, look, s_hi, s_lo):
     return jax.vmap(one)(s_hi, s_lo)
 
 
+# ------------------------------------------- H(s) polynomial surrogate (ref)
+
+# Degree-5 per-ray Chebyshev fit of height-along-ray: H is analytic with
+# curvature scale Re, so over a <=45 km ray the degree-5 interpolation error
+# is O(rad^6 / Re^5) < 1e-7 m - far below the df64 Vermeille noise floor.
+# Coefficients live in the CHEBYSHEV basis: the analysis matrix entries are
+# bounded by 2/K, so node noise is NOT amplified (the monomial inverse
+# Vandermonde amplifies it ~8x - measured 8e-4 m vs 2e-4 m fit error on v5e).
+_POLY_K = 6
+_POLY_THETA = (2.0 * np.arange(_POLY_K) + 1.0) * np.pi / (2.0 * _POLY_K)
+_POLY_NODES = np.cos(_POLY_THETA)
+# maps H at the K canonical nodes -> Chebyshev coefficients c_0..c_{K-1}
+_POLY_FIT = np.stack([
+    (1.0 if k == 0 else 2.0) / _POLY_K * np.cos(k * _POLY_THETA)
+    for k in range(_POLY_K)
+])
+
+
+def _fit_height_poly(tx: DF, ty: DF, tz: DF, look, mid, inv_rad):
+    """Per-ray polynomial surrogate for height-along-ray H(s).
+
+    The reference Newton chain evaluates the exact ellipsoidal height at
+    every (level x iteration) - ~160 df64 Vermeille closed forms per ray.
+    H(s) along one straight ray is a single smooth 1-D function, so it is
+    fitted ONCE per ray: K exact df64 Vermeille evaluations at Chebyshev
+    nodes of u = (s - mid) * inv_rad, then the static inverse Vandermonde
+    gives monomial coefficients. Every Newton iterate then costs a handful
+    of flops (see _toa_newton_poly) instead of a Vermeille evaluation.
+
+    Precision split: c0/c1 stay df64 (they carry the O(26 km) height scale
+    through the catastrophic h - H(s) cancellation; T0 = 1 and T1 = u, so
+    they ARE the linear part); c2+ collapse to f32 (the non-linear part of
+    H is O(60 m) - earth curvature over the fit span - so f32 keeps it to
+    ~1e-5 m). The s<->u map is DEFINED by the f32 pair (mid, inv_rad):
+    nodes are placed at mid + u_j / inv_rad with the division done in df64,
+    so fit and evaluation see bit-consistent u.
+
+    Returns (c0 DF, c1 DF, tail: list of K-2 f32 Chebyshev coefficients).
+    """
+    rad = df64.div(df64.const(1.0), df64.df(inv_rad))
+    mid_df = df64.df(mid)
+    hs = []
+    for j in range(_POLY_K):
+        sj = df64.add(mid_df, df64.mul(df64.const(float(_POLY_NODES[j])), rad))
+        px = df64.add(tx, df64.mul(sj, df64.df(look[:, 0])))
+        py = df64.add(ty, df64.mul(sj, df64.df(look[:, 1])))
+        pz = df64.add(tz, df64.mul(sj, df64.df(look[:, 2])))
+        hs.append(height_df(px, py, pz))
+    cs = []
+    for k in range(_POLY_K):
+        acc = None
+        for j in range(_POLY_K):
+            t = df64.mul(hs[j], df64.const(float(_POLY_FIT[k, j])))
+            acc = t if acc is None else df64.add(acc, t)
+        cs.append(acc)
+    tail = [c.hi + c.lo for c in cs[2:]]
+    return cs[0], cs[1], tail
+
+
+def _toa_newton_poly(c0: DF, c1: DF, tail, mid, inv_rad,
+                     heights_f32, factor, max_iter: int):
+    """Reference-scheme Newton chain on the polynomial surrogate.
+
+    Same iterates as :func:`_toa_newton_s` (initial guess s = h, frozen
+    ``factor`` slope, fixed iteration counts - reference
+    losreader.py:706-733) with H(s) from the per-ray fit: the surrogate
+    tracks the exact height to <1e-6 m, so the (not-fully-converged)
+    reference iterates are reproduced to the same level - ~1e-8 m of delay.
+
+    The final height comes for free like in _toa_newton_s: after the last
+    update s' = s + delta, H(s') = H(s) + delta * dH/ds + O(delta^2 / Re),
+    with dH/ds the surrogate derivative (exactly the n.look cosine).
+
+    Returns (s_hi, s_lo, z_est), each (L, N).
+    """
+    mid_df = df64.df(mid)
+    ir_df = df64.df(inv_rad)
+
+    def tail_eval(uh, with_slope: bool):
+        """f32 Chebyshev tail sum_{k>=2} c_k T_k(u) (and its u-derivative
+        sum c_k k U_{k-1} when requested) via the three-term recurrences."""
+        two_u = 2.0 * uh
+        t_prev, t_cur = uh, two_u * uh - 1.0          # T1, T2
+        u_prev, u_cur = 1.0, two_u                    # U0, U1
+        t = tail[0] * t_cur
+        dt = 2.0 * tail[0] * u_cur if with_slope else None
+        for k, c in enumerate(tail[1:], start=3):
+            t_prev, t_cur = t_cur, two_u * t_cur - t_prev
+            t = t + c * t_cur
+            if with_slope:
+                u_prev, u_cur = u_cur, two_u * u_cur - u_prev
+                dt = dt + (1.0 * k) * c * u_cur
+        return t, dt
+
+    def one_height(h):
+        s = df64.df(jnp.full_like(mid, h))
+        z_est = None
+        for it in range(max_iter):
+            u = df64.mul(df64.sub(s, mid_df), ir_df)
+            lin = df64.add(c0, df64.mul(c1, u))
+            last = it == max_iter - 1
+            t, dt = tail_eval(u.hi, with_slope=last)
+            delta = (((h - lin.hi) - lin.lo) - t) / factor
+            if last:
+                slope = (c1.hi + dt) * inv_rad
+                z_est = (lin.hi + lin.lo + t) + delta * slope
+            s = df64.add(s, df64.df(delta))
+        return s.hi, s.lo, z_est
+
+    return jax.vmap(one_height)(heights_f32)
+
+
 @partial(jax.jit, static_argnames=('max_iter',))
 def _toa_newton_df(pos_hi, pos_lo, look, heights_f32, factor, max_iter: int):
     """Batched ray/height-level intersections in df64.
@@ -591,7 +713,7 @@ def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
     ones = jnp.ones(n, jnp.float32)
     h01 = jax.lax.dynamic_slice_in_dim(heights_f32, i0, 2)
 
-    if algo == 'ref':
+    if algo in ('ref', 'ref_exact'):
         # REFERENCE-EXACT intersections (the default), line-parametrized:
         # every level boundary solved from the ground point with 3 fixed
         # Newton iterations and the cos factor frozen from the first
@@ -605,12 +727,48 @@ def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
         # exact to <1 mm height) but therefore diverges from the reference
         # by up to ~1 mm delay at grazing incidence — select it with
         # RAIDER_TPU_GEOM_ALGO=scan when accuracy beats parity.
-        s01_hi, s01_lo, z01 = _toa_newton_s.__wrapped__(
-            targ_hi, targ_lo, look, h01, ones, 10)
-        seg0 = df64.sub(DF(s01_hi[1], s01_lo[1]), DF(s01_hi[0], s01_lo[0])).hi
-        cos_factor = (h01[1] - h01[0]) / seg0
-        s_hi, s_lo, z_pts = _toa_newton_s.__wrapped__(
-            targ_hi, targ_lo, look, heights_f32, cos_factor, 3)
+        #
+        # 'ref' (default) runs the reference iterates on the per-ray H(s)
+        # polynomial surrogate (<1e-6 m off the exact heights, ~8x fewer
+        # geometry flops); 'ref_exact' evaluates the df64 Vermeille closed
+        # form at every iterate (the ablation/debug reference for 'ref').
+        if algo == 'ref':
+            tx = DF(targ_hi[..., 0], targ_lo[..., 0])
+            ty = DF(targ_hi[..., 1], targ_lo[..., 1])
+            tz = DF(targ_hi[..., 2], targ_lo[..., 2])
+            # fit DOMAIN from the f32 zenith estimate (domain choice is not
+            # precision-critical; it must only CONTAIN every iterate):
+            # roots live in [0, (h_top-h_bot)/cos], initial guesses at the
+            # raw level heights <= h_top, phase-1/chain overshoot is <1%.
+            ia2 = np.float32(1.0 / _A2)
+            ib2 = np.float32(1.0 / (_A2 * (1.0 - _E2)))
+            gx = targ_hi[..., 0] * ia2
+            gy = targ_hi[..., 1] * ia2
+            gz = targ_hi[..., 2] * ib2
+            gn = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+            cos_est = (gx * look[:, 0] + gy * look[:, 1] + gz * look[:, 2]) / gn
+            cos_est = jnp.maximum(cos_est, 0.05)
+            span = heights_f32[-1] - heights_f32[0]
+            hi_dom = 1.05 * jnp.maximum(span / cos_est, heights_f32[-1]) + 10.0
+            lo_dom = -0.05 * hi_dom
+            mid = 0.5 * (lo_dom + hi_dom)
+            inv_rad = 1.0 / (0.5 * (hi_dom - lo_dom))
+            c0p, c1p, tailp = _fit_height_poly(tx, ty, tz, look, mid, inv_rad)
+            s01_hi, s01_lo, z01 = _toa_newton_poly(
+                c0p, c1p, tailp, mid, inv_rad, h01, ones, 10)
+            seg0 = df64.sub(DF(s01_hi[1], s01_lo[1]),
+                            DF(s01_hi[0], s01_lo[0])).hi
+            cos_factor = (h01[1] - h01[0]) / seg0
+            s_hi, s_lo, z_pts = _toa_newton_poly(
+                c0p, c1p, tailp, mid, inv_rad, heights_f32, cos_factor, 3)
+        else:
+            s01_hi, s01_lo, z01 = _toa_newton_s.__wrapped__(
+                targ_hi, targ_lo, look, h01, ones, 10)
+            seg0 = df64.sub(DF(s01_hi[1], s01_lo[1]),
+                            DF(s01_hi[0], s01_lo[0])).hi
+            cos_factor = (h01[1] - h01[0]) / seg0
+            s_hi, s_lo, z_pts = _toa_newton_s.__wrapped__(
+                targ_hi, targ_lo, look, heights_f32, cos_factor, 3)
         # splice the exact 10-iteration phase-1 pair back in (for unpadded
         # chains this reproduces the host path at the first two levels)
         s_hi = jax.lax.dynamic_update_slice_in_dim(s_hi, s01_hi, i0, axis=0)
@@ -766,22 +924,29 @@ class GeomSession:
         self._t_cold = jnp.full(lat.size, t_mid, dtype=jnp.float32)
         self._t_prev = None
 
-    def slice(self, ht: float, heights_chain: np.ndarray) -> dict:
+    def slice(self, ht: float, heights_chain: np.ndarray,
+              cold: bool = False) -> dict:
         """Slice geometry at output height ``ht`` (same dict contract as
         :func:`raytrace_slice_device_fused`, with per_level_max/hstep_max
-        left as DEVICE arrays - fetch them batched)."""
+        left as DEVICE arrays - fetch them batched).
+
+        ``cold=True`` forces the full cold-start geo2rdr (fresh mid-orbit
+        init, ``maxiter_cold``) and does NOT advance the warm-start chain -
+        for out-of-order recomputes (the engine's deferred plan validation),
+        where warm-starting from a distant slice could change last-bit
+        convergence."""
         import os as _os
 
         heights_chain = np.asarray(heights_chain, dtype=np.float64)
         ab_hi, ab_lo = _ab_tables(heights_chain)
-        algo = _os.environ.get('RAIDER_TPU_GEOM_ALGO', 'ref')
+        algo = _os.environ.get('RAIDER_TPU_GEOM_ALGO') or _default_ref_algo()
         ht = float(ht)
         h_hi = np.float32(ht)
         h_lo = np.float32(ht - np.float64(h_hi))
         targ_hi, targ_lo = _offset_targets(
             self.x_hi, self.x_lo, self.n_hi, self.n_lo,
             jnp.float32(h_hi), jnp.float32(h_lo))
-        warm = self._t_prev is not None
+        warm = self._t_prev is not None and not cold
         bnd_y, bnd_x, bnd_z, d2, lengths, per_level_max, hstep_max, t_out = \
             _slice_geom_fused(
                 self.times_f32, self.poly.t_c, self.poly.coeffs,
@@ -794,7 +959,8 @@ class GeomSession:
                 maxiter=self.maxiter_warm if warm else self.maxiter_cold,
                 algo=algo,
             )
-        self._t_prev = t_out
+        if not cold:
+            self._t_prev = t_out
         return {
             'bnd_y': bnd_y, 'bnd_x': bnd_x, 'bnd_z': bnd_z,
             'd2': d2, 'ray_len': lengths,
@@ -826,7 +992,7 @@ def raytrace_slice_device_fused(poly: OrbitPoly, xyz_f64: np.ndarray,
     # 'ref' replicates the reference's intersection semantics exactly
     # (parity default); 'scan' (warm-start, more accurate intersections) and
     # 'quad' remain selectable — see the algo comments in _slice_geom_fused
-    algo = _os.environ.get('RAIDER_TPU_GEOM_ALGO', 'ref')
+    algo = _os.environ.get('RAIDER_TPU_GEOM_ALGO') or _default_ref_algo()
 
     bnd_y, bnd_x, bnd_z, d2, lengths, per_level_max, hstep_max, _ = \
         _slice_geom_fused(

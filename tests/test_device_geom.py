@@ -306,3 +306,59 @@ class TestDf64RuntimeGuard:
         monkeypatch.setattr(dg, '_PROBE_OK', {})
         monkeypatch.setenv('RAIDER_TPU_DF64_PROBE', 'skip')
         assert dg.df64_backend_ok() is True
+
+
+class TestDeferredPlanValidation:
+    """The slice loop never blocks on per-slice plan fetches: the maxima are
+    batch-validated after the loop, and a structural violation of the
+    cube-global plan widens it and recomputes the offending slices exactly
+    (r2 async slice-loop design; engine._build_cube_ray deferred block)."""
+
+    def test_violation_triggers_recompute_same_results(self, monkeypatch):
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from test_raytrace import synthetic_orbit, synthetic_wm_dataset
+
+        from raider_tpu.delay.engine import WeatherCube, _build_cube_ray
+        from raider_tpu.geodesy.crs import Geographic
+        from raider_tpu.geometry.los import Raytracing
+
+        monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', '1')
+        t = dt.datetime(2020, 1, 30, 13, 52, 45)
+        wm = WeatherCube(synthetic_wm_dataset(1.0, 2.0))
+        los = Raytracing(orbit=synthetic_orbit(t), time=t)
+        xpts = np.linspace(-118.4, -117.2, 6)
+        ypts = np.linspace(33.2, 33.8, 5)
+        hts = np.array([0.0, 1000.0, 2000.0])
+
+        def run():
+            w, _ = _build_cube_ray(wm, xpts, ypts, hts, los, Geographic(),
+                                   zref=25000.0, compute_dtype=np.float32)
+            return np.asarray(w)
+
+        w_base = run()
+
+        calls = {'warm': 0, 'cold': 0}
+        orig = dg.GeomSession.slice
+
+        def patched(self, ht, chain, cold=False):
+            out = orig(self, ht, chain, cold=cold)
+            if cold:
+                calls['cold'] += 1        # post-loop exact recompute
+            else:
+                calls['warm'] += 1
+                if calls['warm'] == 2:
+                    # inflate the 2nd slice's horizontal-motion bound past
+                    # the seed plan's widen margin: a structural violation
+                    # that must widen the plan and recompute this slice.
+                    # The geometry arrays themselves are untouched, so the
+                    # recomputed delays must match the unpatched run.
+                    out['hstep_max'] = out['hstep_max'] * 3.0
+            return out
+
+        monkeypatch.setattr(dg.GeomSession, 'slice', patched)
+        w_forced = run()
+        assert calls['cold'] >= 1, 'deferred validation did not recompute'
+        # identical samples, only the brick grouping differs: results agree
+        # up to f32 accumulation order
+        np.testing.assert_allclose(w_forced, w_base, rtol=2e-5, atol=1e-8)
