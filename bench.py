@@ -225,15 +225,25 @@ def main() -> None:
     # height levels amortizes them. Every call perturbs the cube field so no
     # result is served from the remote result cache.
     _ = run_e2e(0.0, 2)                   # compile + warm caches
-    t_short, t_long = [], []
-    for k in range(1, 4):
+    slopes, t_short, t_long = [], [], []
+    for k in range(1, 5):
         t0 = time.perf_counter()
         _ = run_e2e(float(k) * 1e-4, 2)
-        t_short.append(time.perf_counter() - t0)
+        ts = time.perf_counter() - t0
         t0 = time.perf_counter()
         _ = run_e2e(float(k) * 1e-4 + 5e-5, 10)
-        t_long.append(time.perf_counter() - t0)
-    t_std_e2e = max((min(t_long) - min(t_short)) / 8.0, 1e-9)
+        tl = time.perf_counter() - t0
+        t_short.append(ts)
+        t_long.append(tl)
+        # PAIRED slope: remote-tunnel bandwidth drifts over minutes, so a
+        # slope taken between the global minima of the two series can mix
+        # fast-tunnel short runs with slow-tunnel long runs; pairing each
+        # iteration's short/long keeps both legs in the same tunnel regime.
+        # The MEDIAN pair is reported: min cherry-picks drift in the lucky
+        # direction (measured 0.185 s/slice once - below the 0.35 s compute
+        # floor, i.e. pure noise), max double-counts it.
+        slopes.append((tl - ts) / 8.0)
+    t_std_e2e = max(float(np.median(slopes)), 1e-9)
     t_setup = max(min(t_short) - 2.0 * t_std_e2e, 0.0)
 
     total_single_chip = t_ztd + t_std_e2e
@@ -249,6 +259,7 @@ def main() -> None:
             'std_e2e_s': round(t_std_e2e, 4),
             'std_e2e_rays_per_s_chip': round(n_rays / t_std_e2e, 0),
             'std_e2e_setup_s': round(t_setup, 4),
+            'std_e2e_paired_slopes_s': [round(s, 4) for s in slopes],
             'std_kernel_s': round(t_std, 4),
             'std_samples_per_ray': int(n_samples),
             'std_gathers_per_ray': int(n_gathers),

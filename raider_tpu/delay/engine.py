@@ -414,7 +414,7 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             # sharding is a no-op, so only the first slice pays the transfer
             packed2d = replicate(packed2d)
         with stage('raytrace.integrate', log=False):
-            wet, hydro = integrate_rays(
+            out = integrate_rays(
                 cube_wet, cube_hydro,
                 wm.ys, wm.xs, wm.zs,
                 *args,
@@ -422,9 +422,10 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                 max_segment_length=max_segment_length,
                 packed2d=packed2d, mode=pack_mode,
                 heights=heights, hstep_max=hstep_max,
-                static_plan=static,
+                static_plan=static, stacked_out=True,
             )
-        out = _stack2(wet, hydro)
+        if isinstance(out, tuple):  # non-static paths return (wet, hydro)
+            out = _stack2(*out)
         if os.environ.get('RAIDER_TPU_ASYNC_FETCH', '') != '0':
             try:
                 out.copy_to_host_async()
@@ -568,7 +569,10 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         # any slice whose quadrature or grouping bound outgrew the seed plan
         import jax as _jax
 
-        fetched_plans = _jax.device_get([(p, h) for _, p, h in deferred])
+        # ONE stacked (n, 2, L) transfer: fetching 2(n-1) tiny arrays
+        # individually costs a tunnel round trip each
+        fetched_plans = np.asarray(_jax.device_get(
+            jnp.stack([jnp.stack([p, h]) for _, p, h in deferred])))
         redo = []
         for (hh, _, _), (plm, hsm) in zip(deferred, fetched_plans):
             plm = np.asarray(plm, dtype=np.float64)

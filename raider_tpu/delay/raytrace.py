@@ -440,7 +440,7 @@ def static_plan_from(plan: 'GroupPlan'):
 
 
 @lru_cache(maxsize=64)
-def _static_brick_fn(groups, planes, ys, xs, zs, z_clip):
+def _static_brick_fn(groups, planes, ys, xs, zs, z_clip, stacked=False):
     """Compile the fully static brick integrate for one plan structure.
 
     Measured on v5e (1M rays, 50-level HRRR-sized cube, 16 groups): 270 ms
@@ -517,7 +517,9 @@ def _static_brick_fn(groups, planes, ys, xs, zs, z_clip):
                         if U[j][k][l] is not None:
                             acc_w = acc_w + brick[:, j, k, l, 0] * U[j][k][l]
                             acc_h = acc_h + brick[:, j, k, l, 1] * U[j][k][l]
-        return acc_w, acc_h
+        # stacked: ONE (2, N) output buffer so the caller can issue a single
+        # bulk device->host copy per slice (see engine.run_integrate)
+        return jnp.stack([acc_w, acc_h]) if stacked else (acc_w, acc_h)
 
     return run
 
@@ -655,6 +657,7 @@ def integrate_rays(
     heights=None,
     hstep_max=None,
     static_plan: bool = False,
+    stacked_out: bool = False,
 ):
     """Integrate wet/hydro delay along all rays for one output height slice.
 
@@ -716,7 +719,7 @@ def integrate_rays(
         if static_plan:
             groups, planes = static_plan_from(plan)
             fn = _static_brick_fn(groups, planes, axes['ys'], axes['xs'],
-                                  axes['zs'], z_clip)
+                                  axes['zs'], z_clip, stacked_out)
             return fn(packed2d, *ray_args)
         plan = _pad_group_plan(plan, _PLAN_BUCKET)
         return _integrate_bricks(

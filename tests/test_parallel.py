@@ -168,3 +168,48 @@ def test_sharded_ztd_cube_matches_single_device(rng):
     exp2_w = np.asarray(interp3d_points(
         wm.field('wet_total', np.float64), wm.ys, wm.xs, wm.zs, py, px, pz))
     np.testing.assert_array_equal(np.asarray(got2_w), exp2_w)
+
+
+class TestMultiHost:
+    """Real multi-PROCESS initialization: two OS processes x 4 virtual CPU
+    devices glued into one 8-device global mesh by
+    parallel.initialize_distributed (jax.distributed; gloo collectives stand
+    in for ICI/DCN). Exercises the multi-host path the in-process tests
+    can't: coordinator handshake, global device view, per-process shard
+    construction (jax.make_array_from_process_local_data), and a cross-host
+    reduction."""
+
+    def test_two_process_mesh_reduction(self, tmp_path):
+        import socket
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        with socket.socket() as s:  # free port for the coordinator
+            s.bind(('localhost', 0))
+            port = s.getsockname()[1]
+        worker = Path(__file__).parent / '_mh_worker.py'
+        env = {k: v for k, v in __import__('os').environ.items()
+               if k not in ('XLA_FLAGS',)}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), '2', str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env)
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f'worker {i} failed:\n{out}'
+        totals = {line.split('total=')[1]
+                  for out in outs for line in out.splitlines()
+                  if line.startswith('MH_OK')}
+        assert len(totals) == 1, f'processes disagree: {outs}'
