@@ -155,7 +155,7 @@ def main() -> None:
     # derived on device, geo2rdr warm-started across slices, df64 chain
     # Newton, CRS) feeding the fused integration kernel. Synthetic orbit +
     # cube over the orbit footprint; 1M rays/slice, steady state measured
-    # as the marginal cost per extra slice (slope between a 2- and 6-slice
+    # as the marginal cost per extra slice (slope between a 2- and 10-slice
     # run). The scene is a realistic SAR acquisition: a near-polar 700 km
     # orbit with the 1M-pixel query box spanning 30.5-46 deg zenith at the
     # targets (a Sentinel-1-IW-like ~260 km swath at 366-626 km ground
@@ -220,7 +220,7 @@ def main() -> None:
         return float(np.nansum(np.asarray(w)))
 
     # steady-state per-slice time via the SLOPE between a 2-slice and a
-    # 6-slice run: cancels the per-call one-time costs (orbit/target upload,
+    # 10-slice run: cancels the per-call one-time costs (orbit/target upload,
     # cube packing, compilation) the same way a production cube with many
     # height levels amortizes them. Every call perturbs the cube field so no
     # result is served from the remote result cache.

@@ -93,8 +93,6 @@ def _stack2(w, h):
 def _default_compute_dtype():
     """f32 when an accelerator will run the kernels (true f64 is emulated
     there), full f64 on CPU-only hosts."""
-    import jax
-
     try:
         return np.float32 if jax.default_backend() != 'cpu' else np.float64
     except RuntimeError:
@@ -232,8 +230,6 @@ def _build_cube(wm: WeatherCube, xpts, ypts, zpts, pts_crs, fields, compute_dtyp
     the z/x weight matrices are replicated), so the zenith/projected path
     scales across chips like the raytraced path does - SPMD with no
     collectives; results are bit-identical to the single-device run."""
-    import jax
-
     cubes = [wm.field(f, compute_dtype) for f in fields]
     n_dev = len(jax.devices())
     shard = (n_dev > 1 and len(ypts) >= n_dev
@@ -307,8 +303,6 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     # few-core hosts); on TPU backends the whole slice geometry runs on
     # device instead. df64 is exact on real TPUs but NOT under XLA:CPU's
     # LLVM fast-math (see geometry/device_geom.py), so CPU keeps host f64.
-    import jax
-
     dev_env = os.environ.get('RAIDER_TPU_DEVICE_GEOMETRY', '')
     use_device_geom = (
         dev_env != '0'
@@ -385,6 +379,20 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     per_slice_plans = os.environ.get('RAIDER_TPU_CUBE_PLAN', '') == '0'
     deferred = []         # (hh, plm_dev, hsm_dev): batch-validated post-loop
     done_order = []       # integrate-dispatched slices (backpressure window)
+    # backpressure window: each in-flight slice holds ~5 f32 words per
+    # (level x ray) of geometry in HBM until its integrate consumes it
+    # (~1 GB at 50 levels x 1M rays). 3 keeps the copy stream busy on
+    # 16 GB parts; shrink when the accelerator is smaller
+    bp_window = 3
+    if use_device_geom:
+        chain_len = max((c.size for c in chains if c is not None), default=0)
+        per_slice_bytes = 5 * chain_len * npix * 4
+        try:
+            lim = jax.local_devices()[0].memory_stats().get('bytes_limit')
+        except Exception:  # noqa: BLE001 - stats are backend-optional
+            lim = None
+        if lim and per_slice_bytes:
+            bp_window = int(max(1, min(3, 0.35 * lim // per_slice_bytes)))
 
     def run_integrate(args, per_level_max, hstep_max, heights, static):
         """Dispatch one slice's integration (sharded when a mesh exists) and
@@ -397,8 +405,6 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         0.60 s/slice steady state vs 0.38-0.57 for the stacked single
         stream (scripts/fetch_overlap.py; compute floor 0.35)."""
         nonlocal packed2d
-        import jax
-
         # shard the ray batch over all available devices (SPMD: replicated
         # packed cube, sharded indices, no collectives needed)
         n_dev = len(jax.devices())
@@ -448,14 +454,12 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         if use_device_geom:
             # Steps 1-4 fused on device (targets + geo2rdr + Newton chain +
             # CRS), df64
-            import jax as _jax
-
             with stage('raytrace.device_geometry', log=False):
                 geom = geom_session.slice(float(ht), chains[hh])
             if plan_state is None or per_slice_plans:
                 # the FIRST contributing (lowest) slice seeds the cube-global
                 # plan: one synchronous fetch per cube
-                plm, hsm = _jax.device_get((geom['per_level_max'],
+                plm, hsm = jax.device_get((geom['per_level_max'],
                                             geom['hstep_max']))
                 per_level_max = np.asarray(plm, dtype=np.float64)
                 # inflate by the f32 coordinate quantization so the brick
@@ -555,25 +559,28 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             static=use_device_geom and plan_state is not None)
         done_order.append(hh)
         # backpressure: the free-running dispatch loop would otherwise queue
-        # every slice's geometry at once (~5 f32 words per (level x ray) of
-        # HBM each); waiting on the integrate output two slices back bounds
-        # the in-flight window to ~3 slices at zero steady-state cost
-        if use_device_geom and len(done_order) >= 3:
-            import jax as _jax
-
-            _jax.block_until_ready(device_outs[done_order[-3]][0])
+        # every slice's geometry at once; waiting on the integrate output
+        # bp_window slices back bounds the in-flight set at zero
+        # steady-state cost
+        if use_device_geom and len(done_order) >= bp_window:
+            jax.block_until_ready(device_outs[done_order[-bp_window]][0])
 
     if deferred:
         # deferred cube-plan validation (see the loop comment): one batched
         # fetch of every slice's per-level maxima, then exact recomputes for
         # any slice whose quadrature or grouping bound outgrew the seed plan
-        import jax as _jax
-
         # ONE stacked (n, 2, L) transfer: fetching 2(n-1) tiny arrays
         # individually costs a tunnel round trip each
-        fetched_plans = np.asarray(_jax.device_get(
+        fetched_plans = np.asarray(jax.device_get(
             jnp.stack([jnp.stack([p, h]) for _, p, h in deferred])))
         redo = []
+        # every deferred slice INTEGRATED under the seed plan, so each must
+        # be validated against the SEED bounds (not a plan widened by an
+        # earlier violator in this same loop - that would mask later slices
+        # that also outgrew what they actually ran with); the widened plan
+        # accumulates separately and only the recomputes use it
+        seed_n = np.ceil(np.nan_to_num(plan_state[0]) / max_segment_length)
+        seed_hstep = np.nan_to_num(plan_state[1]) * (1.0 + 5e-4) + 5e-5
         for (hh, _, _), (plm, hsm) in zip(deferred, fetched_plans):
             plm = np.asarray(plm, dtype=np.float64)
             hsm = np.asarray(hsm, np.float64) * (1.0 + 1e-4) + 1e-5
@@ -584,12 +591,9 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             # check: nParts growth (quadrature coarser than the reference
             # rule) or horizontal motion beyond the inflated grouping bound
             # (brick 2-cell guarantee -> NaN poisoning)
-            n_plan = np.ceil(np.nan_to_num(plan_state[0]) / max_segment_length)
             n_here = np.ceil(np.nan_to_num(plm) / max_segment_length)
-            if (np.any(n_here > n_plan)
-                    or np.any(np.nan_to_num(hsm)
-                              > np.nan_to_num(plan_state[1])
-                              * (1.0 + 5e-4) + 5e-5)):
+            if (np.any(n_here > seed_n)
+                    or np.any(np.nan_to_num(hsm) > seed_hstep)):
                 plan_state[0] = np.fmax(plan_state[0], plm)
                 plan_state[1] = np.fmax(plan_state[1], hsm)
                 redo.append(hh)
@@ -606,8 +610,6 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                     static=True)
 
     if device_outs:
-        import jax
-
         with stage('raytrace.final_fetch', log=False):
             fetched = jax.device_get(device_outs)
         for hh, (out_np, orig_n) in fetched.items():

@@ -874,6 +874,48 @@ def _offset_targets(x0_hi, x0_lo, n_hi, n_lo, h_hi, h_lo):
     return jnp.stack(out_hi, -1), jnp.stack(out_lo, -1)
 
 
+_GROUND_CACHE: 'dict[tuple, tuple]' = {}
+
+
+def _ground_geometry(lat: np.ndarray, lon: np.ndarray):
+    """Ground ECEF + surface normals as df64 device pairs, cached by grid
+    CONTENT.
+
+    Production SAR pipelines (GUNW two-epoch runs, time series over one
+    frame) call tropo_delay repeatedly on the SAME pixel grid with
+    different orbits/cubes; the ground geometry is orbit-independent, and
+    its ~48 MB upload is seconds through a remote-TPU tunnel. Two entries
+    are kept (reference + secondary grids can differ after buffering)."""
+    import hashlib
+
+    key = (lat.shape,
+           hashlib.blake2b(lat.tobytes(), digest_size=16).digest(),
+           hashlib.blake2b(lon.tobytes(), digest_size=16).digest())
+    hit = _GROUND_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    from raider_tpu.geodesy.ellipsoid import lla2ecef
+
+    x0, y0, z0 = (np.asarray(v) for v in lla2ecef(lat, lon, np.zeros(lat.size)))
+    xyz0 = np.stack([x0, y0, z0], axis=-1)
+    phi, lam = np.deg2rad(lat), np.deg2rad(lon)
+    nvec = np.stack([np.cos(phi) * np.cos(lam),
+                     np.cos(phi) * np.sin(lam),
+                     np.sin(phi)], axis=-1)
+
+    def up(a):
+        hi = a.astype(np.float32)
+        lo = (a - hi.astype(np.float64)).astype(np.float32)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    out = (*up(xyz0), *up(nvec))
+    while len(_GROUND_CACHE) >= 2:
+        _GROUND_CACHE.pop(next(iter(_GROUND_CACHE)))
+    _GROUND_CACHE[key] = out
+    return out
+
+
 class GeomSession:
     """Per-cube device-geometry session.
 
@@ -895,7 +937,6 @@ class GeomSession:
         # spacing up to 500 m (the zero-Doppler root moves << 1e-3 s per
         # slice; quadratic Newton re-converges in 2): scripts note, r2
         from raider_tpu.geodesy.crs import Geographic
-        from raider_tpu.geodesy.ellipsoid import lla2ecef
 
         self.poly = build_orbit_poly(orbit)
         self.crs = crs
@@ -905,20 +946,7 @@ class GeomSession:
 
         lat = np.asarray(lat, dtype=np.float64).ravel()
         lon = np.asarray(lon, dtype=np.float64).ravel()
-        x0, y0, z0 = (np.asarray(v) for v in lla2ecef(lat, lon, np.zeros(lat.size)))
-        xyz0 = np.stack([x0, y0, z0], axis=-1)
-        phi, lam = np.deg2rad(lat), np.deg2rad(lon)
-        nvec = np.stack([np.cos(phi) * np.cos(lam),
-                         np.cos(phi) * np.sin(lam),
-                         np.sin(phi)], axis=-1)
-
-        def up(a):
-            hi = a.astype(np.float32)
-            lo = (a - hi.astype(np.float64)).astype(np.float32)
-            return jnp.asarray(hi), jnp.asarray(lo)
-
-        self.x_hi, self.x_lo = up(xyz0)
-        self.n_hi, self.n_lo = up(nvec)
+        self.x_hi, self.x_lo, self.n_hi, self.n_lo = _ground_geometry(lat, lon)
         self.times_f32 = jnp.asarray(self.poly.times, jnp.float32)
         t_mid = np.float32(0.5 * (self.poly.times[0] + self.poly.times[-1]))
         self._t_cold = jnp.full(lat.size, t_mid, dtype=jnp.float32)

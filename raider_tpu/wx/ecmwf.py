@@ -201,6 +201,15 @@ class ECMWF(WeatherModel):
         import cdsapi
 
         c = cdsapi.Client(verify=0)
+        if getattr(c, 'url', None) == 'https://cds.climate.copernicus.eu/api/v2':
+            # expired-credential detection (reference: ecmwf.py:175-180)
+            logger.warning(
+                'Old CDS API configuration detected: ECMWF released a breaking '
+                'change in late 2024 that expired all existing credentials. '
+                'This run may fail with a 404 HTTP error, in which case you '
+                'may have to regenerate your CDS API credentials at '
+                'https://cds.climate.copernicus.eu/how-to-api.'
+            )
         var = ['z', 'q', 't'] if self._model_level_type == 'pl' else '129/130/133/152'
         corrected = round_date(acqTime, dt.timedelta(hours=self._time_res))
         if corrected != acqTime:

@@ -362,3 +362,65 @@ class TestDeferredPlanValidation:
         # identical samples, only the brick grouping differs: results agree
         # up to f32 accumulation order
         np.testing.assert_allclose(w_forced, w_base, rtol=2e-5, atol=1e-8)
+
+    def test_later_violator_not_masked_by_earlier_widening(self, monkeypatch):
+        """Every deferred slice ran under the SEED plan, so each must be
+        validated against the seed bounds: a later slice whose maxima exceed
+        the seed but fit an EARLIER violator's widened bound must still be
+        recomputed (it integrated with the seed plan)."""
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from test_raytrace import synthetic_orbit, synthetic_wm_dataset
+
+        from raider_tpu.delay.engine import WeatherCube, _build_cube_ray
+        from raider_tpu.geodesy.crs import Geographic
+        from raider_tpu.geometry.los import Raytracing
+
+        monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', '1')
+        t = dt.datetime(2020, 1, 30, 13, 52, 45)
+        wm = WeatherCube(synthetic_wm_dataset(1.0, 2.0))
+        los = Raytracing(orbit=synthetic_orbit(t), time=t)
+        xpts = np.linspace(-118.4, -117.2, 6)
+        ypts = np.linspace(33.2, 33.8, 5)
+        hts = np.array([0.0, 1000.0, 2000.0])
+
+        calls = {'warm': 0}
+        cold_heights = []
+        orig = dg.GeomSession.slice
+
+        def patched(self, ht, chain, cold=False):
+            out = orig(self, ht, chain, cold=cold)
+            if cold:
+                cold_heights.append(ht)
+            else:
+                calls['warm'] += 1
+                if calls['warm'] == 2:      # big violation, widens the plan
+                    out['hstep_max'] = out['hstep_max'] * 3.0
+                elif calls['warm'] == 3:    # smaller violation: exceeds the
+                    # SEED bound but fits inside the x3-widened one - must
+                    # still be recomputed
+                    out['hstep_max'] = out['hstep_max'] * 1.5
+            return out
+
+        monkeypatch.setattr(dg.GeomSession, 'slice', patched)
+        w, _ = _build_cube_ray(wm, xpts, ypts, hts, los, Geographic(),
+                               zref=25000.0, compute_dtype=np.float32)
+        assert sorted(cold_heights) == [1000.0, 2000.0], (
+            f'both violators must recompute, got {cold_heights}')
+        assert np.isfinite(np.asarray(w)).all()
+
+
+class TestGroundGeometryCache:
+    """Ground ECEF/normal device pairs are cached by grid content: repeated
+    tropo_delay calls on one pixel grid (GUNW two-epoch runs, time series)
+    skip the ~48 MB re-upload; distinct grids get distinct entries."""
+
+    def test_same_grid_reuses_device_arrays(self):
+        lat = np.linspace(33.0, 34.0, 40).reshape(8, 5)
+        lon = np.linspace(-118.0, -117.0, 40).reshape(8, 5)
+        a = dg._ground_geometry(lat.ravel(), lon.ravel())
+        b = dg._ground_geometry(lat.ravel().copy(), lon.ravel().copy())
+        assert all(x is y for x, y in zip(a, b))
+        c = dg._ground_geometry(lat.ravel() + 0.5, lon.ravel())
+        assert a[0] is not c[0]
+        assert len(dg._GROUND_CACHE) <= 2

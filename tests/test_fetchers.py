@@ -62,6 +62,28 @@ class TestCDS:
         assert req['date'] == '2020-01-30' and req['time'] == '14:00'
         assert target == str(out)
 
+    def test_old_api_url_warning(self, tmp_path, monkeypatch, caplog):
+        """Legacy /api/v2 CDS endpoints get the expired-credentials warning
+        (reference: ecmwf.py:175-180, test_downloaders.py)."""
+        import logging
+
+        class Client:
+            url = 'https://cds.climate.copernicus.eu/api/v2'
+
+            def __init__(self, verify=0):
+                pass
+
+            def retrieve(self, name, req, target):
+                pass
+
+        monkeypatch.setitem(sys.modules, 'cdsapi', _module('cdsapi', Client=Client))
+        _, Model = get_wm_by_name('ERA5')
+        m = Model()
+        m.set_latlon_bounds(BBOX)
+        with caplog.at_level(logging.WARNING):
+            m.fetch(str(tmp_path / 'era5_raw.nc'), TIME)
+        assert 'Old CDS API configuration detected' in caplog.text
+
     def test_era5t_uses_cds_too(self, tmp_path, monkeypatch):
         calls = []
 
