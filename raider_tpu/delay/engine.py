@@ -472,24 +472,53 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                 if real.size and np.isnan(real).all():
                     raise ValueError(
                         'geo2rdr did not converge. Check orbit coverage')
+                use_static = not per_slice_plans
                 if not per_slice_plans:
                     plan_state = [per_level_max, hstep_max, heights]
             else:
-                # bottom-up order + clamping-only-shortens means every higher
-                # slice's maxima fit the seed plan; CHECKING that per slice
-                # would cost a blocking fetch that serializes the loop behind
-                # the device, so validation is DEFERRED: the maxima stay on
-                # device, are batch-fetched after the loop, and a structural
-                # violation triggers an exact recompute of the offending
-                # slices (see below). A violated grouping bound can never
-                # yield silent wrong results in between - the brick kernel
-                # turns it into NaN, and the quadrature rule only ever errs
-                # by staying FINER than required.
+                # Higher slices share the seed plan - bottom-up order +
+                # clamping-only-shortens bounds their maxima by it - UNLESS
+                # the reference's per-slice nParts rule (delay.py:283) would
+                # pick a DIFFERENT sample count at some contributing level.
+                # That happens at the slice's partially-clamped bottom cell
+                # when the model z grid is coarse (cell span O(1 km)):
+                # seed-plan sampling there is FINER than the reference rule,
+                # which is a real quadrature divergence (measured ~1 mm on a
+                # 1.2 km-cell cube vs 0.005 mm on 100 m cells). Per-ray
+                # segment length in a cell scales linearly with the cell's
+                # vertical span, so the slice's per-level maxima are
+                # PREDICTED host-side from the seed's fetched maxima x the
+                # span ratio; a slice whose predicted nParts differ runs
+                # inline with its own plan through the traced kernel (plan
+                # as operands - no recompile). Predictions are verified
+                # against the measured maxima post-loop (see the deferred
+                # block); mispredictions trigger exact recomputes. A
+                # violated grouping bound can never yield silent wrong
+                # results in between - the brick kernel turns it into NaN.
+                seed_chain = np.asarray(plan_state[2], np.float64)
+                span_seed = np.diff(seed_chain)
+                span_hh = np.diff(np.asarray(heights, np.float64))
+                with np.errstate(invalid='ignore', divide='ignore'):
+                    ratio = np.where(span_seed > 0.0, span_hh / span_seed, 0.0)
+                plm_pred = np.nan_to_num(plan_state[0]) * ratio
+                n_seed = np.ceil(np.nan_to_num(plan_state[0])
+                                 / max_segment_length)
+                n_pred = np.ceil(plm_pred / max_segment_length)
+                contrib = plm_pred > 0.0
+                if np.any(n_pred[contrib] != n_seed[contrib]):
+                    # reference-rule divergence: per-slice plan, traced
+                    # kernel. hstep bound stays the seed's (conservative:
+                    # grouping only needs an upper bound).
+                    per_level_max = plm_pred
+                    hstep_max = plan_state[1]
+                    use_static = False
+                else:
+                    per_level_max, hstep_max, heights = (
+                        plan_state[0], plan_state[1], plan_state[2])
+                    n_pred = n_seed
+                    use_static = True
                 deferred.append((hh, geom['per_level_max'],
-                                 geom['hstep_max']))
-            if plan_state is not None:
-                per_level_max, hstep_max, heights = (
-                    plan_state[0], plan_state[1], plan_state[2])
+                                 geom['hstep_max'], n_pred))
             if re_device is None:
                 re_device = jnp.asarray(re_local.astype(compute_dtype))
             args = (
@@ -554,9 +583,9 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                 d2.astype(compute_dtype), seg_flat.astype(compute_dtype),
                 re_local.astype(compute_dtype),
             )
+            use_static = False
         device_outs[hh] = run_integrate(
-            args, per_level_max, hstep_max, heights,
-            static=use_device_geom and plan_state is not None)
+            args, per_level_max, hstep_max, heights, static=use_static)
         done_order.append(hh)
         # backpressure: the free-running dispatch loop would otherwise queue
         # every slice's geometry at once; waiting on the integrate output
@@ -566,48 +595,43 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             jax.block_until_ready(device_outs[done_order[-bp_window]][0])
 
     if deferred:
-        # deferred cube-plan validation (see the loop comment): one batched
-        # fetch of every slice's per-level maxima, then exact recomputes for
-        # any slice whose quadrature or grouping bound outgrew the seed plan
+        # deferred plan validation (see the loop comment): one batched fetch
+        # of every slice's MEASURED per-level maxima, then exact recomputes
+        # for any slice whose actual reference-rule nParts differ from the
+        # plan it integrated with (host-side span-ratio prediction missed -
+        # curvature makes the scaling only ~exact), or whose horizontal
+        # motion outgrew the grouping bound it ran with (brick 2-cell
+        # guarantee -> NaN poisoning, never silent errors).
         # ONE stacked (n, 2, L) transfer: fetching 2(n-1) tiny arrays
         # individually costs a tunnel round trip each
         fetched_plans = np.asarray(jax.device_get(
-            jnp.stack([jnp.stack([p, h]) for _, p, h in deferred])))
-        redo = []
-        # every deferred slice INTEGRATED under the seed plan, so each must
-        # be validated against the SEED bounds (not a plan widened by an
-        # earlier violator in this same loop - that would mask later slices
-        # that also outgrew what they actually ran with); the widened plan
-        # accumulates separately and only the recomputes use it
-        seed_n = np.ceil(np.nan_to_num(plan_state[0]) / max_segment_length)
+            jnp.stack([jnp.stack([p, h]) for _, p, h, _ in deferred])))
         seed_hstep = np.nan_to_num(plan_state[1]) * (1.0 + 5e-4) + 5e-5
-        for (hh, _, _), (plm, hsm) in zip(deferred, fetched_plans):
+        redo = []
+        for (hh, _, _, n_expected), (plm, hsm) in zip(deferred, fetched_plans):
             plm = np.asarray(plm, dtype=np.float64)
             hsm = np.asarray(hsm, np.float64) * (1.0 + 1e-4) + 1e-5
             real = plm[~(plm == 0.0)]
             if real.size and np.isnan(real).all():
                 raise ValueError('geo2rdr did not converge. Check orbit coverage')
-            # structural-violation test, same thresholds as the old in-loop
-            # check: nParts growth (quadrature coarser than the reference
-            # rule) or horizontal motion beyond the inflated grouping bound
-            # (brick 2-cell guarantee -> NaN poisoning)
             n_here = np.ceil(np.nan_to_num(plm) / max_segment_length)
-            if (np.any(n_here > seed_n)
+            contrib = np.nan_to_num(plm) > 0.0
+            if (np.any(n_here[contrib] != n_expected[contrib])
                     or np.any(np.nan_to_num(hsm) > seed_hstep)):
-                plan_state[0] = np.fmax(plan_state[0], plm)
-                plan_state[1] = np.fmax(plan_state[1], hsm)
-                redo.append(hh)
+                redo.append((hh, plm, hsm))
         if redo:
-            logger.debug('cube plan widened by slices %s: recomputing them '
-                         'with the widened plan', redo)
-            for hh in redo:
+            logger.debug('plan misprediction on slices %s: recomputing them '
+                         'with their measured per-slice plans',
+                         [hh for hh, _, _ in redo])
+            for hh, plm, hsm in redo:
                 geom = geom_session.slice(float(zpts[hh]), chains[hh],
                                           cold=True)
                 args = (geom['bnd_y'], geom['bnd_x'], geom['bnd_z'],
                         geom['d2'], geom['ray_len'], re_device)
+                # the slice's own measured plan through the traced kernel
+                # (plan data are operands - no per-slice recompiles)
                 device_outs[hh] = run_integrate(
-                    args, plan_state[0], plan_state[1], plan_state[2],
-                    static=True)
+                    args, plm, hsm, chains[hh], static=False)
 
     if device_outs:
         with stage('raytrace.final_fetch', log=False):

@@ -424,3 +424,57 @@ class TestGroundGeometryCache:
         c = dg._ground_geometry(lat.ravel() + 0.5, lon.ravel())
         assert a[0] is not c[0]
         assert len(dg._GROUND_CACHE) <= 2
+
+
+class TestCoarseGridQuadratureParity:
+    """Coarse model z grids (cell spans > MAX_SEGMENT_LENGTH) make the
+    reference's per-slice nParts rule (delay.py:283) diverge from a naive
+    cube-global plan at each slice's partially-clamped bottom cell - a real
+    ~1 mm quadrature effect (r2 parity sweep, scene2). The engine must
+    integrate such slices with their own per-slice plans: the default path
+    and the explicit per-slice mode (RAIDER_TPU_CUBE_PLAN=0) must agree to
+    f32 accumulation tolerance."""
+
+    def test_default_matches_per_slice_mode(self, monkeypatch):
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from test_raytrace import synthetic_orbit
+
+        from raider_tpu.delay.engine import WeatherCube, _build_cube_ray
+        from raider_tpu.geodesy.crs import Geographic
+        from raider_tpu.geometry.los import Raytracing
+        from raider_tpu.io.ncdf import Dataset, Variable
+
+        rng = np.random.default_rng(3)
+        nz, ny, nx = 14, 30, 30   # ~1.9 km cells: nParts ~2-3 per level
+        zs = np.linspace(-500.0, 25000.0, nz)
+        ys = np.linspace(32.5, 34.5, ny)
+        xs = np.linspace(-119.0, -116.5, nx)
+        coords = {'x': Variable(('x',), xs, {}), 'y': Variable(('y',), ys, {}),
+                  'z': Variable(('z',), zs, {})}
+        variables = {
+            'wet': Variable(('z', 'y', 'x'), rng.uniform(0.1, 100.0, (nz, ny, nx)), {}),
+            'hydro': Variable(('z', 'y', 'x'), rng.uniform(50.0, 300.0, (nz, ny, nx)), {}),
+            'proj': Variable((), np.int64(0), Geographic().to_cf()),
+        }
+        wm = WeatherCube(Dataset(coords=coords, variables=variables, attrs={}))
+        t = dt.datetime(2020, 1, 30, 13, 52, 45)
+        los = Raytracing(orbit=synthetic_orbit(t), time=t)
+        xpts = np.linspace(-118.4, -117.2, 6)
+        ypts = np.linspace(33.2, 33.8, 5)
+        # slice heights INSIDE coarse cells so bottom clamping changes the
+        # reference rule's nParts vs the full cell
+        hts = np.array([0.0, 1400.0, 3100.0])
+
+        monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', '1')
+
+        def run():
+            w, h = _build_cube_ray(wm, xpts, ypts, hts, los, Geographic(),
+                                   zref=24000.0, compute_dtype=np.float32)
+            return np.asarray(w), np.asarray(h)
+
+        w_def, h_def = run()
+        monkeypatch.setenv('RAIDER_TPU_CUBE_PLAN', '0')
+        w_ps, h_ps = run()
+        np.testing.assert_allclose(w_def, w_ps, rtol=2e-5, atol=1e-8)
+        np.testing.assert_allclose(h_def, h_ps, rtol=2e-5, atol=1e-8)
