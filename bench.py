@@ -255,6 +255,10 @@ def main() -> None:
         'unit': 's_single_chip',
         'vs_baseline': round(target / v5e8_estimate, 3),
         'detail': {
+            # ztd_s is device compute + scalar reduction (the production
+            # kernels: cumtrapz_from_top + separable MXU interpolation); the
+            # STD leg is the full production engine path incl. the result
+            # stream. A ZTD product fetch would add one ~8 MB transfer.
             'ztd_s': round(t_ztd, 4),
             'std_e2e_s': round(t_std_e2e, 4),
             'std_e2e_rays_per_s_chip': round(n_rays / t_std_e2e, 0),

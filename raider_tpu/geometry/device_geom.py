@@ -222,6 +222,12 @@ def _geo2rdr_df_impl(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init, maxiter: 
         return (t2.hi, t2.lo)
 
     t_hi, t_lo = jax.lax.fori_loop(0, maxiter, body, (t.hi, t.lo))
+    # roots outside the statevector span are edge-polynomial extrapolations,
+    # not solutions: NaN them like the host geo2rdr / the reference's ISCE3
+    # (losreader.py:252-254). NaN poisons the whole ray downstream (look
+    # vector, chain Newton, delay) exactly like the host path.
+    oob = (t_hi < times_f32[0]) | (t_hi > times_f32[-1])
+    t_hi = jnp.where(oob, jnp.nan, t_hi)
     t = DF(t_hi, t_lo)
     pos, vel, _ = _eval_pos_vel_acc(times_f32, t_c, coeffs, t)
     dr = [df64.sub(pos[i], targ[i]) for i in range(3)]

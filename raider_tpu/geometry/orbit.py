@@ -328,6 +328,12 @@ def geo2rdr(orbit_times, orbit_pos, orbit_vel, targ_xyz, maxiter: int = 15):
     sat_pos, sat_vel = jax.jvp(pos_flat, (t,), (jnp.ones_like(t),))
     sr = jnp.linalg.norm(sat_pos - targ, axis=-1)
     bad = jnp.any(jnp.isnan(targ), axis=-1)
+    # zero-Doppler roots OUTSIDE the statevector span are extrapolations of
+    # the edge window's polynomial, not solutions: the reference's ISCE3
+    # geo2rdr raises there and the ray becomes NaN (losreader.py:252-254) -
+    # same semantics here (orbit files are padded +-600 s, so any valid
+    # acquisition sits far inside the span)
+    bad = bad | (t < orbit_times[0]) | (t > orbit_times[-1])
     t = jnp.where(bad, jnp.nan, t)
     sr = jnp.where(bad, jnp.nan, sr)
     return t, sr, sat_pos, sat_vel

@@ -35,6 +35,7 @@ def make_orbit(rng, t_ref):
     alt = rng.uniform(500e3, 800e3)
     inc = np.deg2rad(rng.uniform(60.0, 120.0))
     phase = rng.uniform(-0.02, 0.02)
+    descending = bool(rng.integers(0, 2))
     tt = np.arange(-600.0, 601.0, 30.0)
     r_orb = 6378137.0 + alt
     om = 2.0 * np.pi / (5400.0 + alt / 1e3)
@@ -44,8 +45,15 @@ def make_orbit(rng, t_ref):
         r_orb * np.sin(ang) * np.cos(inc),
         r_orb * np.sin(ang) * np.sin(inc),
     ], -1)
+    if descending:
+        pos = pos[::-1].copy()
     vel = np.gradient(pos, 30.0, axis=0)
-    return Orbit(times=tt, pos=pos, vel=vel, ref_time=t_ref)
+    # latitude band the sub-satellite track covers with margin: targets
+    # outside it have no zero-Doppler crossing inside the statevector span
+    # (geo2rdr correctly NaNs them - see orbit.geo2rdr - but a scene that is
+    # ENTIRELY out of coverage is not a valid acquisition to sweep)
+    lat_cov = np.rad2deg(np.arcsin(abs(np.sin(om * 520.0) * np.sin(inc))))
+    return Orbit(times=tt, pos=pos, vel=vel, ref_time=t_ref), lat_cov
 
 
 def make_scene(rng, idx):
@@ -56,7 +64,7 @@ def make_scene(rng, idx):
     from raider_tpu.io.ncdf import Dataset, Variable
 
     t_ref = dt.datetime(2020, 1, 1, 12, 0, 0)
-    orbit = make_orbit(rng, t_ref)
+    orbit, lat_cov = make_orbit(rng, t_ref)
 
     nz = int(rng.integers(20, 60))
     ny = nx = int(rng.integers(40, 90))
@@ -66,8 +74,12 @@ def make_scene(rng, idx):
 
     # ground swath: offset from the (polar-ish) ground track by a random
     # cross-track distance -> incidence ~15-55 deg
-    lat_c = rng.uniform(12.0, 30.0)
-    cross_deg = rng.uniform(1.5, 5.0)
+    # the orbit's ground track runs along lon 0 (polar-ish); latitude spans
+    # both hemispheres within the track's covered band and the cross-track
+    # offset reaches ~55-deg zenith
+    lim = min(0.8 * lat_cov, 62.0)
+    lat_c = rng.uniform(-lim, lim)
+    cross_deg = rng.uniform(1.5, 6.0)
     lon_c = cross_deg
     half = rng.uniform(0.8, 1.8)
     use_utm = idx % 2 == 1

@@ -72,6 +72,24 @@ class TestGeo2rdrDevice:
         assert np.abs(sat_dev - np.asarray(sat_h)).max() < 2e-4
 
 
+class TestGeo2rdrDeviceOutOfWindow:
+    def test_out_of_window_is_nan(self, orb, poly):
+        """Roots outside the statevector span are NaN, matching the host
+        geo2rdr / the reference's ISCE3 (losreader.py:252-254); in-window
+        roots stay finite."""
+        p_out, _ = orb._posvel(700.0)   # outside the +-600 s span
+        p_in, _ = orb._posvel(500.0)    # inside
+        targ = 6.371e6 * np.stack([p_out / np.linalg.norm(p_out),
+                                   p_in / np.linalg.norm(p_in)])
+        az_d, (p_hi, _), sr_d = dg.geo2rdr_device(poly, targ)
+        az = df64.to_f64(az_d)
+        sr = df64.to_f64(sr_d)
+        assert np.isnan(az[0]) and np.isnan(sr[0])
+        assert np.isnan(np.asarray(p_hi, np.float64)[0]).all()
+        assert np.isfinite(az[1]) and np.isfinite(sr[1])
+        assert abs(az[1] - 500.0) < 1e-3
+
+
 class TestGeo2rdrDeviceBatchDims:
     def test_multidim_target_batch(self, poly, targets):
         """geo2rdr_device accepts (..., 3) batches (docstring contract);

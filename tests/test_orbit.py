@@ -101,6 +101,24 @@ class TestGeo2rdr:
         az, sr, _, _ = geo2rdr(orb.times, orb.pos, orb.vel, targ)
         assert np.isnan(np.asarray(az)).all() and np.isnan(np.asarray(sr)).all()
 
+    def test_out_of_window_is_nan(self, orb):
+        """Zero-Doppler crossings outside the statevector span are
+        extrapolations, not solutions: the reference's ISCE3 geo2rdr raises
+        and the ray becomes NaN (losreader.py:252-254). A crossing inside the
+        span stays finite."""
+        # sub-satellite targets at t=700 s (outside the +-600 s span) and
+        # t=500 s (inside): for a circular orbit the zero-Doppler time of a
+        # point below the satellite is exactly that epoch
+        p_out, _ = orb._posvel(700.0)
+        p_in, _ = orb._posvel(500.0)
+        targ = 6.371e6 * np.stack([p_out / np.linalg.norm(p_out),
+                                   p_in / np.linalg.norm(p_in)])
+        az, sr, _, _ = geo2rdr(orb.times, orb.pos, orb.vel, targ)
+        az, sr = np.asarray(az), np.asarray(sr)
+        assert np.isnan(az[0]) and np.isnan(sr[0])
+        assert np.isfinite(az[1]) and np.isfinite(sr[1])
+        assert abs(az[1] - 500.0) < 1e-3
+
 
 @pytest.mark.skipif(not ORB_DIR.exists(), reason='reference orbit files unavailable')
 class TestParsing:
