@@ -576,12 +576,17 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                     bnd_yxz[1:, :, 1] - bnd_yxz[:-1, :, 1],
                 ), axis=1) * (1.0 + 1e-5) + 1e-7
 
+            if re_device is None:
+                # Re is height-independent: upload once (the per-slice
+                # re-upload costs ~10s of ms through a remote-TPU tunnel,
+                # same as the device-geometry branch)
+                re_device = jnp.asarray(re_local.astype(compute_dtype))
             args = (
                 bnd_yxz[..., 0].astype(compute_dtype),
                 bnd_yxz[..., 1].astype(compute_dtype),
                 bnd_yxz[..., 2].astype(compute_dtype),
                 d2.astype(compute_dtype), seg_flat.astype(compute_dtype),
-                re_local.astype(compute_dtype),
+                re_device,
             )
             use_static = False
         device_outs[hh] = run_integrate(
@@ -606,18 +611,27 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         # individually costs a tunnel round trip each
         fetched_plans = np.asarray(jax.device_get(
             jnp.stack([jnp.stack([p, h]) for _, p, h, _ in deferred])))
-        seed_hstep = np.nan_to_num(plan_state[1]) * (1.0 + 5e-4) + 5e-5
+        # flag against the EXACT bound the slices integrated with
+        # (plan_state[1]). The measured hsm_raw is the nanmax of the very
+        # f32 motion values the kernel's grouping saw, so raw > bound is
+        # precisely "some segment exceeded the grouping guarantee" - any
+        # excursion, however small, must recompute (a looser threshold
+        # would ship the brick kernel's NaN poisoning), while slices within
+        # the bound's (1+1e-4)+1e-5 seed headroom never false-positive
+        seed_hstep = np.nan_to_num(plan_state[1])
         redo = []
         for (hh, _, _, n_expected), (plm, hsm) in zip(deferred, fetched_plans):
             plm = np.asarray(plm, dtype=np.float64)
-            hsm = np.asarray(hsm, np.float64) * (1.0 + 1e-4) + 1e-5
+            hsm_raw = np.asarray(hsm, np.float64)
+            # plan bound if recomputed: same inflation as the seed's
+            hsm = hsm_raw * (1.0 + 1e-4) + 1e-5
             real = plm[~(plm == 0.0)]
             if real.size and np.isnan(real).all():
                 raise ValueError('geo2rdr did not converge. Check orbit coverage')
             n_here = np.ceil(np.nan_to_num(plm) / max_segment_length)
             contrib = np.nan_to_num(plm) > 0.0
             if (np.any(n_here[contrib] != n_expected[contrib])
-                    or np.any(np.nan_to_num(hsm) > seed_hstep)):
+                    or np.any(np.nan_to_num(hsm_raw) > seed_hstep)):
                 redo.append((hh, plm, hsm))
         if redo:
             logger.debug('plan misprediction on slices %s: recomputing them '

@@ -111,11 +111,15 @@ def clip_chain(model_zs, ht: float, max_tropo_height: float = float(_ZREF),
     slice, which is what lets the delay engine build ONE cube-global static
     sampling plan (see raytrace.static_plan_from) instead of one per slice.
 
-    The reference's <1 m edge-drop rules (losreader.py:798-809: a clamped
-    bottom or top partial interval thinner than 1 m is excluded from the
-    integral) are reproduced by collapsing the affected entries onto the
-    nearest kept boundary. Mid-chain intervals are never thinner than 1 m
-    for real weather grids (z spacing >= tens of meters).
+    The reference's <1 m drop rule (losreader.py:807-809: any clamped
+    interval thinner than 1 m is excluded from the integral) is reproduced
+    for EVERY cell, not just the clamped bottom/top: a skipped cell's upper
+    boundary collapses onto the last kept boundary, so the cell integrates
+    to zero and — exactly like the reference's carried ``low_xyz``
+    (losreader.py:811-815) — the NEXT kept cell's segment absorbs the
+    skipped span. Cells before the first kept one collapse UP onto its
+    clamped lower bound (the reference starts a fresh intersection there,
+    no absorption).
 
     Returns None when no level contributes.
     """
@@ -125,23 +129,20 @@ def clip_chain(model_zs, ht: float, max_tropo_height: float = float(_ZREF),
         # caller passing a trimmed span disables it, losreader.py:788)
         z[-1] -= 0.01
     c = np.clip(z, ht, max_tropo_height)
-    above = np.nonzero(c > ht)[0]
-    if above.size == 0:
+    # per-cell skip decision on the cell's OWN clamped span, like the
+    # reference's low_ht/high_ht test (independent of carried boundaries)
+    keep = np.diff(c) >= 1.0
+    if not keep.any():
         return None
-    jb = above[0]
-    if c[jb] - ht < 1.0:
-        # bottom partial interval [ht, c[jb]] is dropped, not integrated
-        c[:jb] = c[jb]
-    below = np.nonzero(c < max_tropo_height)[0]
-    if below.size == 0:
-        return None
-    jt = below[-1]
-    if jt + 1 < c.size and c[jt + 1] - c[jt] < 1.0 and c[jt + 1] == max_tropo_height:
-        # top partial interval [c[jt], zref] is dropped, not integrated
-        c[jt + 1:] = c[jt]
-    if c[-1] - c[0] < 1.0:
-        return None
-    return c
+    first = int(np.argmax(keep))
+    b = np.empty_like(c)
+    b[:first + 1] = c[first]
+    carry = c[first]
+    for k in range(first, c.size - 1):
+        if keep[k]:
+            carry = c[k + 1]
+        b[k + 1] = carry
+    return b
 
 
 def build_ray(model_zs, ht: float, xyz, look_vecs,

@@ -28,81 +28,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     import raider_tpu  # noqa: F401
-    from raider_tpu.delay.engine import WeatherCube
-    from raider_tpu.delay.raytrace import integrate_rays, pack_cubes
-    from raider_tpu.geodesy.crs import Geographic
-    from raider_tpu.geodesy.gravity import get_Re
-    from raider_tpu.geometry.device_geom import GeomSession
-    from raider_tpu.geometry.orbit import Orbit
-    from raider_tpu.geometry.rays import clip_chain
-    from raider_tpu.io.ncdf import Dataset, Variable
-
-    rng = np.random.default_rng(0)
-    nz, ny, nx = 50, 400, 400
-    n_rays = 1_000_000
-    zs = -500.0 + 26500.0 * np.linspace(0.0, 1.0, nz) ** 1.4
-    t_ref = dt.datetime(2020, 1, 1, 12, 0, 0)
-    tt = np.arange(-600.0, 601.0, 30.0)
-    r_orb = 6378137.0 + 700e3
-    ang = 2.0 * np.pi / 5800.0 * tt
-    pos_o = np.stack([r_orb * np.cos(ang), np.zeros_like(ang),
-                      r_orb * np.sin(ang)], -1)
-    vel_o = np.gradient(pos_o, 30.0, axis=0)
-    orbit = Orbit(times=tt, pos=pos_o, vel=vel_o, ref_time=t_ref)
-
-    ys_e = np.linspace(16.0, 24.0, ny)
-    xs_e = np.linspace(1.5, 7.5, nx)
-    wet = rng.uniform(0.1, 100.0, (nz, ny, nx))
-    hydro = rng.uniform(50.0, 300.0, (nz, ny, nx))
-    coords = {'x': Variable(('x',), xs_e, {}), 'y': Variable(('y',), ys_e, {}),
-              'z': Variable(('z',), zs, {})}
-    variables = {
-        'wet': Variable(('z', 'y', 'x'), wet, {}),
-        'hydro': Variable(('z', 'y', 'x'), hydro, {}),
-        'proj': Variable((), np.int64(0), Geographic().to_cf()),
-    }
-    wm = WeatherCube(Dataset(coords=coords, variables=variables, attrs={}))
-
-    side = int(np.sqrt(n_rays))
-    yq = np.linspace(18.5, 21.5, side)
-    xq = np.linspace(3.5, 6.0, side)
-    xx, yy = np.meshgrid(xq, yq)
-    re_dev = jnp.asarray(np.asarray(get_Re(yy)).reshape(-1).astype(np.float32))
-
-    zref = float(zs[-1] - 1.0)
-    n_long = 8
-    zpts = 100.0 * np.arange(n_long)
-    j0 = max(int(np.searchsorted(zs, float(zpts.min()), side='right')) - 1, 0)
-    j1 = min(int(np.searchsorted(zs, zref, side='left')), zs.size - 1)
-    zs_chain = zs[j0:j1 + 1]
-    chains = [clip_chain(zs_chain, float(ht), zref,
-                         nudge_top=(j1 == zs.size - 1)) for ht in zpts]
-
-    cube_wet = wm.field('wet', np.float32)
-    cube_hydro = wm.field('hydro', np.float32)
-    packed2d, pack_mode = pack_cubes(cube_wet, cube_hydro, grouped=True)
-    sess = GeomSession(orbit, yy, xx, wm.crs)
-
-    geom0 = sess.slice(float(zpts[0]), chains[0])
-    plm, hsm = jax.device_get((geom0['per_level_max'], geom0['hstep_max']))
-    per_level_max = np.asarray(plm, np.float64)
-    hstep_max = np.asarray(hsm, np.float64) * (1.0 + 1e-4) + 1e-5
-    heights = chains[0]
-
-    def one_slice(hh):
-        geom = sess.slice(float(zpts[hh]), chains[hh])
-        w, h = integrate_rays(
-            cube_wet, cube_hydro, wm.ys, wm.xs, wm.zs,
-            geom['bnd_y'], geom['bnd_x'], geom['bnd_z'],
-            geom['d2'], geom['ray_len'], re_dev,
-            ray_lengths_max=per_level_max,
-            packed2d=packed2d, mode=pack_mode,
-            heights=heights, hstep_max=hstep_max, static_plan=True,
-        )
-        return w, h
+    ns = build_scene()
+    one_slice, n_long, n_rays = ns['one_slice'], ns['n_long'], ns['n_rays']
 
     # warm every executable (cold + warm geometry, integrate)
     jax.block_until_ready(one_slice(0))
@@ -218,8 +147,6 @@ def variants():
 
 def build_scene():
     """The shared bench scene; returns slice closures (full and half-ray)."""
-    import datetime as dt
-
     import jax
     import jax.numpy as jnp
 

@@ -381,6 +381,49 @@ class TestDeferredPlanValidation:
         # up to f32 accumulation order
         np.testing.assert_allclose(w_forced, w_base, rtol=2e-5, atol=1e-8)
 
+    def test_marginal_violation_still_recomputes(self, monkeypatch):
+        """A horizontal-motion excursion only marginally past the plan bound
+        the slice integrated with (seed*(1+1e-4)+1e-5, exceeded by ~1e-5)
+        must still trigger the recompute: any real excess past the grouping
+        guarantee risks brick NaN poisoning. Regression for a flag threshold
+        that was 5x looser than the bound the slices actually ran with."""
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from test_raytrace import synthetic_orbit, synthetic_wm_dataset
+
+        from raider_tpu.delay.engine import WeatherCube, _build_cube_ray
+        from raider_tpu.geodesy.crs import Geographic
+        from raider_tpu.geometry.los import Raytracing
+
+        monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', '1')
+        t = dt.datetime(2020, 1, 30, 13, 52, 45)
+        wm = WeatherCube(synthetic_wm_dataset(1.0, 2.0))
+        los = Raytracing(orbit=synthetic_orbit(t), time=t)
+        xpts = np.linspace(-118.4, -117.2, 6)
+        ypts = np.linspace(33.2, 33.8, 5)
+        hts = np.array([0.0, 1000.0])
+
+        calls = {'warm': 0, 'cold': 0}
+        orig = dg.GeomSession.slice
+
+        def patched(self, ht, chain, cold=False):
+            out = orig(self, ht, chain, cold=cold)
+            if cold:
+                calls['cold'] += 1
+            else:
+                calls['warm'] += 1
+                if calls['warm'] == 2:
+                    # just past the seed plan bound (its inflation is
+                    # (1+1e-4)+1e-5 over the seed's measured maxima)
+                    out['hstep_max'] = out['hstep_max'] * (1.0 + 1e-4) + 2e-5
+            return out
+
+        monkeypatch.setattr(dg.GeomSession, 'slice', patched)
+        w, _ = _build_cube_ray(wm, xpts, ypts, hts, los, Geographic(),
+                               zref=25000.0, compute_dtype=np.float32)
+        assert calls['cold'] >= 1, 'marginal violation escaped the recompute'
+        assert np.isfinite(np.asarray(w)).all()
+
     def test_later_violator_not_masked_by_earlier_widening(self, monkeypatch):
         """Every deferred slice ran under the SEED plan, so each must be
         validated against the seed bounds: a later slice whose maxima exceed

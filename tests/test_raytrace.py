@@ -235,3 +235,66 @@ class TestClosureRegions:
         resid_hydro = (lengths * 2.0 - np.asarray(hydro) * 1e6) / (2 * lengths)
         np.testing.assert_almost_equal(0, resid_wet, decimal=6)
         np.testing.assert_almost_equal(0, resid_hydro, decimal=6)
+
+
+class TestCoverageEdge:
+    """A scene straddling the orbit's zero-Doppler coverage band: pixels
+    whose crossing falls outside the statevector span become NaN (the
+    reference's ISCE3 raises per pixel, losreader.py:252-254), pixels inside
+    stay finite, and no exception is raised as long as SOME ray converges.
+    Host and device geometry must agree on the NaN mask."""
+
+    def test_partial_coverage_nan_mask(self, monkeypatch):
+        from raider_tpu.geometry.orbit import Orbit
+
+        # short polar arc (+-120 s): sub-satellite track covers lat ~ +-7.2
+        # deg, so a query box spanning lat 1..13 crosses the coverage edge
+        t_ref = dt.datetime(2020, 1, 1, 12, 0, 0)
+        tt = np.arange(-120.0, 121.0, 10.0)
+        r_orb = 6378137.0 + 700e3
+        om = 2.0 * np.pi / 6000.0
+        ang = om * tt
+        pos = np.stack([r_orb * np.cos(ang),
+                        np.zeros_like(ang),
+                        r_orb * np.sin(ang)], -1)
+        vel = np.gradient(pos, 10.0, axis=0)
+        orbit = Orbit(times=tt, pos=pos, vel=vel, ref_time=t_ref)
+        los = Raytracing(orbit=orbit, time=t_ref)
+
+        ys = np.linspace(-1.0, 15.0, 40)
+        xs = np.linspace(1.0, 5.0, 20)
+        zs = np.concatenate([np.arange(-500.0, 3000.0, 500.0),
+                             np.arange(3000.0, 20001.0, 1500.0)])
+        shape = (zs.size, ys.size, xs.size)
+        coords = {'x': Variable(('x',), xs, {}), 'y': Variable(('y',), ys, {}),
+                  'z': Variable(('z',), zs, {})}
+        variables = {
+            'wet': Variable(('z', 'y', 'x'), np.full(shape, 1.0), {}),
+            'hydro': Variable(('z', 'y', 'x'), np.full(shape, 2.0), {}),
+            'proj': Variable((), np.int64(0), Geographic().to_cf()),
+        }
+        wm = WeatherCube(Dataset(coords=coords, variables=variables, attrs={}))
+
+        yq = np.linspace(1.0, 13.0, 12)
+        xq = np.linspace(2.0, 4.0, 8)
+        hts = np.array([0.0, 2000.0])
+        out = {}
+        for mode in ('0', '1'):
+            monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', mode)
+            w, h = _build_cube_ray(wm, xq, yq, hts, los, Geographic(),
+                                   zref=float(zs[-1] - 1.0),
+                                   compute_dtype=np.float32)
+            out[mode] = (np.asarray(w), np.asarray(h))
+
+        w_h, h_h = out['0']
+        nan_mask = np.isnan(w_h)
+        # low latitudes are covered and finite; the top of the box is not
+        assert np.isfinite(w_h[:, 0, :]).all() and np.isfinite(h_h[:, 0, :]).all()
+        assert np.isnan(w_h[:, -1, :]).all() and np.isnan(h_h[:, -1, :]).all()
+        assert 0 < nan_mask.sum() < nan_mask.size
+        # device geometry: same mask, same finite values (f32 tolerance)
+        w_d, h_d = out['1']
+        np.testing.assert_array_equal(np.isnan(w_d), nan_mask)
+        np.testing.assert_array_equal(np.isnan(h_d), np.isnan(h_h))
+        np.testing.assert_allclose(w_d[~nan_mask], w_h[~nan_mask], atol=1e-4)
+        np.testing.assert_allclose(h_d[~nan_mask], h_h[~nan_mask], atol=1e-4)

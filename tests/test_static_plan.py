@@ -78,6 +78,19 @@ class TestStaticKernelEquivalence:
         np.testing.assert_allclose(w_s, w_t, rtol=1e-5)
         np.testing.assert_allclose(h_s, h_t, rtol=1e-5)
 
+    def test_mid_chain_zero_length_level(self):
+        """A chain with a mid-chain collapsed (absorbed <1 m) level: the
+        zero-length level contributes exactly zero and the kernel pair still
+        agrees (the absorbing level's segment spans two model cells)."""
+        zs = np.array([-500.0, 500.0, 1500.0, 1500.8, 2500.0, 3500.0,
+                       4500.0, 5500.0])
+        heights = clip_chain(zs, 0.0, 5000.0)
+        assert (np.diff(heights) == 0.0).any()        # the absorbed level
+        (w_t, h_t), (w_s, h_s) = run_pair(zs, heights, seed=5)
+        assert np.isfinite(w_s).all()
+        np.testing.assert_allclose(w_s, w_t, rtol=1e-5)
+        np.testing.assert_allclose(h_s, h_t, rtol=1e-5)
+
     def test_nan_and_oob_rays(self):
         zs = np.arange(-500.0, 10001.0, 500.0)
         heights = clip_chain(zs, 0.0, 9000.0)
@@ -139,6 +152,48 @@ class TestClipChain:
         zs = np.array([0.0, 1000.0, 2000.0])
         assert clip_chain(zs, 5000.0, 26000.0) is None
         assert clip_chain(zs, 0.0, 0.5) is None
+
+    def test_all_intervals_thin_returns_none(self):
+        """Every cell <1 m: the reference skips them all (losreader.py:807)
+        even though the total span exceeds 1 m."""
+        zs = np.array([0.0, 0.6, 1.2, 1.8])
+        assert clip_chain(zs, 0.0, 26000.0) is None
+        assert level_heights(zs, 0.0, 26000.0) is None
+
+    def test_mid_chain_thin_interval_absorbed(self):
+        """A <1 m interval mid-chain is skipped and its span absorbed into
+        the NEXT kept segment via the carried boundary (losreader.py:807-815),
+        matching level_heights on the same grid."""
+        zs = np.array([0.0, 1000.0, 1000.5, 2000.0, 3000.0])
+        ref = level_heights(zs, 0.0, 26000.0)
+        # reference chain: [0, 1000, 2000, 2999.99] - the [1000, 1000.5)
+        # interval is dropped and [1000.5, 2000] becomes [1000, 2000]
+        np.testing.assert_allclose(ref, [0.0, 1000.0, 2000.0, 2999.99])
+        cc = clip_chain(zs, 0.0, 26000.0)
+        assert cc.size == zs.size
+        np.testing.assert_allclose(cc, [0.0, 1000.0, 1000.0, 2000.0, 2999.99])
+        # kept-interval structure (nonzero spans) matches the reference chain
+        real = cc[np.concatenate([[True], np.diff(cc) > 0])]
+        np.testing.assert_allclose(real, ref, atol=1e-9)
+
+    def test_random_grids_match_level_heights(self):
+        """Property: on random z grids (incl. sub-1 m cells anywhere) the
+        nonzero-span structure of clip_chain equals the level_heights chain."""
+        rng = np.random.default_rng(4)
+        for _ in range(200):
+            nz = int(rng.integers(3, 30))
+            steps = 10.0 ** rng.uniform(-1.0, 3.5, nz - 1)
+            zs = -500.0 + np.concatenate([[0.0], np.cumsum(steps)])
+            ht = float(rng.uniform(-600.0, 500.0))
+            zref = float(rng.uniform(ht + 0.5, zs[-1] + 1000.0))
+            ref = level_heights(zs, ht, zref)
+            cc = clip_chain(zs, float(ht), zref)
+            if ref is None:
+                assert cc is None or not (np.diff(cc) > 0).any()
+                continue
+            assert cc is not None and cc.size == zs.size
+            real = cc[np.concatenate([[True], np.diff(cc) > 0])]
+            np.testing.assert_allclose(real, ref, atol=1e-9)
 
     def test_top_level_nudge(self):
         zs = np.array([0.0, 1000.0, 2000.0])
