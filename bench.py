@@ -246,6 +246,45 @@ def main() -> None:
     t_std_e2e = max(float(np.median(slopes)), 1e-9)
     t_setup = max(min(t_short) - 2.0 * t_std_e2e, 0.0)
 
+    # stable per-slice COMPUTE decomposition (no result stream, pure device
+    # wall time): warm GeomSession geometry for one 1M-ray slice. Together
+    # with std_kernel_s this bounds the tunnel-free compute floor the e2e
+    # slope would hit on a local-PCIe host (BASELINE.md measures 0.35
+    # s/slice); the e2e slope above additionally rides the ~8-21 MB/s
+    # remote tunnel, which drifts minute-to-minute.
+    from raider_tpu.geometry.device_geom import GeomSession, df64_backend_ok
+    from raider_tpu.geometry.rays import clip_chain
+
+    t_geom = float('nan')
+    if df64_backend_ok():
+        xx_q, yy_q = np.meshgrid(xq, yq)
+        sess = GeomSession(orbit, yy_q, xx_q, Geographic())
+        zref_e = float(zs[-1] - 1.0)
+        j1 = min(int(np.searchsorted(zs, zref_e, side='left')), zs.size - 1)
+        nudge = j1 == zs.size - 1
+
+        def geom_slice(ht):
+            # per-height chain exactly like the engine; distinct heights per
+            # timed call so the remote result cache cannot serve a repeat
+            chain = clip_chain(zs[: j1 + 1], float(ht), zref_e,
+                               nudge_top=nudge)
+            return sess.slice(float(ht), chain)
+
+        jax.block_until_ready(geom_slice(0.0))             # compile + warm
+
+        def time_geoms(n, off):
+            # distinct heights per call defeat the remote result cache;
+            # dispatches pipeline, so the 1-vs-4 slope cancels per-batch
+            # fixed costs AND per-call dispatch round trips
+            t0 = time.perf_counter()
+            outs = [geom_slice(100.0 * (off + i)) for i in range(n)]
+            jax.block_until_ready(outs)
+            return time.perf_counter() - t0
+
+        # 3 in-flight slices bound HBM like the engine's backpressure window
+        t_geom = min((time_geoms(3, 1 + 3 * k) - time_geoms(1, 21 + k)) / 2.0
+                     for k in range(2))
+
     total_single_chip = t_ztd + t_std_e2e
     v5e8_estimate = total_single_chip / 8.0
     target = 1.0
@@ -264,6 +303,11 @@ def main() -> None:
             'std_e2e_rays_per_s_chip': round(n_rays / t_std_e2e, 0),
             'std_e2e_setup_s': round(t_setup, 4),
             'std_e2e_paired_slopes_s': [round(s, 4) for s in slopes],
+            # tunnel-free compute decomposition: geometry + integrate are
+            # the stable per-slice device wall time (the e2e slope adds the
+            # drifting remote-tunnel result stream)
+            'geom_slice_s': round(t_geom, 4),
+            'compute_floor_slice_s': round(t_geom + t_std, 4),
             'std_kernel_s': round(t_std, 4),
             'std_samples_per_ray': int(n_samples),
             'std_gathers_per_ray': int(n_gathers),
