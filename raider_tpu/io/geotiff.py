@@ -28,7 +28,13 @@ from typing import Optional, Tuple
 import numpy as np
 
 from raider_tpu.geodesy import CRS, Geographic
-from raider_tpu.geodesy.crs import crs_from_epsg
+from raider_tpu.geodesy.crs import (
+    Ellipsoid,
+    LambertConformalConic,
+    PolarStereographic,
+    TransverseMercator,
+    crs_from_epsg,
+)
 
 # TIFF tag ids
 _T_WIDTH, _T_LENGTH = 256, 257
@@ -50,6 +56,14 @@ _FIELD = {1: ('B', 1), 2: ('c', 1), 3: ('H', 2), 4: ('I', 4), 5: ('II', 8),
 # GeoKey ids
 _GK_MODEL_TYPE, _GK_RASTER_TYPE = 1024, 1025
 _GK_GEOGRAPHIC_TYPE, _GK_PROJECTED_TYPE = 2048, 3072
+_GK_SEMI_MAJOR, _GK_INV_FLATTENING = 2057, 2059
+_GK_PROJECTION, _GK_PROJ_COORD_TRANS = 3074, 3075
+_GK_STD_PARALLEL1, _GK_STD_PARALLEL2 = 3078, 3079
+_GK_NAT_ORIGIN_LONG, _GK_NAT_ORIGIN_LAT = 3080, 3081
+_GK_FALSE_EASTING, _GK_FALSE_NORTHING = 3082, 3083
+_GK_FALSE_ORIGIN_LONG, _GK_FALSE_ORIGIN_LAT = 3084, 3085
+_GK_FALSE_ORIGIN_EASTING, _GK_FALSE_ORIGIN_NORTHING = 3086, 3087
+_GK_SCALE_AT_NAT_ORIGIN, _GK_VERT_POLE_LONG = 3092, 3095
 
 
 def _sample_dtype(bits: int, fmt: int, bo: str) -> np.dtype:
@@ -160,15 +174,60 @@ def _crs_from_geokeys(keys, doubles, ascii_s) -> Optional[CRS]:
         kid, loc, count, value = keys[i:i + 4]
         if loc == 0:
             kv[kid] = value
+        elif loc == _T_GEO_DOUBLES and doubles is not None and value < len(doubles):
+            kv[kid] = float(doubles[value])
     model = kv.get(_GK_MODEL_TYPE)
     try:
         if model == 2 or (model is None and _GK_GEOGRAPHIC_TYPE in kv):
             code = kv.get(_GK_GEOGRAPHIC_TYPE, 4326)
             return Geographic() if code in (4326, 4269, 4267, 0, 32767) else crs_from_epsg(code)
-        if model == 1 and _GK_PROJECTED_TYPE in kv:
+        if model == 1 and kv.get(_GK_PROJECTED_TYPE, 32767) != 32767:
             return crs_from_epsg(kv[_GK_PROJECTED_TYPE])
+        if model == 1 and _GK_PROJ_COORD_TRANS in kv:
+            return _crs_from_user_keys(kv)
     except (ValueError, NotImplementedError):
         return None
+    return None
+
+
+def _crs_from_user_keys(kv: dict) -> Optional[CRS]:
+    """User-defined (EPSG-less) projections written by write_gtiff:
+    LCC 2SP (CT 8/9), polar stereographic (CT 15), transverse Mercator
+    (CT 1) with the ellipsoid from semi-major + inverse flattening
+    (0 = sphere)."""
+    if _GK_SEMI_MAJOR in kv:
+        invf = kv.get(_GK_INV_FLATTENING, 0.0)
+        ell = Ellipsoid(a=float(kv[_GK_SEMI_MAJOR]),
+                        f=(1.0 / invf) if invf else 0.0)
+    else:
+        ell = Ellipsoid()
+    ct = kv[_GK_PROJ_COORD_TRANS]
+    if ct in (8, 9):
+        lat_1 = kv.get(_GK_STD_PARALLEL1, kv.get(_GK_NAT_ORIGIN_LAT, 0.0))
+        return LambertConformalConic(
+            lat_0=kv.get(_GK_FALSE_ORIGIN_LAT, kv.get(_GK_NAT_ORIGIN_LAT, lat_1)),
+            lon_0=kv.get(_GK_FALSE_ORIGIN_LONG, kv.get(_GK_NAT_ORIGIN_LONG, 0.0)),
+            lat_1=lat_1, lat_2=kv.get(_GK_STD_PARALLEL2, lat_1),
+            x_0=kv.get(_GK_FALSE_ORIGIN_EASTING, kv.get(_GK_FALSE_EASTING, 0.0)),
+            y_0=kv.get(_GK_FALSE_ORIGIN_NORTHING, kv.get(_GK_FALSE_NORTHING, 0.0)),
+            ellipsoid=ell)
+    if ct == 15:
+        lat = kv.get(_GK_NAT_ORIGIN_LAT, 90.0)
+        variant_a = abs(lat) == 90.0
+        return PolarStereographic(
+            lat_0=lat if variant_a else (90.0 if lat > 0 else -90.0),
+            lon_0=kv.get(_GK_VERT_POLE_LONG, kv.get(_GK_NAT_ORIGIN_LONG, 0.0)),
+            lat_ts=None if variant_a else lat,
+            k0=kv.get(_GK_SCALE_AT_NAT_ORIGIN, 1.0),
+            x_0=kv.get(_GK_FALSE_EASTING, 0.0),
+            y_0=kv.get(_GK_FALSE_NORTHING, 0.0), ellipsoid=ell)
+    if ct == 1:
+        return TransverseMercator(
+            lat_0=kv.get(_GK_NAT_ORIGIN_LAT, 0.0),
+            lon_0=kv.get(_GK_NAT_ORIGIN_LONG, 0.0),
+            k0=kv.get(_GK_SCALE_AT_NAT_ORIGIN, 0.9996),
+            x_0=kv.get(_GK_FALSE_EASTING, 0.0),
+            y_0=kv.get(_GK_FALSE_NORTHING, 0.0), ellipsoid=ell)
     return None
 
 
@@ -338,9 +397,6 @@ def write_gtiff(array: np.ndarray, path: str, transform=None,
     entries = []
     heap: list = []
     # layout: header(8) + ifd + next(4) + heap + strip data
-    n_entries_guess = 14 + (3 if crs is not None else 0) \
-        + (2 if transform is not None else 0) + (1 if nodata is not None else 0) \
-        + (1 if metadata else 0)
 
     def _escape(s: str) -> str:
         return (str(s).replace('&', '&amp;').replace('<', '&lt;')
@@ -382,22 +438,67 @@ def write_gtiff(array: np.ndarray, path: str, transform=None,
             geographic = isinstance(crs, Geographic) or (epsg is not None and 4000 <= epsg < 5000)
             keys = [1, 1, 0, 2, _GK_MODEL_TYPE, 0, 1, 2 if geographic else 1,
                     _GK_RASTER_TYPE, 0, 1, 1]
+            doubles: list = []
+
+            def kd(kid, val):
+                # double-valued key: value lives in the GeoDoubleParams tag
+                keys.extend([kid, _T_GEO_DOUBLES, 1, len(doubles)])
+                doubles.append(float(val))
+
             if geographic:
                 keys += [_GK_GEOGRAPHIC_TYPE, 0, 1, epsg or 4326]
             elif epsg is not None:
                 keys += [_GK_PROJECTED_TYPE, 0, 1, epsg]
+            else:
+                # user-defined projection (HRRR LCC / HRRR-AK polar stereo
+                # have no EPSG code): full GeoKey parameter set, GDAL layout
+                keys += [_GK_GEOGRAPHIC_TYPE, 0, 1, 32767,
+                         _GK_PROJECTED_TYPE, 0, 1, 32767,
+                         _GK_PROJECTION, 0, 1, 32767]
+                ell = crs.ellipsoid
+                kd(_GK_SEMI_MAJOR, ell.a)
+                kd(_GK_INV_FLATTENING, (1.0 / ell.f) if ell.f else 0.0)
+                if isinstance(crs, LambertConformalConic):
+                    keys += [_GK_PROJ_COORD_TRANS, 0, 1, 8]   # LCC 2SP
+                    kd(_GK_STD_PARALLEL1, crs.lat_1)
+                    kd(_GK_STD_PARALLEL2,
+                       crs.lat_2 if crs.lat_2 is not None else crs.lat_1)
+                    kd(_GK_FALSE_ORIGIN_LONG, crs.lon_0)
+                    kd(_GK_FALSE_ORIGIN_LAT, crs.lat_0)
+                    kd(_GK_FALSE_ORIGIN_EASTING, crs.x_0)
+                    kd(_GK_FALSE_ORIGIN_NORTHING, crs.y_0)
+                elif isinstance(crs, PolarStereographic):
+                    keys += [_GK_PROJ_COORD_TRANS, 0, 1, 15]  # polar stereo
+                    # GDAL stores lat_ts (variant B) or the +-90 origin
+                    # (variant A) in NatOriginLat; the sign picks the pole
+                    kd(_GK_NAT_ORIGIN_LAT,
+                       crs.lat_ts if crs.lat_ts is not None else crs.lat_0)
+                    kd(_GK_VERT_POLE_LONG, crs.lon_0)
+                    kd(_GK_SCALE_AT_NAT_ORIGIN, crs.k0)
+                    kd(_GK_FALSE_EASTING, crs.x_0)
+                    kd(_GK_FALSE_NORTHING, crs.y_0)
+                elif isinstance(crs, TransverseMercator):
+                    keys += [_GK_PROJ_COORD_TRANS, 0, 1, 1]   # TM
+                    kd(_GK_NAT_ORIGIN_LAT, crs.lat_0)
+                    kd(_GK_NAT_ORIGIN_LONG, crs.lon_0)
+                    kd(_GK_SCALE_AT_NAT_ORIGIN, crs.k0)
+                    kd(_GK_FALSE_EASTING, crs.x_0)
+                    kd(_GK_FALSE_NORTHING, crs.y_0)
             keys[3] = (len(keys) - 4) // 4
             add(_T_GEO_KEYS, 3, tuple(keys))
+            if doubles:
+                add(_T_GEO_DOUBLES, 12, tuple(doubles))
         if meta_xml is not None:
             add(_T_GDAL_METADATA, 2, meta_xml)
         if nodata is not None:
             add(_T_GDAL_NODATA, 2, repr(float(nodata)) if dt.kind == 'f' else str(int(nodata)))
         return strip_entry_idx, heap_base[0]
 
-    strip_idx, data_start = build(n_entries_guess)
+    # counting pass (heap offsets wrong), then the real build with the
+    # exact entry count - guessing the count is brittle and was never right
+    build(0)
     n_entries = len(entries)
-    if n_entries != n_entries_guess:
-        strip_idx, data_start = build(n_entries)
+    strip_idx, data_start = build(n_entries)
 
     # patch in real strip offsets
     offs, pos = [], data_start

@@ -75,6 +75,33 @@ def _read_attrs(obj) -> dict:
     }
 
 
+# netCDF4's marker for a dimension without a coordinate variable
+_PURE_DIM_NAME = 'This is a netCDF dimension but not a netCDF variable.'
+
+
+def _maskandscale(data, attrs: dict):
+    """CF unpacking like scipy's maskandscale / netCDF4-python defaults:
+    mask _FillValue/missing_value to NaN and apply scale_factor/add_offset.
+    The packing attrs are consumed (removed) so a round-trip through
+    write_nc cannot double-apply them."""
+    scale = attrs.pop('scale_factor', None)
+    offset = attrs.pop('add_offset', None)
+    fill = attrs.pop('_FillValue', attrs.pop('missing_value', None))
+    if scale is None and offset is None:
+        if fill is not None and np.ndim(data) and np.asarray(data).dtype.kind == 'f':
+            data = np.where(np.asarray(data) == fill, np.nan, data)
+        return data
+    data = np.asarray(data, dtype=np.float64)
+    mask = (data == float(fill)) if fill is not None else None
+    if scale is not None:
+        data = data * float(scale)
+    if offset is not None:
+        data = data + float(offset)
+    if mask is not None:
+        data = np.where(mask, np.nan, data)
+    return data
+
+
 def _dims_of(ds_obj: h5py.Dataset, fallback_names) -> tuple:
     dims = []
     for i in range(ds_obj.ndim):
@@ -130,17 +157,27 @@ def read_nc(path: Union[str, Path], group: Optional[str] = None) -> Dataset:
         root = f[group] if group else f
         out.attrs = _read_attrs(root)
 
-        # First pass: identify dimension-scale (coordinate) datasets
+        # First pass: identify dimension-scale (coordinate) datasets.
+        # Scales carrying netCDF4's pure-dimension marker (a dimension with
+        # no coordinate variable) define a dim name but are NOT coordinates.
         scale_names = set()
+        pure_dims = set()
         for name, obj in root.items():
             if isinstance(obj, h5py.Dataset) and obj.attrs.get('CLASS', b'') in (b'DIMENSION_SCALE', 'DIMENSION_SCALE'):
                 scale_names.add(name)
+                nm = obj.attrs.get('NAME', b'')
+                nm = nm.decode('utf-8', 'replace') if isinstance(nm, bytes) else str(nm)
+                if nm.startswith(_PURE_DIM_NAME):
+                    pure_dims.add(name)
 
         for name, obj in root.items():
             if not isinstance(obj, h5py.Dataset):
                 continue
             data = obj[()]
             attrs = _read_attrs(obj)
+            data = _maskandscale(data, attrs)
+            if name in pure_dims:
+                continue
             if name in scale_names:
                 out.coords[name] = Variable((name,), np.asarray(data), attrs)
             else:
@@ -187,15 +224,18 @@ def write_nc(ds: Dataset, path: Union[str, Path], group: Optional[str] = None, m
             d.make_scale(name)
             _set_attrs(d, var.attrs)
 
-        # phantom dims (dims with no coordinate variable)
+        # phantom dims (dims with no coordinate variable): stored under the
+        # dim's own name with netCDF4's pure-dimension NAME marker, so
+        # read_nc round-trips the dim names without inventing coordinates
         phantom = {}
+        taken = set(ds.coords) | set(ds.variables)
         for vname, var in ds.variables.items():
             for dim, size in zip(var.dims, np.shape(np.asarray(var.data))):
                 if dim not in ds.coords and dim not in phantom:
-                    pd_ = root.create_dataset(
-                        f'_dim_{dim}', data=np.zeros(size, dtype=np.float32)
-                    )
+                    nm = dim if dim not in taken else f'_dim_{dim}'
+                    pd_ = root.create_dataset(nm, data=np.zeros(size, np.float32))
                     pd_.make_scale(dim)
+                    pd_.attrs['NAME'] = np.bytes_(f'{_PURE_DIM_NAME}{size:10d}')
                     phantom[dim] = pd_
 
         for name, var in ds.variables.items():

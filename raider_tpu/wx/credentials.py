@@ -87,7 +87,10 @@ def check_api(
             with rc_file.open('a') as f:
                 f.write(f'\nmachine urs.earthdata.nasa.gov\n\tlogin {uid}\n\tpassword {key}\n')
     elif rc_filename == '.ncmrlogin':
-        rc_file.write_text(f'url: https://ncmr.example/data\nusername: {uid}\npassword: {key}\n')
+        # the NCMRWF outgoing server (reference: ncmr.py:92 docstring); users
+        # with a different data agreement can edit the url line afterwards
+        rc_file.write_text('url: https://ftp.ncmrwf.gov.in/pub/outgoing/SAC/NCUM_OSF\n'
+                           f'username: {uid}\npassword: {key}\n')
     try:
         rc_file.chmod(0o600)
     except OSError:

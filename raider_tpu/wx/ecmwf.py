@@ -99,6 +99,12 @@ class ECMWF(WeatherModel):
         lons = np.squeeze(np.asarray(ds['longitude'].data, dtype=np.float64))
         levels = np.squeeze(np.asarray(ds['level'].data, dtype=np.float64)) * 100
 
+        # NOTE: the asymmetric flips below (z lat-flipped unconditionally,
+        # t/q only when lats descend; z level-flipped here, t/q/p at the
+        # end) replicate the reference EXACTLY (ecmwf.py:263-268). For the
+        # CDS-delivered north-to-south files both paths are consistent; an
+        # externally re-sorted (ascending-lat) file would misalign in the
+        # reference too.
         z = np.flip(z, axis=1)
         if lats[0] > lats[1]:
             z = z[::-1]

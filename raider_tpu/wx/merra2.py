@@ -60,9 +60,19 @@ class MERRA2(WeatherModel):
         lon_min_ind = int((lon_min + 180.0) / self._lon_res)
         lon_max_ind = int((lon_max + 180.0) / self._lon_res)
 
+        # MERRA-2 production stream by era (reference: merra2.py:92-99):
+        # 100 for 1980-1991, 200 for 1992-2000, 300 for 2001-2010, 400 since
+        if time.year < 1992:
+            stream = 100
+        elif time.year < 2001:
+            stream = 200
+        elif time.year < 2011:
+            stream = 300
+        else:
+            stream = 400
         url = (
             f'https://goldsmr5.gesdisc.eosdis.nasa.gov/opendap/MERRA2/M2I3NVASM.5.12.4/'
-            f'{time.year}/{time.month:02d}/MERRA2_400.inst3_3d_asm_Nv.{time.strftime("%Y%m%d")}.nc4'
+            f'{time.year}/{time.month:02d}/MERRA2_{stream}.inst3_3d_asm_Nv.{time.strftime("%Y%m%d")}.nc4'
         )
         session = setup_session(*_earthdata_credentials(), check_url=url)
         ds = open_url(url, session=session)

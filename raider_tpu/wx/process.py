@@ -22,8 +22,12 @@ from raider_tpu.wx.exceptions import (
 
 def checkContainment_raw(path_wm_raw, ll_bounds, buffer_deg: float = 1e-5) -> bool:
     """Whether an existing raw file covers the bounds
-    (reference: weatherModel.py:791-857)."""
-    ds = read_nc(path_wm_raw)
+    (reference: weatherModel.py:791-857). An unreadable/corrupt raw file
+    counts as not containing the bounds (it will be re-downloaded)."""
+    try:
+        ds = read_nc(path_wm_raw)
+    except Exception:  # noqa: BLE001 - any parse failure means re-download
+        return False
     for ynames, xnames in ((('latitude',), ('longitude',)), (('y',), ('x',))):
         try:
             ys = np.asarray(ds[ynames[0]].data, dtype=np.float64)
@@ -63,7 +67,7 @@ def prepareWeatherModel(
             'Processed weather model already exists, please remove it ("%s") '
             'if you want to download a new one.', path_wm_crop,
         )
-    elif os.path.exists(path_wm_raw) and checkContainment_raw(path_wm_raw, ll_bounds) and not force_download:
+    elif not force_download and os.path.exists(path_wm_raw) and checkContainment_raw(path_wm_raw, ll_bounds):
         logger.warning(
             'Raw weather model already exists, please remove it ("%s") '
             'if you want to download a new one.', path_wm_raw,
@@ -74,6 +78,14 @@ def prepareWeatherModel(
             weather_model.fetch(path_wm_raw, time)
         except DatetimeOutsideRange:
             raise TryToKeepGoingError
+        if force_download and os.path.exists(path_wm_crop):
+            # honor the flag's documented intent: without this, load()
+            # would short-circuit on the stale processed file and the fresh
+            # download would never be processed (the reference has the same
+            # latent gap, processWM.py:59 + weatherModel.py:245-246)
+            logger.warning('force_download: removing stale processed file "%s"',
+                           path_wm_crop)
+            os.remove(path_wm_crop)
 
     if download_only:
         logger.warning('download_only flag selected. No further processing will happen.')
@@ -83,7 +95,13 @@ def prepareWeatherModel(
     if f is not None:
         logger.warning('The processed weather model file already exists, so I will use that.')
         containment = weather_model.checkContainment(ll_bounds)
-        if not containment and weather_model.Model() not in ('HRRR', 'HRRRAK', 'HRRR-AK'):
+        # only HRRR CONUS is exempt, matching the reference's EFFECTIVE
+        # behavior on both the cached and fresh-write paths: its cached-path
+        # list 'HRRR HRRRAK'.split() (processWM.py:92) contains a dead entry
+        # - the AK model's Model() is 'HRRR-AK', which never matches
+        # 'HRRRAK' - and its fresh path exempts only 'HRRR'
+        # (processWM.py:131)
+        if not containment and weather_model.Model() not in ('HRRR',):
             raise ExistingWeatherModelTooSmall
         return f
 

@@ -40,4 +40,5 @@ def get_wm_by_name(model_name: str) -> Tuple[str, Type[WeatherModel]]:
         cls = registry[name]
     except KeyError:
         raise ModuleNotFoundError(f'Unknown weather model: {model_name}')
-    return f'raider_tpu.wx.{name.lower()}', cls
+    # the class's REAL defining module (several models share ecmwf.py/hrrr.py)
+    return cls.__module__, cls

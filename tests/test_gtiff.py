@@ -102,3 +102,39 @@ def test_many_strips_layout(tmp_path):
     write_gtiff(data, f, transform=GT, compress=True)
     out, _ = read_gtiff(f)
     np.testing.assert_array_equal(out, data)
+
+
+class TestUserDefinedProjectionKeys:
+    """Projected CRSs WITHOUT an EPSG code (HRRR LCC, HRRR-AK polar stereo)
+    round-trip through full user-defined GeoKey parameter sets instead of
+    silently dropping the georeference."""
+
+    def _roundtrip(self, crs, tmp_path):
+        from raider_tpu.io.geotiff import read_gtiff, write_gtiff
+
+        arr = np.arange(12.0, dtype=np.float32).reshape(3, 4)
+        p = str(tmp_path / 'udef.tif')
+        write_gtiff(arr, p, crs=crs, transform=(0.0, 3000.0, 0, 0.0, 0, -3000.0))
+        _, prof = read_gtiff(p)
+        assert prof['crs'] is not None, 'CRS was dropped'
+        return prof['crs']
+
+    def test_hrrr_lcc_sphere(self, tmp_path):
+        from raider_tpu.wx.hrrr import HRRR_CONUS_PROJ
+
+        back = self._roundtrip(HRRR_CONUS_PROJ, tmp_path)
+        assert back == HRRR_CONUS_PROJ
+
+    def test_hrrr_ak_polar_stereo(self, tmp_path):
+        from raider_tpu.wx.hrrr import HRRR_AK_PROJ
+
+        back = self._roundtrip(HRRR_AK_PROJ, tmp_path)
+        assert back == HRRR_AK_PROJ
+
+    def test_custom_tm(self, tmp_path):
+        from raider_tpu.geodesy.crs import TransverseMercator
+
+        crs = TransverseMercator(lon_0=9.0, lat_0=0.0, k0=0.9996,
+                                 x_0=500000.0, y_0=0.0)
+        back = self._roundtrip(crs, tmp_path)
+        assert back == crs

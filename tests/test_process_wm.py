@@ -128,3 +128,27 @@ def test_engine_on_our_written_file(model, tmp_path):
     )
     np.testing.assert_allclose(np.nanmean(total), expected, rtol=1e-6)
     assert 1.5 < expected < 3.5  # plausible total delay (humid synthetic q)
+
+
+def test_force_download_reprocesses(model, tmp_path):
+    """force_download must refresh the PROCESSED file too: without removing
+    the stale crop, load() short-circuits on it and the fresh download is
+    never processed (the reference has the same latent gap,
+    processWM.py:59 + weatherModel.py:245-246)."""
+    import os
+
+    t = dt.datetime(2020, 1, 30, 12, 0, 0)
+    out = prepareWeatherModel(model, t, [33.0, 34.0, -118.0, -117.0])
+    mtime = os.path.getmtime(out)
+
+    m2 = FileBackedSyntheticModel()
+    m2.set_wmLoc(str(tmp_path))
+    out2 = prepareWeatherModel(m2, t, [33.0, 34.0, -118.0, -117.0],
+                               force_download=True)
+    assert m2.fetch_count == 1            # re-downloaded
+    assert out2 == out
+    assert os.path.getmtime(out2) >= mtime
+    # and the processed file is a REAL reprocess, not the stale short-circuit
+    from raider_tpu.io import read_nc
+
+    assert 'wet_total' in read_nc(out2)
