@@ -163,7 +163,10 @@ class StationFile(AOI):
 
         dem_file = self._demfile or os.path.join(self._output_directory, 'GLO30_fullres_dem.tif')
         download_dem(self._bounding_box, writeDEM=True, dem_path=Path(dem_file))
-        z_out = np.diag(interpolate_dem(dem_file, self.readLL()))
+        # interpolate_dem samples (lat, lon) PAIRS (returns (n,)), unlike
+        # the reference's grid interpolation that needed np.diag
+        # (llreader.py:228-232)
+        z_out = np.asarray(interpolate_dem(dem_file, self.readLL()))
         df = self._df()
         df['Hgt_m'] = z_out
         df.to_csv(self._filename, index=False)

@@ -34,7 +34,8 @@ def upload_file_to_s3(path_to_file: Union[str, Path], bucket: str, prefix: str =
 def get_s3_file(bucket_name: str, bucket_prefix: str, file_type: str) -> Optional[Path]:
     client = _client()
     result = client.list_objects_v2(Bucket=bucket_name, Prefix=bucket_prefix)
-    for s3_object in result['Contents']:
+    # boto3 omits 'Contents' entirely when nothing matches the prefix
+    for s3_object in result.get('Contents', ()):
         key = s3_object['Key']
         if key.endswith(file_type):
             file_name = Path(key).name

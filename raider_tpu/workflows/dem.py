@@ -13,11 +13,15 @@ import numpy as np
 from raider_tpu.logger import logger
 
 
-def download_dem(ll_bounds=None, writeDEM: bool = False, outName: str = 'GLO30.dem',
+def download_dem(ll_bounds=None, writeDEM: bool = False, outName=None,
                  buf: float = 0.02, overwrite: bool = False,
                  dem_path: Path = Path('GLO30_fullres_dem.tif')) -> Tuple:
     """Download and/or load a GLO-30 DEM over the AOI
-    (reference: dem.py:20-74). Reuses an existing file when present."""
+    (reference: dem.py:20-74). Reuses an existing file when present.
+    ``outName`` is an alias for ``dem_path`` (the reference's parameter
+    name); it wins when both are given."""
+    if outName is not None:
+        dem_path = Path(outName)
     if Path(dem_path).exists() and not overwrite:
         logger.info('Using existing DEM: %s', dem_path)
         from raider_tpu.io.rasters import rio_open

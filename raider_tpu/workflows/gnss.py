@@ -102,6 +102,10 @@ def download_tropo_delays(stats, years, gps_repo: str = 'UNR', writeDir: str = '
         raise TypeError('stats should be a string or a list of strings')
     if not isinstance(years, (list, int)):
         raise TypeError('years should be an int or a list of ints')
+    if isinstance(stats, str):
+        stats = [stats]
+    if isinstance(years, int):
+        years = [years]
     if gps_repo != 'UNR':
         raise NotImplementedError(f'download_tropo_delays: gps_repo "{gps_repo}" not yet implemented')
 
@@ -268,7 +272,14 @@ def get_delays_UNR(stationFile, filename, dateList: List[str], returnTime=None) 
             }
             out = pd.DataFrame(rows)
         else:
-            index = int(np.argmin(np.abs(np.array(times_list) - returnTime)))
+            # nearest epoch WITH data in the (possibly re-aligned) arrays:
+            # the reference indexes the raw timesList after re-aligning the
+            # delay arrays to the full 300 s grid (getStationDelays.py:137-167),
+            # returning a different epoch's value when epochs are missing
+            t_arr = np.asarray(times, dtype=float)
+            gap = np.abs(t_arr - returnTime)
+            gap = np.where(np.isnan(np.asarray(delay, dtype=float)), np.inf, gap)
+            index = int(np.argmin(gap))
             out = pd.DataFrame([{
                 'ID': site, 'Date': time, 'ZTD': delay[index],
                 'wet_delay': wet_delay[index], 'hydrostatic_delay': hydro_delay[index],
@@ -326,7 +337,7 @@ def get_station_data(inFile, dateList, gps_repo: Optional[str] = None, numCPUs: 
     stats = pd.merge(left=stats, right=origstats[['ID', 'Lat', 'Lon', 'Hgt_m']],
                      how='left', on='ID')
     stats = stats.dropna(how='any').drop_duplicates()
-    stats.sort_values(['ID', 'Date'])
+    stats = stats.sort_values(['ID', 'Date'])
     stats.to_csv(name, index=False)
 
 

@@ -445,6 +445,10 @@ class RaiderStats:
             'trend_per_year': fit['trend'],
             'mean': fit['mean'],
             'count': fit['count'],
+            # the epoch (in years) the mean/trend/phase coefficients are
+            # relative to - consumers evaluating the fitted curve must use
+            # THIS epoch, not a per-station one
+            'fit_epoch_yr': fit['t_ref'] / SECONDS_PER_YEAR,
         })
         return out.merge(sm, on='ID', how='left')
 
@@ -527,20 +531,26 @@ class RaiderStats:
         ax.scatter(sm['Lon'], sm['Lat'], s=12, color='tab:blue')
         return self._finish(fig, ax, 'Station distribution', fname)
 
+    def grid_map_masked(self, statistic: str = 'mean', absolute: bool = False) -> np.ndarray:
+        """grid_map with the densitythreshold mask applied: under-sampled
+        cells of absolute (all-observation) grids become NaN; station-mean
+        grids and count grids stay unmasked. Use this wherever a grid is
+        precomputed for plot_grid/grid_to_raster, or the -dt flag silently
+        stops applying."""
+        grid = self.grid_map(statistic, absolute=absolute)
+        thresh = self.fmt.get('densitythreshold', 0)
+        if thresh and absolute and statistic != 'count':
+            counts = self.grid_map('count', absolute=True)
+            grid = np.where(counts >= thresh, grid, np.nan)
+        return grid
+
     def plot_grid(self, statistic: str = 'mean', fname: Optional[str] = None,
                   absolute: bool = False, grid: Optional[np.ndarray] = None,
                   label: Optional[str] = None) -> str:
         import matplotlib.pyplot as plt
 
         if grid is None:
-            grid = self.grid_map(statistic, absolute=absolute)
-            if statistic != 'count':
-                # densitythreshold masks under-sampled cells of absolute
-                # (all-observation) grids; station-mean grids stay unmasked
-                thresh = self.fmt.get('densitythreshold', 0)
-                if thresh and absolute:
-                    counts = self.grid_map('count', absolute=True)
-                    grid = np.where(counts >= thresh, grid, np.nan)
+            grid = self.grid_map_masked(statistic, absolute=absolute)
         fig, ax = plt.subplots(figsize=(8, 6))
         vmin, vmax = self._color_limits(grid)
         im = ax.imshow(
@@ -625,7 +635,9 @@ class RaiderStats:
             ax.plot(t, sub[self.col_name], '.', ms=2, alpha=0.5)
             row = fits[fits['ID'] == sid].iloc[0]
             tt = np.linspace(t.min(), t.max(), 400)
-            t_ref_yr = np.floor(t.min())
+            # the fit's own epoch: a per-station epoch would offset the
+            # curve by trend x (epoch difference) for late-starting stations
+            t_ref_yr = row['fit_epoch_yr']
             curve = (row['mean'] + row['trend_per_year'] * (tt - t_ref_yr)
                      + row['annual_amplitude'] * np.sin(2 * np.pi * (tt - t_ref_yr) + row['annual_phase'])
                      + row['semiannual_amplitude'] * np.sin(4 * np.pi * (tt - t_ref_yr) + row['semiannual_phase']))
@@ -786,7 +798,7 @@ def stats_analyses(iargs: Optional[List[str]] = None) -> None:
         ('stdev', args.grid_delay_absolute_stdev, True),
     ):
         if flag:
-            g = stats.grid_map(stat, absolute=absolute)
+            g = stats.grid_map_masked(stat, absolute=absolute)
             tag = f"grid_{'absolute_' if absolute else ''}{stat}"
             logger.info('Wrote %s', stats.plot_grid(stat, absolute=absolute, grid=g,
                                                     fname=f'{tag}.png'))
@@ -798,8 +810,21 @@ def stats_analyses(iargs: Optional[List[str]] = None) -> None:
             ('annual_phase', args.grid_seasonal_absolute_phase, 'grid_seasonal_absolute_phase'),
         ):
             if flag:
-                g = grid_statistic(seasonal['Lat'], seasonal['Lon'], seasonal[col],
-                                   stats.lat_edges, stats.lon_edges, 'mean')
+                if 'absolute' in tag:
+                    # observation-weighted cell mean: the per-station value
+                    # on EVERY observation row, like the reference's
+                    # groupby('gridnode')['phsfit'].mean() over all rows
+                    # (statsPlot.py:2083-2090) - vs the station-mean cell
+                    # average of the non-absolute variant. (Arithmetic mean
+                    # of a wrapped phase matches the reference; a circular
+                    # mean would differ near the wrap point.)
+                    merged = stats.df[['ID', 'Lat', 'Lon']].merge(
+                        seasonal[['ID', col]], on='ID', how='inner')
+                    g = grid_statistic(merged['Lat'], merged['Lon'], merged[col],
+                                       stats.lat_edges, stats.lon_edges, 'mean')
+                else:
+                    g = grid_statistic(seasonal['Lat'], seasonal['Lon'], seasonal[col],
+                                       stats.lat_edges, stats.lon_edges, 'mean')
                 logger.info('Wrote %s', stats.plot_grid(col, grid=g, label=col,
                                                         fname=f'{tag}.png'))
                 rasters.append((f'{tag}.tif', g))

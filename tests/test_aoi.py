@@ -111,3 +111,34 @@ class TestGeocodedFile:
         x, y = aoi.readLL()
         assert z.shape == (569, 558)
         assert x.shape == z.shape
+
+
+def test_stationfile_readz_fills_from_dem(tmp_path):
+    """A station CSV without Hgt_m gets heights sampled from the DEM as a
+    1-D per-station array (regression: the reference's np.diag applied to
+    our pairwise interpolate_dem produced an (n, n) matrix and crashed the
+    Hgt_m assignment)."""
+    import pandas as pd
+
+    from raider_tpu.geodesy import Geographic
+    from raider_tpu.geometry.aoi import StationFile
+    from raider_tpu.io.geotiff import write_gtiff
+
+    # 1-deg DEM tile around the stations, height = 100*row + col
+    dem = (100.0 * np.arange(20)[:, None] + np.arange(30)[None, :]).astype(np.float32)
+    dem_path = tmp_path / 'dem.tif'
+    # origin lon -118.5, lat top 34.5, 0.05-deg pixels (north-up)
+    write_gtiff(dem, str(dem_path), crs=Geographic(),
+                transform=(-118.5, 0.05, 0.0, 34.5, 0.0, -0.05))
+
+    csv = tmp_path / 'stations.csv'
+    pd.DataFrame({'ID': ['AAAA', 'BBBB', 'CCCC'],
+                  'Lat': [34.475, 34.125, 33.575],
+                  'Lon': [-118.475, -117.725, -117.025]}).to_csv(csv, index=False)
+    aoi = StationFile(str(csv), demFile=str(dem_path))
+    z = aoi.readZ()
+    assert np.asarray(z).shape == (3,)
+    # nearest pixel centers: rows 0/7/18, cols 0/15/29
+    np.testing.assert_allclose(z, [0.0, 715.0, 1829.0])
+    # and the CSV was updated in place with the new column
+    assert 'Hgt_m' in pd.read_csv(csv).columns

@@ -152,11 +152,16 @@ class TestGunwPackaging:
 
 
 class TestGnssParsing:
-    def _make_trop_zip(self, path: Path, station: str = 'TORP', year: int = 2020, doy: int = 30):
-        """Synthetic UNR SINEX-trop archive: zip of gzipped daily files."""
+    def _make_trop_zip(self, path: Path, station: str = 'TORP', year: int = 2020, doy: int = 30,
+                       skip=()):
+        """Synthetic UNR SINEX-trop archive: zip of gzipped daily files.
+        Epochs (seconds of day) in ``skip`` are omitted, like real archives
+        with data gaps."""
         lines = ['%=TRO\n', '+TROP/SOLUTION\n',
                  '*SITE EPOCH TROTOT STDDEV TRWET TGETOT STDDEV TGNTOT STDDEV WVAPOR STDDEV MTEMP\n']
         for k, sec in enumerate(range(0, 86400, 300)):
+            if sec in skip:
+                continue
             trotot = 2400.0 + k * 0.1   # mm
             trwet = 100.0 + k * 0.05
             lines.append(
@@ -186,6 +191,25 @@ class TestGnssParsing:
         get_delays_UNR(str(zpath), out2, ['2020-01-30'], returnTime=3600)
         df2 = pd.read_csv(out2)
         assert len(df2) == 1 and df2['times'].iloc[0] == 3600
+
+    def test_return_time_skips_missing_epochs(self, tmp_path):
+        """With a data gap, returnTime must pick the nearest epoch WITH
+        data in the re-aligned arrays - the reference indexes the raw epoch
+        list after re-aligning the delays to the full 300 s grid
+        (getStationDelays.py:137-167) and returns another epoch's value."""
+        from raider_tpu.workflows.gnss import get_delays_UNR
+
+        zpath = tmp_path / 'TORP.2020.trop.zip'
+        self._make_trop_zip(zpath, skip=(300,))
+        out = tmp_path / 'TORP_gap.csv'
+        # 400 s is nearest to the MISSING 300 s slot; the nearest epoch
+        # with data is 600 s (k=2 -> TROTOT 2400.2 mm)
+        get_delays_UNR(str(zpath), out, ['2020-01-30'], returnTime=400)
+        df = pd.read_csv(out)
+        assert len(df) == 1
+        assert df['times'].iloc[0] == 600
+        np.testing.assert_allclose(df['ZTD'].iloc[0], 2.4002)
+        assert np.isfinite(df['ZTD'].iloc[0])
 
     def test_combine_and_merge(self, tmp_path):
         from raider_tpu.workflows.gnss_combine import combineDelayFiles, main

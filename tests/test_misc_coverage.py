@@ -98,6 +98,19 @@ class TestAWS:
         assert calls[0] == ('download', 'bkt', 'jobs/1/product.nc', 'product.nc')
         assert get_s3_file('bkt', 'jobs/1', '.zip') is None
 
+    def test_get_s3_file_empty_prefix_returns_none(self, monkeypatch):
+        """boto3 omits 'Contents' when nothing matches the prefix; the
+        caller (calcDelaysGUNW) relies on None for its graceful error."""
+        from raider_tpu.workflows.aws import get_s3_file
+
+        class Client:
+            def list_objects_v2(self, Bucket, Prefix):
+                return {'KeyCount': 0}
+
+        monkeypatch.setitem(sys.modules, 'boto3',
+                            types.SimpleNamespace(client=lambda kind: Client()))
+        assert get_s3_file('bkt', 'nothing/here', '.nc') is None
+
 
 # -------------------------------------------------------------- dispatcher
 class TestDispatcher:

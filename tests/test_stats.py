@@ -283,3 +283,43 @@ class TestCoastlines:
         assert draw_coastlines(ax2) == 0
         plt.close(fig)
         plt.close(fig2)
+
+
+def test_absolute_phase_grid_is_observation_weighted(tmp_path):
+    """grid_seasonal_absolute_phase weights every OBSERVATION (reference:
+    statsPlot.py:2083-2090 grids phsfit over all rows), while
+    grid_seasonal_phase averages per-station values - with unequal station
+    observation counts the two products must differ."""
+    import datetime as dtm
+
+    from raider_tpu.io.geotiff import read_gtiff
+    from raider_tpu.workflows.stats import stats_analyses
+
+    rng = np.random.default_rng(3)
+    rows = []
+    t0 = dtm.datetime(2020, 1, 1)
+    # one grid cell, two stations: A daily (phase 0.3), B sparse (phase 1.2)
+    for name, lat, lon, phase, step in (('AAAA', 33.2, -117.8, 0.3, 1),
+                                        ('BBBB', 33.4, -117.6, 1.2, 10)):
+        for d in range(0, 920, step):
+            t = t0 + dtm.timedelta(days=d)
+            fy = d / 365.25
+            v = 2.3 + 0.03 * np.sin(2 * np.pi * fy + phase)
+            rows.append({'ID': name, 'Lat': lat, 'Lon': lon, 'Hgt_m': 10.0,
+                         'Datetime': t, 'ZTD': v + rng.normal(0, 1e-5),
+                         'sigZTD': 0.004})
+    csv = tmp_path / 'two_station.csv'
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    stats_analyses(['-f', str(csv), '-w', str(tmp_path), '--spacing', '5.0',
+                    '-min_span', '2', '0.05',
+                    '-grid_seasonal_phase', '-grid_seasonal_absolute_phase',
+                    '-grid_to_raster'])
+    g_st, _ = read_gtiff(str(tmp_path / 'grid_seasonal_phase.tif'))
+    g_abs, _ = read_gtiff(str(tmp_path / 'grid_seasonal_absolute_phase.tif'))
+    cell_st = np.nanmean(g_st)
+    cell_abs = np.nanmean(g_abs)
+    # station mean ~ (0.3 + 1.2)/2 (up to the epoch's constant phase shift);
+    # absolute is pulled toward the daily station's phase
+    assert abs(cell_st - cell_abs) > 0.2
+    assert abs((cell_st - cell_abs) - (0.75 - (920 * 0.3 + 92 * 1.2) / 1012)) < 0.1
