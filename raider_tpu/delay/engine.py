@@ -193,7 +193,16 @@ def _get_delays_on_cube(datetime, wm: WeatherCube, weather_model_file, aoi,
     if not hasattr(aoi, 'xpts'):
         x_spacing = np.diff(wm.xs).mean()
         y_spacing = np.diff(wm.ys).mean()
-        aoi.set_output_spacing(ll_res=float(min(x_spacing, y_spacing)))
+        res = float(min(x_spacing, y_spacing))
+        if not wm.crs.is_geographic:
+            # projected-CRS models (HRRR) have native axes in METERS;
+            # set_output_spacing expects degrees. Uses the same 1e5 m/deg
+            # heuristic as the reference's cube_spacing_m conversion
+            # (llreader.py:86); the reference passes native units through
+            # unconverted here (delay.py:142) but only ever reaches this
+            # branch with _cube_spacing_m unset, which its CLI never does.
+            res /= 1e5
+        aoi.set_output_spacing(ll_res=res)
         aoi.set_output_xygrid(crs)
 
     from raider_tpu.utils.profiling import stage

@@ -380,24 +380,35 @@ def integrate_rays_windowed(cube_wet, cube_hydro, ys, xs, zs,
     ay_np, ax_np, my_np, mx_np = (np.asarray(v) for v in (ay, ax, my, mx))
 
     # anchors must land on the HBM (8,128) tiling: quantize down and absorb
-    # the slack in the window size. Spreads must then fit the windows
-    # (+2 covers the upper-cell corner); all-invalid (tile, group) pairs
-    # have my = -1 << ay and drop out
+    # the slack in the window size. Spreads must fit the windows AFTER the
+    # in-bounds clip below - clipping moves anchors down, growing the
+    # effective spread, so a pre-clip check wrongly admits rays near the
+    # top rows (e.g. ny=54, iy=53: pre-clip anchor 48 passes an 8-bucket,
+    # the clip to 40 makes dy=13 and the kernel NaNs those pixels). The +2
+    # covers the upper-cell corner; all-invalid (tile, group) pairs have
+    # my = -1 << ay and drop out.
     ay_np = (ay_np // 8) * 8
     ax_np = (ax_np // 128) * 128
-    spread_y = int(np.maximum(my_np - ay_np, -1).max(initial=-1)) + 2
-    spread_x = int(np.maximum(mx_np - ax_np, -1).max(initial=-1)) + 2
-    wy = next((b for b in WY_BUCKETS if spread_y <= b), None)
-    if wy is None or spread_x > WX:
-        return None, None, False
 
-    # clip anchors so windows stay in-bounds; pad cube x to lane multiples
-    ay_np = np.clip(np.minimum(ay_np, ((ny - wy) // 8) * 8), 0,
-                    max(ny - wy, 0))
     nxp = -(-nx // 128) * 128
     if nxp < WX:
         nxp = WX
     ax_np = np.clip(np.minimum(ax_np, nxp - WX), 0, max(nxp - WX, 0))
+    spread_x = int(np.maximum(mx_np - ax_np, -1).max(initial=-1)) + 2
+    if spread_x > WX:
+        return None, None, False
+
+    # pick the smallest y bucket whose CLIPPED anchors still fit the spread
+    wy = None
+    for b in WY_BUCKETS:
+        ay_b = np.clip(np.minimum(ay_np, ((ny - b) // 8) * 8), 0,
+                       max(ny - b, 0))
+        if int(np.maximum(my_np - ay_b, -1).max(initial=-1)) + 2 <= b:
+            wy = b
+            ay_np = ay_b
+            break
+    if wy is None:
+        return None, None, False
 
     # z anchors: shift so [za, za+planes) is in-bounds, adjust dzoff
     za = np.asarray(plan.anchor, np.int32)

@@ -49,6 +49,12 @@ import numpy as np
 
 from raider_tpu.constants import MAX_SEGMENT_LENGTH
 
+# cell location shares ops.interp's bracketing (uniform fast path,
+# searchsorted otherwise, degenerate single-node axes clamp to cell 0):
+# ONE definition keeps the integrate kernels and interp3d_points on
+# identical boundary semantics
+from raider_tpu.ops.interp import _locate as _locate_uniformish
+
 # switch to the 4-value packing above this packed-cube size
 _PACK16_BYTE_LIMIT = 3 * 1024**3
 # brick (grouped-gather) table limit and geometry: 7 z-planes x 3x3 corners
@@ -58,6 +64,38 @@ _BRICK_GROUP_MAX = 6
 
 _CORNERS = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
             (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)]
+
+
+def _dedup_point_walk(n_parts, gap_bounds=None):
+    """The deduplicated sample-point walk that DEFINES the quadrature for
+    both the point plan (build_sampling_plan) and the grouped brick plan
+    (build_group_plan): bottom boundary, interior samples, shared/top
+    boundary per level, with trapezoid end-weights 0.5.
+
+    Yields (lvl, frac, wa_lvl, wa, wb_lvl, wb, gap) tuples; ``gap`` is the
+    per-point horizontal-motion bound derived from ``gap_bounds`` (per-level
+    max motion; used by the greedy brick grouping), np.inf for the bottom
+    boundary (a group can always start there), and 0.0 when no bounds are
+    given. One definition: a change to the nParts rule or dedup scheme
+    otherwise has to be mirrored by hand in two walks or the brick and
+    point kernels integrate different quadratures."""
+    L = len(n_parts)
+    for zz, nparts in enumerate(n_parts):
+        inv = 1.0 / (nparts - 1.0)
+        if gap_bounds is None:
+            gap = 0.0
+        else:
+            g = gap_bounds[zz]
+            gap = 0.0 if not np.isfinite(g) else float(g) * inv
+        if zz == 0:
+            yield (0, 0.0, 0, 0.5 * inv, 0, 0.0, np.inf)   # bottom boundary
+        for j in range(1, nparts - 1):                      # interior samples
+            yield (zz, j * inv, zz, inv, zz, 0.0, gap)
+        if zz + 1 < L:                                      # shared boundary
+            inv_next = 1.0 / (n_parts[zz + 1] - 1.0)
+            yield (zz + 1, 0.0, zz, 0.5 * inv, zz + 1, 0.5 * inv_next, gap)
+        else:                                               # top boundary
+            yield (zz, 1.0, zz, 0.5 * inv, zz, 0.0, gap)
 
 
 def build_sampling_plan(ray_lengths_max: np.ndarray,
@@ -84,28 +122,8 @@ def build_sampling_plan(ray_lengths_max: np.ndarray,
     # give ceil(0) + 1 = 1, which would divide by zero below
     n_parts = np.maximum(
         np.ceil(np.asarray(ray_lengths_max) / max_segment_length).astype(int) + 1, 2)
-    L = len(n_parts)
-    coord_lvl, fracs, wa_lvl, wa, wb_lvl, wb = [], [], [], [], [], []
-
-    def add(lvl, ff, la, ca, lb, cb):
-        coord_lvl.append(lvl)
-        fracs.append(ff)
-        wa_lvl.append(la)
-        wa.append(ca)
-        wb_lvl.append(lb)
-        wb.append(cb)
-
-    for zz, nparts in enumerate(n_parts):
-        inv = 1.0 / (nparts - 1.0)
-        if zz == 0:
-            add(0, 0.0, 0, 0.5 * inv, 0, 0.0)          # bottom boundary
-        for j in range(1, nparts - 1):                  # interior samples
-            add(zz, j * inv, zz, inv, zz, 0.0)
-        if zz + 1 < L:                                  # shared boundary
-            inv_next = 1.0 / (n_parts[zz + 1] - 1.0)
-            add(zz + 1, 0.0, zz, 0.5 * inv, zz + 1, 0.5 * inv_next)
-        else:                                           # top boundary
-            add(zz, 1.0, zz, 0.5 * inv, zz, 0.0)
+    pts = list(_dedup_point_walk(n_parts))
+    coord_lvl, fracs, wa_lvl, wa, wb_lvl, wb, _ = map(list, zip(*pts))
     return (
         np.asarray(coord_lvl, dtype=np.int32),
         np.asarray(fracs),
@@ -145,26 +163,6 @@ def _pack_cubes(cube_wet, cube_hydro, mode: str):
     return packed.reshape(nz * ny * nx, len(rows))
 
 
-def _locate_uniformish(axis_np, coords):
-    """Cell index + fraction + in-bounds along one static ascending axis."""
-    axis_np = np.asarray(axis_np)
-    n = axis_np.shape[0]
-    lo, hi = float(axis_np[0]), float(axis_np[-1])
-    in_b = (coords >= lo) & (coords <= hi)
-    if n < 2:
-        # degenerate single-node axis: everything clamps to cell 0
-        return jnp.zeros_like(coords, jnp.int32), jnp.zeros_like(coords), in_b
-    diffs = np.diff(axis_np)
-    if np.allclose(diffs, diffs[0], rtol=1e-6, atol=0.0):
-        step = (hi - lo) / (n - 1)
-        pos = (coords - lo) / step
-        idx = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
-        frac = pos - idx
-    else:
-        grid = jnp.asarray(axis_np, dtype=coords.dtype)
-        idx = jnp.clip(jnp.searchsorted(grid, coords, side='right') - 1, 0, n - 2)
-        frac = (coords - grid[idx]) / (grid[idx + 1] - grid[idx])
-    return idx, frac, in_b
 
 
 @partial(jax.jit, static_argnames=('ys', 'xs', 'zs', 'z_clip', 'mode'))
@@ -323,20 +321,9 @@ def build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
     min_cell = float(cell_sizes.min()) if cell_sizes.size else np.inf
 
     # flat dedup point list: (lvl, frac, wa_lvl, wa, wb_lvl, wb, gap_bound)
-    pts = []
-    for zz, nparts in enumerate(n_parts):
-        inv = 1.0 / (nparts - 1.0)
-        gap = (0.0 if not np.isfinite(hstep_max[zz])
-               else float(hstep_max[zz]) * inv)
-        if zz == 0:
-            pts.append((0, 0.0, 0, 0.5 * inv, 0, 0.0, np.inf))
-        for j in range(1, nparts - 1):
-            pts.append((zz, j * inv, zz, inv, zz, 0.0, gap))
-        if zz + 1 < L:
-            inv_next = 1.0 / (n_parts[zz + 1] - 1.0)
-            pts.append((zz + 1, 0.0, zz, 0.5 * inv, zz + 1, 0.5 * inv_next, gap))
-        else:
-            pts.append((zz, 1.0, zz, 0.5 * inv, zz, 0.0, gap))
+    # - the SAME walk build_sampling_plan uses, so both kernels integrate
+    # one quadrature
+    pts = list(_dedup_point_walk(n_parts, gap_bounds=hstep_max))
 
     # static z-cell per point from the heights chain (sagitta-free lerp)
     def hint_of(lvl, frac):

@@ -289,7 +289,10 @@ class Geocube(AOI):
 
         ds = read_nc(self.path)
         lats, lons = self._latlon(ds)
-        return np.meshgrid(lats, lons)
+        # (ny, nx) grids with latitude varying along ROWS, matching every
+        # other AOI's convention (meshgrid(lats, lons) would transpose)
+        lon_grid, lat_grid = np.meshgrid(lons, lats)
+        return lat_grid, lon_grid
 
     def readZ(self):
         from raider_tpu.io import read_nc

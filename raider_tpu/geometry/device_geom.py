@@ -52,6 +52,17 @@ class OrbitPoly(NamedTuple):
     coeffs: jnp.ndarray
 
 
+def split_f64(arr):
+    """float64 -> (hi, lo) float32 pair, host-side df64 packing:
+    hi = round-to-f32, lo = the exact rounding residual. The ONE definition
+    every upload site uses - a subtly inconsistent copy (e.g. skipping the
+    .astype(np.float64) round-trip) would silently discard the low word."""
+    a = np.asarray(arr, dtype=np.float64)
+    hi = a.astype(np.float32)
+    lo = (a - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
 def build_orbit_poly(orbit: Orbit) -> OrbitPoly:
     """Host-side: exact degree-7 monomial form of each Hermite window.
 
@@ -77,9 +88,7 @@ def build_orbit_poly(orbit: Orbit) -> OrbitPoly:
         coeffs[w] = np.linalg.solve(v, pos)
 
     def _pack(x):
-        hi = x.astype(np.float32)
-        lo = (x - hi.astype(np.float64)).astype(np.float32)
-        return jnp.asarray(np.stack([hi, lo], axis=-1))
+        return jnp.asarray(np.stack(split_f64(x), axis=-1))
 
     return OrbitPoly(times=times, t_c=_pack(t_c), coeffs=_pack(coeffs))
 
@@ -246,8 +255,7 @@ def geo2rdr_device(poly: OrbitPoly, targ_xyz_f64: np.ndarray, maxiter: int = 15)
     Returns (aztime DF, sat_pos (hi, lo) arrays (..., 3), slant_range DF).
     """
     targ = np.asarray(targ_xyz_f64, dtype=np.float64)
-    hi = targ.astype(np.float32)
-    lo = (targ - hi.astype(np.float64)).astype(np.float32)
+    hi, lo = split_f64(targ)
     t_mid = np.float32(0.5 * (poly.times[0] + poly.times[-1]))
     t_init = jnp.full(targ.shape[:-1], t_mid, dtype=jnp.float32)
     out = _geo2rdr_df_impl(
@@ -531,8 +539,7 @@ def build_ray_device(heights_chain: np.ndarray, xyz_f64: np.ndarray, look_f32):
     chain: returns (ray_lengths (L, N) f32, pts (L+1, N, 3, 2) df64 pairs).
     """
     xyz = np.asarray(xyz_f64, dtype=np.float64).reshape(-1, 3)
-    hi = jnp.asarray(xyz.astype(np.float32))
-    lo = jnp.asarray((xyz - xyz.astype(np.float32).astype(np.float64)).astype(np.float32))
+    hi, lo = (jnp.asarray(v) for v in split_f64(xyz))
     look = jnp.asarray(np.asarray(look_f32, dtype=np.float32).reshape(-1, 3))
     n = xyz.shape[0]
 
@@ -577,8 +584,7 @@ def look_vectors_device(poly: OrbitPoly, xyz_f64: np.ndarray):
     """
     _, (p_hi, p_lo), sr = geo2rdr_device(poly, xyz_f64)
     targ = np.asarray(xyz_f64, dtype=np.float64).reshape(-1, 3)
-    t_hi = jnp.asarray(targ.astype(np.float32))
-    t_lo = jnp.asarray((targ - targ.astype(np.float32).astype(np.float64)).astype(np.float32))
+    t_hi, t_lo = (jnp.asarray(v) for v in split_f64(targ))
     return _look_from_sat(p_hi.reshape(-1, 3), p_lo.reshape(-1, 3),
                           t_hi, t_lo, sr.hi.reshape(-1))
 
@@ -855,8 +861,7 @@ def _ab_tables(heights_chain: np.ndarray):
     b_ax = float(WGS84_A) * np.sqrt(1.0 - float(_e2))
     ab = np.stack([1.0 / (float(WGS84_A) + heights_chain) ** 2,
                    1.0 / (b_ax + heights_chain) ** 2], axis=-1)
-    ab_hi = ab.astype(np.float32)
-    ab_lo = (ab - ab_hi.astype(np.float64)).astype(np.float32)
+    ab_hi, ab_lo = split_f64(ab)
     return ab_hi, ab_lo
 
 
@@ -911,9 +916,7 @@ def _ground_geometry(lat: np.ndarray, lon: np.ndarray):
                      np.sin(phi)], axis=-1)
 
     def up(a):
-        hi = a.astype(np.float32)
-        lo = (a - hi.astype(np.float64)).astype(np.float32)
-        return jnp.asarray(hi), jnp.asarray(lo)
+        return tuple(jnp.asarray(v) for v in split_f64(a))
 
     out = (*up(xyz0), *up(nvec))
     while len(_GROUND_CACHE) >= 2:
@@ -1015,8 +1018,7 @@ def raytrace_slice_device_fused(poly: OrbitPoly, xyz_f64: np.ndarray,
 
     heights_chain = np.asarray(heights_chain, dtype=np.float64)
     targ = np.asarray(xyz_f64, dtype=np.float64).reshape(-1, 3)
-    hi = targ.astype(np.float32)
-    lo = (targ - hi.astype(np.float64)).astype(np.float32)
+    hi, lo = split_f64(targ)
     t_mid = np.float32(0.5 * (poly.times[0] + poly.times[-1]))
     t_init = jnp.full(targ.shape[0], t_mid, dtype=jnp.float32)
 

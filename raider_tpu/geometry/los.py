@@ -145,9 +145,13 @@ class Raytracing(LOS):
     def getLookDirection(self) -> str:
         return self._look_dir
 
-    def setTime(self, time, pad: int = 600) -> None:
+    def setTime(self, time, pad: Optional[int] = None) -> None:
+        # default to the pad the instance was constructed with, not a fresh
+        # 600 s (a caller's wider constructor pad would otherwise be
+        # silently discarded on reload)
         self._time = time
-        self._orbit = get_orbit(self._file, self._time, pad=pad)
+        self._orbit = get_orbit(self._file, self._time,
+                                pad=self._pad if pad is None else pad)
 
     def getLookVectors(self, ht, llh, xyz, yy=None):
         """Unit look vectors (target -> sensor, ECEF) for a pixel grid.

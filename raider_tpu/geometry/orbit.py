@@ -83,6 +83,10 @@ def read_txt_file(filename) -> Tuple[list, np.ndarray, np.ndarray]:
             try:
                 t.append(dt.datetime.fromisoformat(parts[0]))
                 vals = [float(v) for v in parts[1:7]]
+                if len(vals) != 6:
+                    # slicing never raises: a 4-6 column row would silently
+                    # yield malformed (n, <3) velocity arrays downstream
+                    raise ValueError('short row')
             except (ValueError, IndexError):
                 raise ValueError(
                     f'I need {filename} to be a 7 column text file with columns '
@@ -179,7 +183,9 @@ def get_orbit(orbit_file: Union[str, list, PosixPath], ref_time: dt.datetime, pa
     if esa and ref_time is not None:
         candidates = sorted(set(map(str, esa)))
         candidates = [f for f in candidates if _filter_safe(f)] or candidates
-        files = candidates
+        # time-filter only the EOF subset; non-EOF statevector files the
+        # caller passed alongside still contribute
+        files = [f for f in files if not str(f).endswith('.EOF')] + candidates
     for f in files:
         t, pos, vel = _try_parse(f)
         t_all.extend(t)

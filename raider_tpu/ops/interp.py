@@ -76,6 +76,10 @@ def _locate(axis_np: np.ndarray, coords):
     coords = jnp.asarray(coords)
     in_bounds = (coords >= lo) & (coords <= hi)
 
+    if n < 2:
+        # degenerate single-node axis: everything clamps to cell 0
+        return jnp.zeros_like(coords, jnp.int32), jnp.zeros_like(coords), in_bounds
+
     diffs = np.diff(axis_np)
     uniform = np.allclose(diffs, diffs[0], rtol=1e-6, atol=0.0)
     if uniform and n > 1:

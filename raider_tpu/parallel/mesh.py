@@ -103,9 +103,11 @@ def shard_rays(fn: Callable, mesh: Optional[Mesh] = None, ray_axis_argnums=(),
     """
     mesh = mesh or get_mesh()
     n_dev = mesh.devices.size
+    # jit ONCE: a fresh wrapper per call would key a new trace cache and
+    # recompile every invocation of the wrapped function
+    jitted = jax.jit(fn)
 
     def call(*args):
-        jitted = jax.jit(fn)
         placed = []
         orig_n = None
         for i, a in enumerate(args):

@@ -15,11 +15,11 @@ from raider_tpu.geometry.rays import level_heights
 
 
 def make_scene(rng, nyo=40, nxo=48, azimuth=0.7, azi_jitter=0.02,
-               zen=(20.0, 40.0)):
+               zen=(20.0, 40.0), ny_cube=64, ypix_band=(33.1, 33.2)):
     """Coherent ray grid over a cube big enough for the window kernel."""
     zs = np.concatenate([np.arange(-500.0, 3000.0, 500.0),
                          np.arange(3000.0, 12001.0, 1500.0)])
-    ys = 33.0 + 0.01 * np.arange(64)           # uniform, ny=64 >= 32
+    ys = 33.0 + 0.01 * np.arange(ny_cube)      # uniform, ny >= 48 gate
     xs = -118.0 + 0.01 * np.arange(140)        # uniform, nx=140 >= 128
     wet = rng.uniform(0.5, 2.0, (zs.size, ys.size, xs.size))
     hydro = rng.uniform(1.0, 4.0, (zs.size, ys.size, xs.size))
@@ -29,7 +29,7 @@ def make_scene(rng, nyo=40, nxo=48, azimuth=0.7, azi_jitter=0.02,
     n = nyo * nxo
     # output pixels finer than cube cells (the production shape: 2 km
     # output cubes on >= 3 km weather grids)
-    ypix = np.linspace(33.1, 33.2, nyo)
+    ypix = np.linspace(*ypix_band, nyo)
     xpix = np.linspace(-117.9, -117.7, nxo)
     y0 = np.repeat(ypix, nxo)
     x0 = np.tile(xpix, nyo)
@@ -138,3 +138,23 @@ class TestWindowedEquivalence:
         w_b, _ = run_brick(sc)
         np.testing.assert_allclose(np.asarray(w_w), np.asarray(w_b),
                                    rtol=3e-6)
+
+
+class TestTopRowAnchors:
+    def test_top_rows_never_silently_nan(self, rng):
+        """Rays near the cube's top y rows on a non-multiple-of-8 ny: the
+        anchor in-bounds clip moves windows DOWN, growing the effective
+        spread past the measured one. The kernel must either fit a bigger
+        bucket or decline (used=False) - never return used=True with NaNs
+        for in-bounds rays (regression: the spread check ran pre-clip)."""
+        # ny=54: top rows 48..53 are unreachable by an 8-aligned window
+        sc = make_scene(rng, ny_cube=54, ypix_band=(33.50, 33.52),
+                        azimuth=np.pi)   # southward rays stay in the cube
+        w_w, h_w, used = run_window(sc)
+        if used:
+            w_b, h_b = run_brick(sc)
+            w_w, h_w = np.asarray(w_w), np.asarray(h_w)
+            assert np.isfinite(w_w).all()
+            np.testing.assert_allclose(w_w, np.asarray(w_b), rtol=3e-6)
+            np.testing.assert_allclose(h_w, np.asarray(h_b), rtol=3e-6)
+        # else: declined safely - the engine falls back to the brick kernel
