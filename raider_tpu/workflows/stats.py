@@ -656,9 +656,10 @@ class RaiderStats:
         return out
 
 
-def stats_analyses(iargs: Optional[List[str]] = None) -> None:
-    """raiderStats CLI (capability parity: statsPlot.py:2780; flag names match
-    the reference parser statsPlot.py:60-382)."""
+def create_parser() -> argparse.ArgumentParser:
+    """Build the raiderStats argument parser (flag-surface parity with the
+    reference parser statsPlot.py:60-382 plus the shared add_cpus flag,
+    cli/parser.py:8-14)."""
     p = argparse.ArgumentParser(
         description='Statistical analyses of GNSS/model zenith delay files',
     )
@@ -719,6 +720,19 @@ def stats_analyses(iargs: Optional[List[str]] = None) -> None:
                    choices=['exponential', 'gaussian'])
     p.add_argument('-verbose', '--verbose', action='store_true',
                    help='Run in verbose (debug) mode. Default False')
+    # accepted for CLI compatibility with the reference (cli/parser.py:8-14);
+    # the vectorized implementation needs no worker pool, so the value is
+    # ignored ('all' mirrors the reference default)
+    p.add_argument('--cpus', default='all',
+                   help='Ignored (kept for reference-CLI compatibility): '
+                        'the analyses are vectorized, not multiprocessed.')
+    return p
+
+
+def stats_analyses(iargs: Optional[List[str]] = None) -> None:
+    """raiderStats CLI (capability parity: statsPlot.py:2780; flag names match
+    the reference parser statsPlot.py:60-382)."""
+    p = create_parser()
     args = p.parse_args(iargs)
     if args.verbose:
         import logging

@@ -122,3 +122,57 @@ class TestLiveDEM:
             [34.0, 34.1, -118.2, -118.1],
             writeDEM=True, outName=str(tmp_path / 'glo30.dem'))
         assert np.isfinite(np.asarray(hgts)).any()
+
+
+class TestLiveScenario1ERA5:
+    """Reproduce the reference's per-model scenario-1 regression for ERA5
+    (reference: test/_scenario_1.py:20-144): fetch the 2020-01-03T23 Mexico
+    scene live, run the full pipeline (fetch -> load -> ZTD cube -> sample at
+    the scenario's radar-coordinate query rasters), and compare wet/hydro
+    against the stored golden rasters at the reference's rtol = 1e-2."""
+
+    SCENARIO = pathlib.Path('/root/reference/test/scenario_1')
+    GEOM = pathlib.Path('/root/reference/test/test_geom')
+
+    def test_scenario_1_era5_zenith(self, tmp_path):
+        pytest.importorskip('cdsapi')
+        if not (pathlib.Path.home() / '.cdsapirc').exists() \
+                and 'CDSAPI_KEY' not in os.environ:
+            pytest.skip('no CDS credentials')
+        if not _has_egress():
+            pytest.skip('no network egress')
+        if not (self.SCENARIO / 'ERA5' / 'wet.envi').exists():
+            pytest.skip('reference scenario_1 data not available')
+
+        from raider_tpu.delay.engine import tropo_delay
+        from raider_tpu.geometry.aoi import RasterRDR
+        from raider_tpu.geometry.los import Zenith
+        from raider_tpu.io.rasters import rio_open
+        from raider_tpu.wx.ecmwf import ERA5
+        from raider_tpu.wx.process import prepareWeatherModel
+
+        time = dt.datetime(2020, 1, 3, 23, 0)
+        ll_bounds = (15.75, 18.25, -103.24, -99.75)
+
+        model = ERA5()
+        model.set_wmLoc(str(tmp_path))
+        wm_file = prepareWeatherModel(model, time, list(ll_bounds))
+
+        # the warped DEM is stored on the same 11x15 radar grid as lat/lon
+        # (reference passes heights=('dem', warpedDEM.dem))
+        aoi = RasterRDR(
+            str(self.SCENARIO / 'geom' / 'lat.dat'),
+            str(self.SCENARIO / 'geom' / 'lon.dat'),
+            hgt_file=str(self.GEOM / 'warpedDEM.dem'),
+        )
+        wet, hydro = tropo_delay(time, wm_file, aoi, Zenith(), zref=20000.0)
+
+        true_wet, _ = rio_open(str(self.SCENARIO / 'ERA5' / 'wet.envi'))
+        true_hydro, _ = rio_open(str(self.SCENARIO / 'ERA5' / 'hydro.envi'))
+        true_wet = np.where(true_wet == 0.0, np.nan, true_wet)
+        true_hydro = np.where(true_hydro == 0.0, np.nan, true_hydro)
+
+        wet = np.asarray(wet).reshape(true_wet.shape)
+        hydro = np.asarray(hydro).reshape(true_hydro.shape)
+        assert np.nanmax(np.abs((wet - true_wet) / true_wet)) < 1e-2
+        assert np.nanmax(np.abs((hydro - true_hydro) / true_hydro)) < 1e-2

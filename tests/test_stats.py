@@ -1,6 +1,7 @@
 """Stats subsystem: gridding, seasonal harmonic fits, variograms."""
 
 import datetime as dt
+import pathlib
 
 import numpy as np
 import pandas as pd
@@ -323,3 +324,36 @@ def test_absolute_phase_grid_is_observation_weighted(tmp_path):
     # absolute is pulled toward the daily station's phase
     assert abs(cell_st - cell_abs) > 0.2
     assert abs((cell_st - cell_abs) - (0.75 - (920 * 0.3 + 92 * 1.2) / 1012)) < 0.1
+
+
+class TestFlagSurfaceParity:
+    """Every flag the reference raiderStats parser exposes must parse here
+    (reference statsPlot.py:60-382 + the shared --cpus, cli/parser.py:8-14):
+    existing user scripts must run unmodified."""
+
+    REF_PARSER = pathlib.Path('/root/reference/tools/RAiDER/cli/statsPlot.py')
+
+    def _reference_flags(self):
+        import re
+        src = self.REF_PARSER.read_text()
+        flags = set()
+        for m in re.finditer(r"add_argument\(\s*'(-[^']+)'(?:,\s*'(--[^']+)')?",
+                             src):
+            flags.add(m.group(2) or m.group(1))
+        if 'add_cpus' in src:
+            flags.add('--cpus')
+        return sorted(flags)
+
+    @pytest.mark.skipif(not REF_PARSER.exists(),
+                        reason='reference source not available')
+    def test_every_reference_flag_parses(self):
+        from raider_tpu.workflows.stats import create_parser
+        p = create_parser()
+        ours = {s for a in p._actions for s in a.option_strings}
+        missing = [f for f in self._reference_flags() if f not in ours]
+        assert not missing, f'reference raiderStats flags not accepted: {missing}'
+
+    def test_cpus_is_accepted_and_ignored(self, tmp_path):
+        from raider_tpu.workflows.stats import create_parser
+        args = create_parser().parse_args(['-f', 'x.csv', '--cpus', '8'])
+        assert args.cpus == '8'
