@@ -41,6 +41,7 @@ ECEF-lerp-then-reproject sample heights to O(D^4 / R^3) (< 0.1 mm for 5 km
 segments) without needing f64 transforms per sample on device.
 """
 
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -57,10 +58,46 @@ from raider_tpu.ops.interp import _locate as _locate_uniformish
 
 # switch to the 4-value packing above this packed-cube size
 _PACK16_BYTE_LIMIT = 3 * 1024**3
-# brick (grouped-gather) table limit and geometry: 7 z-planes x 3x3 corners
-_BRICK_BYTE_LIMIT = 6 * 1024**3
+
+# Brick (grouped-gather) table geometry: a row holds planes x wy x wx x
+# {wet, hydro} corner values. Wider bricks admit more samples per group
+# (motion bound (wy-2) cells, z-span bound planes-2), i.e. FEWER gathers -
+# the dominant cost - at a larger table. Specs are tried in ladder order;
+# the first whose PADDED table (rows pad to 128-lane tiles in HBM) fits its
+# byte budget wins. (8, 4, 4) is 256 f32/row - exactly two 128-lane tiles,
+# no pad waste - and measured 7 groups vs (7, 3, 3)'s 11 on the bench
+# scenario (scripts/gather_sweep.py: gather cost is per-ROW, ~12.8 ns at
+# 256 lanes vs 11.5 at 128, so 7 x 12.8 beats 11 x 11.5 by ~1.4x).
+_BRICK_SPECS = (
+    # (planes, wy, wx, group_max, byte_limit)
+    (8, 4, 4, 24, 9 * 1024**3),
+    (7, 3, 3, 6, 6 * 1024**3),
+)
+# legacy aliases (the final-ladder fallback spec): tests and scripts
+# reference these for the conservative geometry
 _BRICK_PLANES = 7
 _BRICK_GROUP_MAX = 6
+_BRICK_BYTE_LIMIT = _BRICK_SPECS[-1][4]
+
+
+def _padded_row_width(width: int) -> int:
+    """HBM rows pad to 128-lane tiles (measured: f32[?,144] stores as 256)."""
+    return int(np.ceil(width / 128)) * 128
+
+
+def _brick_spec_for(cube_shape, dtype):
+    """The brick spec (planes, wy, wx, group_max) for this cube, or None.
+
+    Deterministic in (cube_shape, dtype) so ``pack_cubes`` and
+    ``integrate_rays`` independently agree on the table layout.
+    """
+    n_cells = int(np.prod(cube_shape))
+    itemsize = np.dtype(dtype).itemsize
+    for planes, wy, wx, gmax, limit in _BRICK_SPECS:
+        nbytes = n_cells * _padded_row_width(planes * wy * wx * 2) * itemsize
+        if nbytes <= limit:
+            return planes, wy, wx, gmax
+    return None
 
 _CORNERS = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
             (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)]
@@ -272,6 +309,7 @@ class GroupPlan:
     (static z-plane offset inside the brick row), ``zlo``/``zinv`` (static
     cell-bottom height and inverse thickness), ``pad`` (slot is padding);
     ``anchor`` is (n_groups,) - the static z-cell row of each group's brick.
+    ``planes``/``wy``/``wx`` record the brick extent the plan was built for.
     """
 
     def __init__(self, **kw):
@@ -288,15 +326,16 @@ class GroupPlan:
 
 def build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
                      max_segment_length: float = MAX_SEGMENT_LENGTH,
-                     group_max: int = None, planes: int = None):
+                     group_max: int = None, planes: int = None,
+                     wy: int = None, wx: int = None):
     """Group the deduplicated sampling plan for one-gather-per-group bricks.
 
     Greedy walk over the dedup plan: a group absorbs the next sample while
     (a) its size stays <= group_max, (b) the static z-cells of its samples
     span <= planes-2 brick planes, and (c) the summed per-gap horizontal
-    motion bound stays <= one grid cell, which guarantees every ray's group
-    touches at most 2 adjacent cells in y and in x (an interval of length
-    <= cell width crosses at most one grid plane).
+    motion bound stays <= (min(wy, wx) - 2) grid cells, which guarantees
+    every ray's group touches cells within a (wy-1) x (wx-1) window (an
+    interval of length <= k cell widths crosses at most k grid planes).
 
     Args:
         heights:   (L+1,) the level-boundary chain from ``level_heights``
@@ -304,9 +343,16 @@ def build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
                    heights-lerp exact up to the (tiny) sagitta dip.
         hstep_max: (L,) per-level max horizontal motion over all rays, in
                    model CRS units.
+        planes/wy/wx/group_max: brick extent; default to the spec
+                   :func:`_brick_spec_for` picks for this cube shape (f32).
     """
-    group_max = _BRICK_GROUP_MAX if group_max is None else group_max
-    planes = _BRICK_PLANES if planes is None else planes
+    if planes is None or wy is None or wx is None or group_max is None:
+        spec = _brick_spec_for((len(zs), len(ys), len(xs)), np.float32)
+        d_planes, d_wy, d_wx, d_gmax = spec if spec else _BRICK_SPECS[-1][:4]
+        planes = d_planes if planes is None else planes
+        wy = d_wy if wy is None else wy
+        wx = d_wx if wx is None else wx
+        group_max = d_gmax if group_max is None else group_max
     # clamp to >= 2: padded zero-length levels (device-geometry chains)
     # give ceil(0) + 1 = 1, which would divide by zero below
     n_parts = np.maximum(
@@ -332,7 +378,10 @@ def build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
 
     hints = [hint_of(p[0], p[1]) for p in pts]
 
-    # greedy grouping
+    # greedy grouping; the motion budget scales with the brick's horizontal
+    # extent: a group whose rays drift <= (min(wy,wx)-2) cells stays inside
+    # the (wy-1) x (wx-1) corner window from its min-cell anchor
+    motion_budget = (min(wy, wx) - 2) * min_cell
     groups, cur, cur_hints, cur_span = [], [], [], 0.0
     for p, h in zip(pts, hints):
         if cur:
@@ -340,7 +389,7 @@ def build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
             zmin = min(cur_hints + [h])
             zmax = max(cur_hints + [h])
             if (len(cur) < group_max and zmax - zmin <= planes - 2
-                    and nspan <= min_cell):
+                    and nspan <= motion_budget):
                 cur.append(p)
                 cur_hints.append(h)
                 cur_span = nspan
@@ -375,32 +424,66 @@ def build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
             arr['zlo'][gi, sj] = zs_np[h]
             arr['zinv'][gi, sj] = 1.0 / (zs_np[h + 1] - zs_np[h])
     return GroupPlan(anchor=anchor, pad=pad, G=G, planes=planes,
-                     **arr, **iarr)
+                     wy=wy, wx=wx, **arr, **iarr)
 
 
-@partial(jax.jit, static_argnames=('planes',))
-def _pack_bricks(cube_wet, cube_hydro, planes: int):
-    """Brick table: row(z,y,x) = [planes z][3 y][3 x][wet,hydro] corner block."""
+@partial(jax.jit, static_argnames=('planes', 'wy', 'wx', 'chunk'))
+def _pack_bricks_impl(cube_wet, cube_hydro, planes: int, wy: int, wx: int,
+                      chunk: int):
+    """Brick table: row(z,y,x) = [planes z][wy y][wx x][wet,hydro] corners.
+
+    Row (z,y,x) column (dz,dy,dx,field) holds cube[z+dz, y+dy, x+dx], zero
+    beyond the cube edge. Built in z-chunks inside one fori_loop whose carry
+    is the output table: XLA updates the carry IN PLACE, so peak HBM is
+    table + one chunk — the naive all-shifts-then-stack build transiently
+    doubles the table, which OOMs a 16 GB v5e at the (8,4,4) spec's 8.2 GB.
+    """
     nz, ny, nx = cube_wet.shape
-    rows = []
-    for dz in range(planes):
-        for dy in range(3):
-            for dx in range(3):
-                for cube in (cube_wet, cube_hydro):
-                    sl = cube[min(dz, nz):, min(dy, ny):, min(dx, nx):]
-                    rows.append(jnp.pad(sl, ((0, min(dz, nz)), (0, min(dy, ny)), (0, min(dx, nx)))))
-    packed = jnp.stack(rows, axis=-1)
-    return packed.reshape(nz * ny * nx, len(rows))
+    width = planes * wy * wx * 2
+    # zero-pad once so every shifted read is a static in-bounds slice
+    pw = jnp.pad(cube_wet, ((0, planes), (0, wy), (0, wx)))
+    ph = jnp.pad(cube_hydro, ((0, planes), (0, wy), (0, wx)))
+    n_chunks = int(np.ceil(nz / chunk))
+
+    def body(i, out):
+        # overlap-clamp the last chunk: the recomputed rows are identical
+        z0 = jnp.minimum(i * chunk, nz - chunk)
+        sw = jax.lax.dynamic_slice_in_dim(pw, z0, chunk + planes, axis=0)
+        sh = jax.lax.dynamic_slice_in_dim(ph, z0, chunk + planes, axis=0)
+        rows = []
+        for dz in range(planes):
+            for dy in range(wy):
+                for dx in range(wx):
+                    for sl in (sw, sh):
+                        rows.append(sl[dz:dz + chunk, dy:dy + ny, dx:dx + nx])
+        part = jnp.stack(rows, axis=-1).reshape(chunk * ny * nx, width)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, part, z0 * (ny * nx), axis=0)
+
+    out = jnp.zeros((nz * ny * nx, width), cube_wet.dtype)
+    return jax.lax.fori_loop(0, n_chunks, body, out)
 
 
-def brick_bytes_for(cube_shape, dtype, planes: int = _BRICK_PLANES) -> int:
-    return int(np.prod(cube_shape)) * planes * 18 * np.dtype(dtype).itemsize
+def _pack_bricks(cube_wet, cube_hydro, planes: int, wy: int = 3, wx: int = 3):
+    nz, ny, nx = cube_wet.shape
+    width = planes * wy * wx * 2
+    itemsize = np.dtype(cube_wet.dtype).itemsize
+    # ~256 MB chunk budget bounds the transient; tiny cubes pack in one pass
+    chunk = int(max(1, min(nz, 2**28 // max(1, ny * nx * width * itemsize))))
+    return _pack_bricks_impl(cube_wet, cube_hydro, planes, wy, wx, chunk)
+
+
+def brick_bytes_for(cube_shape, dtype, planes: int = _BRICK_PLANES,
+                    wy: int = 3, wx: int = 3) -> int:
+    """HBM bytes of the brick table (rows pad to 128-lane tiles)."""
+    return (int(np.prod(cube_shape)) * _padded_row_width(planes * wy * wx * 2)
+            * np.dtype(dtype).itemsize)
 
 
 def static_plan_from(plan: 'GroupPlan'):
     """Hashable (structure + constants) form of a GroupPlan.
 
-    Returns ``(groups, planes)`` where ``groups`` is a tuple of
+    Returns ``(groups, planes, wy, wx)`` where ``groups`` is a tuple of
     ``(anchor, samples)`` and each sample is the 9-tuple
     ``(lvl, frac, wa_lvl, wa, wb_lvl, wb, zlo, zinv, dzoff)`` with plain
     Python numbers. Feeding this to :func:`_static_brick_fn` bakes the whole
@@ -423,11 +506,13 @@ def static_plan_from(plan: 'GroupPlan'):
              int(plan.dzoff[gi, s]))
             for s in range(cnt))
         groups.append((int(plan.anchor[gi]), samples))
-    return tuple(groups), int(plan.planes)
+    return (tuple(groups), int(plan.planes), int(getattr(plan, 'wy', 3)),
+            int(getattr(plan, 'wx', 3)))
 
 
 @lru_cache(maxsize=64)
-def _static_brick_fn(groups, planes, ys, xs, zs, z_clip, stacked=False):
+def _static_brick_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
+                     stacked=False):
     """Compile the fully static brick integrate for one plan structure.
 
     Measured on v5e (1M rays, 50-level HRRR-sized cube, 16 groups): 270 ms
@@ -474,33 +559,33 @@ def _static_brick_fn(groups, planes, ys, xs, zs, z_clip, stacked=False):
             # scheduler never holds more than one gathered brick live
             lin = jax.lax.optimization_barrier((lin, acc_w))[0]
             brick = jnp.take(table2d, lin, axis=0)
-            brick = brick.reshape(n, planes, 3, 3, 2)
-            U = [[[None] * 3 for _ in range(3)] for _ in range(planes)]
+            brick = brick.reshape(n, planes, wy, wx, 2)
+            U = [[[None] * wx for _ in range(wy)] for _ in range(planes)]
             for (iy, ix, fy, fx, fz, ok, wt, dzo) in persample:
                 dyi = iy - ay
                 dxi = ix - ax
-                # a group spans <= 2 cells per horizontal axis by
+                # a group spans <= wy-1 / wx-1 cells per horizontal axis by
                 # construction; any violation becomes NaN, never silent zeros
-                ok = ok & (dyi <= 1) & (dxi <= 1)
+                ok = ok & (dyi <= wy - 2) & (dxi <= wx - 2)
                 gy = dyi.astype(cdt) + fy
                 gx = dxi.astype(cdt) + fx
                 wte = jnp.where(ok, wt, jnp.nan)
-                # hat-function row weights: for gy in [0, 2] these reproduce
-                # the 3-term one-hot mix exactly (fy in [0, 1] by locate)
-                wys = [jnp.maximum(0.0, 1.0 - jnp.abs(gy - k)) for k in range(3)]
-                wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(gx - k)) for k in range(3)]
+                # hat-function row weights: for gy in [0, wy-1] these
+                # reproduce the one-hot mix exactly (fy in [0, 1] by locate)
+                wys = [jnp.maximum(0.0, 1.0 - jnp.abs(gy - k)) for k in range(wy)]
+                wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(gx - k)) for k in range(wx)]
                 w0 = wte * (1.0 - fz)       # linear-in-z incl. extrapolation
                 w1 = wte * fz
-                for k in range(3):
-                    for l in range(3):
+                for k in range(wy):
+                    for l in range(wx):
                         wkl = wys[k] * wxs[l]
                         for dj, wj in ((dzo, w0), (dzo + 1, w1)):
                             t = wj * wkl
                             U[dj][k][l] = (t if U[dj][k][l] is None
                                            else U[dj][k][l] + t)
             for j in range(planes):
-                for k in range(3):
-                    for l in range(3):
+                for k in range(wy):
+                    for l in range(wx):
                         if U[j][k][l] is not None:
                             acc_w = acc_w + brick[:, j, k, l, 0] * U[j][k][l]
                             acc_h = acc_h + brick[:, j, k, l, 1] * U[j][k][l]
@@ -511,14 +596,230 @@ def _static_brick_fn(groups, planes, ys, xs, zs, z_clip, stacked=False):
     return run
 
 
-@partial(jax.jit, static_argnames=('ys', 'xs', 'zs', 'z_clip', 'G', 'planes'))
+def _axis_uniformish(ax_np) -> bool:
+    """True when :func:`ops.interp._locate` takes its uniform fast path —
+    the Pallas kernel replicates exactly that formula, so the gate must be
+    the same predicate."""
+    ax_np = np.asarray(ax_np)
+    if ax_np.size < 2:
+        return False
+    d = np.diff(ax_np)
+    return bool(np.allclose(d, d[0], rtol=1e-6, atol=0.0))
+
+
+def pallas_integrate_mode(ys, xs) -> str:
+    """'tpu' | 'interpret' | '' — whether the static brick integrate should
+    run its Pallas contraction kernel.
+
+    Policy mirrors ops.pallas_ztd: ON for TPU backends (measured 214 ->
+    134 ms per 1M-ray slice on v5e — the XLA form's column-strided reads of
+    the gathered brick plus materialized (N,) intermediates account for the
+    difference, 118 GB accessed per cost_analysis vs ~12 GB useful),
+    RAIDER_TPU_PALLAS_INTEGRATE=0 forces it off, =1 forces interpret mode on
+    non-TPU backends (tests). Requires uniform-ish y/x axes (in-kernel
+    locate is one FMA; non-uniform axes would need searchsorted).
+    """
+    env = os.environ.get('RAIDER_TPU_PALLAS_INTEGRATE', '')
+    if env == '0':
+        return ''
+    if not (_axis_uniformish(ys) and _axis_uniformish(xs)):
+        return ''
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:  # pragma: no cover - no backend at all
+        return ''
+    if backend == 'tpu':
+        return 'tpu'
+    return 'interpret' if env == '1' else ''
+
+
+@lru_cache(maxsize=64)
+def _static_brick_pallas_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
+                            stacked=False, interpret=False, tile_n=4096):
+    """Static-plan brick integrate with the contraction in a Pallas kernel.
+
+    Same gathers as :func:`_static_brick_fn` (XLA's scattered-row jnp.take
+    is at the measured gather floor), but the gathered brick is transposed
+    to (width, N) — RAYS ON LANES — and everything else runs inside one
+    Pallas kernel per group:
+
+      * every brick-row access is STATIC: the z-plane placement is static
+        per sample and the y/x corner cells are enumerated statically with
+        per-ray hat weights, so the per-sample trilinear is ~36 static-row
+        multiply-accumulates over fully packed 1D lane vectors;
+      * the per-sample coordinate math (segment lerp, sagitta, locate, ok
+        masks, trapezoid weights) runs in VMEM — zero (N,) intermediates in
+        HBM, where the XLA form's materialization made the kernel
+        bandwidth-bound at ~550 GB/s over ~10x the useful traffic;
+      * each group's kernel reads only the level-boundary rows its samples
+        touch (sliced XLA-side), not the whole (L+1, N) arrays.
+
+    Equivalent to the XLA kernel to < 1e-5 relative (scripts/kernel_profile
+    checks on-chip; tests/test_pallas_integrate.py in interpret mode), with
+    identical NaN semantics: an out-of-window or out-of-bounds sample NaNs
+    its whole ray, never silently zeroes.
+
+    Replaces the reference's per-level, per-fraction scipy interpolator loop
+    (reference: tools/RAiDER/delay.py:286-323).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ys_np, xs_np, zs_np = np.asarray(ys), np.asarray(xs), np.asarray(zs)
+    ny, nx = ys_np.size, xs_np.size
+    width = planes * wy * wx * 2
+    y_lo, y_hi = float(ys_np[0]), float(ys_np[-1])
+    x_lo, x_hi = float(xs_np[0]), float(xs_np[-1])
+    z_lo, z_hi = float(zs_np[0]), float(zs_np[-1])
+    # EXACTLY _locate's uniform formula ((p - lo) / step) so the in-kernel
+    # cell choice is bit-identical to the XLA-side anchor locate
+    step_y = (y_hi - y_lo) / (ny - 1)
+    step_x = (x_hi - x_lo) / (nx - 1)
+
+    def group_kernel(bt_ref, by_ref, bx_ref, bz_ref, d2_ref, rl_ref,
+                     aux_ref, out_ref, *, samples, lv0):
+        ay = aux_ref[0, :]
+        ax = aux_ref[1, :]
+        re_local = aux_ref[2, :]
+        acc_w = jnp.zeros_like(ay)
+        acc_h = jnp.zeros_like(ay)
+        for (lv_abs, f, wal_abs, wav, wbl_abs, wbv, zlo, zinv, dzo) in samples:
+            lv = lv_abs - lv0
+            wal = wal_abs - lv0
+            wbl = wbl_abs - lv0
+            ylo_r = by_ref[lv, :]
+            xlo_r = bx_ref[lv, :]
+            zlo_r = bz_ref[lv, :]
+            py = ylo_r + f * (by_ref[lv + 1, :] - ylo_r)
+            px = xlo_r + f * (bx_ref[lv + 1, :] - xlo_r)
+            zhi_r = bz_ref[lv + 1, :]
+            pz = zlo_r + f * (zhi_r - zlo_r)
+            hbar = 0.5 * (zlo_r + zhi_r)
+            pz = pz - f * (1.0 - f) * d2_ref[lv, :] / (2.0 * (re_local + hbar))
+            bndy = (py >= y_lo) & (py <= y_hi)
+            bndx = (px >= x_lo) & (px <= x_hi)
+            if z_clip:
+                pz = jnp.minimum(jnp.maximum(pz, z_lo), z_hi)
+            bndz = (pz >= z_lo) & (pz <= z_hi)
+            posy = (py - y_lo) / step_y
+            iyf = jnp.minimum(jnp.maximum(jnp.floor(posy), 0.0),
+                              float(ny - 2))
+            fy = posy - iyf
+            posx = (px - x_lo) / step_x
+            ixf = jnp.minimum(jnp.maximum(jnp.floor(posx), 0.0),
+                              float(nx - 2))
+            fx = posx - ixf
+            fz = (pz - zlo) * zinv
+            dyi = iyf - ay
+            dxi = ixf - ax
+            ok = (bndy & bndx & bndz
+                  & (dyi <= float(wy - 2)) & (dxi <= float(wx - 2)))
+            rl = wav * rl_ref[wal, :]
+            if wbv:
+                rl = rl + wbv * rl_ref[wbl, :]
+            wte = jnp.where(ok, 1.0e-6 * rl, jnp.nan)
+            gy = dyi + fy
+            gx = dxi + fx
+            hy = [jnp.maximum(0.0, 1.0 - jnp.abs(gy - k)) for k in range(wy)]
+            hx = [jnp.maximum(0.0, 1.0 - jnp.abs(gx - l)) for l in range(wx)]
+            q0 = [wte * (1.0 - fz) * hyk for hyk in hy]
+            q1 = [wte * fz * hyk for hyk in hy]
+            for k in range(wy):
+                for l in range(wx):
+                    w0 = q0[k] * hx[l]
+                    w1 = q1[k] * hx[l]
+                    r0 = ((dzo * wy + k) * wx + l) * 2
+                    r1 = (((dzo + 1) * wy + k) * wx + l) * 2
+                    acc_w = acc_w + bt_ref[r0, :] * w0
+                    acc_h = acc_h + bt_ref[r0 + 1, :] * w0
+                    acc_w = acc_w + bt_ref[r1, :] * w1
+                    acc_h = acc_h + bt_ref[r1 + 1, :] * w1
+        out_ref[0, :] = acc_w
+        out_ref[1, :] = acc_h
+
+    def group_call(brickT, sy, sx, sz, sd2, srl, aux, samples, lv0, n):
+        rowspec = lambda r: pl.BlockSpec((r, tile_n), lambda i: (0, i))
+        return pl.pallas_call(
+            partial(group_kernel, samples=samples, lv0=lv0),
+            grid=(pl.cdiv(n, tile_n),),
+            in_specs=[rowspec(width), rowspec(sy.shape[0]),
+                      rowspec(sx.shape[0]), rowspec(sz.shape[0]),
+                      rowspec(sd2.shape[0]), rowspec(srl.shape[0]),
+                      rowspec(3)],
+            out_specs=rowspec(2),
+            out_shape=jax.ShapeDtypeStruct((2, n), brickT.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary',)),
+            interpret=interpret,
+        )(brickT, sy, sx, sz, sd2, srl, aux)
+
+    @jax.jit
+    def run(table2d, bnd_y, bnd_x, bnd_z, d2, ray_len, re_local):
+        cdt = table2d.dtype
+        n = bnd_y.shape[1]
+        L = d2.shape[0]
+        acc = jnp.zeros((2, n), cdt)
+        re32 = re_local.astype(cdt)
+        for za, samples in groups:
+            ay = ax = None
+            for (lv, f, *_rest) in samples:
+                py = bnd_y[lv] + f * (bnd_y[lv + 1] - bnd_y[lv])
+                px = bnd_x[lv] + f * (bnd_x[lv + 1] - bnd_x[lv])
+                iy, _fy, _by = _locate_uniformish(ys_np, py)
+                ix, _fx, _bx = _locate_uniformish(xs_np, px)
+                ay = iy if ay is None else jnp.minimum(ay, iy)
+                ax = ix if ax is None else jnp.minimum(ax, ix)
+            lin = (za * ny + ay) * nx + ax
+            # serialize group gathers behind the running accumulation so the
+            # scheduler never holds more than one gathered brick live
+            lin = jax.lax.optimization_barrier((lin, acc))[0]
+            brick = jnp.take(table2d, lin, axis=0)      # (N, width)
+            brickT = brick.T                            # (width, N)
+            aux = jnp.stack([ay.astype(cdt), ax.astype(cdt), re32])
+            # slice just the level-row window this group touches: the
+            # kernel would otherwise stream all ~5L boundary rows per group
+            lv0 = min(min(s[0], s[2], s[4]) for s in samples)
+            hi1 = max(s[0] + 1 for s in samples)
+            hiL = min(max(max(s[0], s[2], s[4]) for s in samples), L - 1)
+            with jax.enable_x64(False):
+                part = group_call(brickT,
+                                  bnd_y[lv0:hi1 + 1], bnd_x[lv0:hi1 + 1],
+                                  bnd_z[lv0:hi1 + 1],
+                                  d2[lv0:hiL + 1], ray_len[lv0:hiL + 1],
+                                  aux, samples, lv0, n)
+            acc = acc + part
+        return acc if stacked else (acc[0], acc[1])
+
+    return run
+
+
+def _shard_wrap(run_fn, sample_arr, stacked: bool):
+    """shard_map the pallas-backed run over the ray mesh when inputs arrive
+    sharded: pallas_call has no SPMD partitioning rule, so under plain jit a
+    sharded input would force a full all-gather. Every op is per-ray, the
+    packed table is replicated — no collectives inside."""
+    sh = getattr(sample_arr, 'sharding', None)
+    mesh = getattr(sh, 'mesh', None)
+    if mesh is None or int(np.prod(mesh.devices.shape)) <= 1:
+        return run_fn
+    from jax.sharding import PartitionSpec as P
+
+    ray = mesh.axis_names[0]
+    in_specs = ((P(None, None),) + (P(None, ray),) * 5 + (P(ray),))
+    out_specs = P(None, ray) if stacked else (P(ray), P(ray))
+    return jax.shard_map(run_fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+@partial(jax.jit, static_argnames=('ys', 'xs', 'zs', 'z_clip', 'G', 'planes',
+                                   'wy', 'wx'))
 def _integrate_bricks(
-    table2d,                    # (nz*ny*nx, planes*18) brick table
+    table2d,                    # (nz*ny*nx, planes*wy*wx*2) brick table
     bnd_y, bnd_x, bnd_z,        # (L+1, N) level-boundary points, model CRS
     d2, ray_len,                # (L, N)
     re_local,                   # (N,)
     anchor, lvl, frac, wa_lvl, wa, wb_lvl, wb, dzoff, zlo, zinv, pad,
-    ys, xs, zs, z_clip, G, planes,
+    ys, xs, zs, z_clip, G, planes, wy=3, wx=3,
 ):
     compute_dtype = table2d.dtype
     ys_np, xs_np, zs_np = np.asarray(ys), np.asarray(xs), np.asarray(zs)
@@ -563,16 +864,16 @@ def _integrate_bricks(
             ay = jnp.minimum(ay, iy_all[s])
             ax = jnp.minimum(ax, ix_all[s])
         lin = (za * ny + ay) * nx + ax
-        brick = jnp.take(table2d, lin, axis=0)          # (N, planes*18)
-        brick = brick.reshape(n, planes, 3, 3, 2)
+        brick = jnp.take(table2d, lin, axis=0)          # (N, planes*wy*wx*2)
+        brick = brick.reshape(n, planes, wy, wx, 2)
 
         for s in range(G):
             fy, fx, fz, ok, rl = samples[s]
             dy = iy_all[s] - ay
             dx = ix_all[s] - ax
-            # a group never spans more than 2 cells per horizontal axis by
-            # construction; turn any violation into NaN, never silent zeros
-            ok = ok & (dy <= 1) & (dx <= 1)
+            # a group never spans more than wy-1 / wx-1 cells per horizontal
+            # axis by construction; any violation is NaN, never silent zeros
+            ok = ok & (dy <= wy - 2) & (dx <= wx - 2)
             fy = fy.astype(compute_dtype)
             fx = fx.astype(compute_dtype)
             fz = fz.astype(compute_dtype)
@@ -582,19 +883,20 @@ def _integrate_bricks(
                 wj = (jnp.where(j == dzo[s], 1.0 - fz, 0.0)
                       + jnp.where(j == dzo[s] + 1, fz, 0.0))
                 term = brick[:, j] * wj[:, None, None, None]
-                vz = term if vz is None else vz + term   # (N, 3, 3, 2)
-            on0 = (dy == 0)
-            wy0 = jnp.where(on0, 1.0 - fy, 0.0)
-            wy1 = jnp.where(on0, fy, 1.0 - fy)
-            wy2 = jnp.where(on0, 0.0, fy)
-            vy = (vz[:, 0] * wy0[:, None, None] + vz[:, 1] * wy1[:, None, None]
-                  + vz[:, 2] * wy2[:, None, None])       # (N, 3, 2)
-            ox0 = (dx == 0)
-            wx0 = jnp.where(ox0, 1.0 - fx, 0.0)
-            wx1 = jnp.where(ox0, fx, 1.0 - fx)
-            wx2 = jnp.where(ox0, 0.0, fx)
-            v = (vy[:, 0] * wx0[:, None] + vy[:, 1] * wx1[:, None]
-                 + vy[:, 2] * wx2[:, None])              # (N, 2)
+                vz = term if vz is None else vz + term   # (N, wy, wx, 2)
+            # hat-function row weights (exact one-hot mix for g in [0, w-1])
+            gy = dy.astype(compute_dtype) + fy
+            gx = dx.astype(compute_dtype) + fx
+            vy = None
+            for k in range(wy):
+                wk = jnp.maximum(0.0, 1.0 - jnp.abs(gy - k))
+                term = vz[:, k] * wk[:, None, None]
+                vy = term if vy is None else vy + term   # (N, wx, 2)
+            v = None
+            for l in range(wx):
+                wl = jnp.maximum(0.0, 1.0 - jnp.abs(gx - l))
+                term = vy[:, l] * wl[:, None]
+                v = term if v is None else v + term      # (N, 2)
             v = jnp.where(ok[:, None], v, jnp.nan)
             wt = (1.0e-6 * rl).astype(compute_dtype)[:, None]
             contrib = jnp.where(pd[s], 0.0, wt * v)
@@ -626,8 +928,9 @@ def pack_mode_for(cube_shape, dtype, grouped: bool = False) -> str:
     ``grouped=True`` (the caller can supply the heights chain + horizontal
     motion bounds) prefers the brick layout: one gather then serves a whole
     GROUP of samples, the biggest lever for this gather-count-bound kernel.
+    The brick extent itself comes from :func:`_brick_spec_for`'s ladder.
     """
-    if grouped and brick_bytes_for(cube_shape, dtype, _BRICK_PLANES) <= _BRICK_BYTE_LIMIT:
+    if grouped and _brick_spec_for(cube_shape, dtype) is not None:
         return 'brick'
     nbytes16 = int(np.prod(cube_shape)) * 16 * np.dtype(dtype).itemsize
     return 'pack16' if nbytes16 <= _PACK16_BYTE_LIMIT else 'pack4'
@@ -700,13 +1003,30 @@ def integrate_rays(
     if mode == 'brick':
         if not grouped_ok:
             raise ValueError("mode='brick' needs heights and hstep_max")
+        # the spec is a deterministic function of (cube shape, dtype), so
+        # this agrees with the layout pack_cubes built the table with
+        spec = _brick_spec_for(np.shape(cube_wet), dtype) or _BRICK_SPECS[-1][:4]
+        planes_s, wy_s, wx_s, gmax_s = spec
+        if packed2d.shape[1] != planes_s * wy_s * wx_s * 2:
+            raise ValueError(
+                f'packed table width {packed2d.shape[1]} does not match the '
+                f'brick spec {spec} for this cube shape/dtype')
         plan = build_group_plan(ray_lengths_max, heights, hstep_max, ys, xs, zs,
                                 max_segment_length,
-                                group_max=_BRICK_GROUP_MAX, planes=_BRICK_PLANES)
+                                group_max=gmax_s, planes=planes_s,
+                                wy=wy_s, wx=wx_s)
         if static_plan:
-            groups, planes = static_plan_from(plan)
-            fn = _static_brick_fn(groups, planes, axes['ys'], axes['xs'],
-                                  axes['zs'], z_clip, stacked_out)
+            groups, planes, wy, wx = static_plan_from(plan)
+            pmode = pallas_integrate_mode(ys, xs)
+            if pmode:
+                fn = _static_brick_pallas_fn(
+                    groups, planes, wy, wx, axes['ys'], axes['xs'],
+                    axes['zs'], z_clip, stacked_out,
+                    interpret=(pmode == 'interpret'))
+                fn = _shard_wrap(fn, ray_args[0], stacked_out)
+                return fn(packed2d, *ray_args)
+            fn = _static_brick_fn(groups, planes, wy, wx, axes['ys'],
+                                  axes['xs'], axes['zs'], z_clip, stacked_out)
             return fn(packed2d, *ray_args)
         plan = _pad_group_plan(plan, _PLAN_BUCKET)
         return _integrate_bricks(
@@ -714,6 +1034,7 @@ def integrate_rays(
             plan.anchor, plan.lvl, plan.frac, plan.wa_lvl, plan.wa,
             plan.wb_lvl, plan.wb, plan.dzoff, plan.zlo, plan.zinv, plan.pad,
             **axes, z_clip=z_clip, G=plan.G, planes=plan.planes,
+            wy=plan.wy, wx=plan.wx,
         )
     plan = _pad_point_plan(build_sampling_plan(ray_lengths_max, max_segment_length),
                            _PLAN_BUCKET)
@@ -752,7 +1073,9 @@ def _pad_group_plan(plan: 'GroupPlan', bucket: int) -> 'GroupPlan':
     )
     kw = {k: np.concatenate([getattr(plan, k), pad_row[k]], axis=0)
           for k in pad_row}
-    return GroupPlan(G=plan.G, planes=plan.planes, **kw)
+    return GroupPlan(G=plan.G, planes=plan.planes,
+                     wy=getattr(plan, 'wy', 3), wx=getattr(plan, 'wx', 3),
+                     **kw)
 
 
 def _pad_point_plan(plan, bucket: int):
@@ -778,5 +1101,8 @@ def pack_cubes(cube_wet, cube_hydro, mode=None, grouped: bool = False):
     if mode is None:
         mode = pack_mode_for(cube_wet.shape, cube_wet.dtype, grouped=grouped)
     if mode == 'brick':
-        return _pack_bricks(cube_wet, cube_hydro, _BRICK_PLANES), mode
+        spec = (_brick_spec_for(cube_wet.shape, cube_wet.dtype)
+                or _BRICK_SPECS[-1][:4])
+        planes, wy, wx, _ = spec
+        return _pack_bricks(cube_wet, cube_hydro, planes, wy, wx), mode
     return _pack_cubes(cube_wet, cube_hydro, mode), mode

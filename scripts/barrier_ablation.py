@@ -127,11 +127,15 @@ def main():
     per_level_max = (dzv * max_sec).astype(dtype)
     hstep_max = dzv * max_tan * deg_per_m
 
-    packed2d, mode = pack_cubes(wet, hydro, grouped=True)
-    assert mode == 'brick'
-    plan = build_group_plan(per_level_max, zs, hstep_max, ys, xs, zs)
-    groups, planes = static_plan_from(plan)
-    print(f'{len(groups)} groups, planes={planes}', flush=True)
+    from raider_tpu.delay.raytrace import _pack_bricks
+    import jax.numpy as _jnp
+    packed2d = _pack_bricks(_jnp.asarray(wet), _jnp.asarray(hydro), 7, 3, 3)
+    # this harness's local kernel copy hardcodes the 3x3 brick layout;
+    # pin the r2-era spec explicitly
+    plan = build_group_plan(per_level_max, zs, hstep_max, ys, xs, zs,
+                            group_max=6, planes=7, wy=3, wx=3)
+    groups, planes, wy, wx = static_plan_from(plan)
+    print(f'{len(groups)} groups, planes={planes}, brick {wy}x{wx}', flush=True)
 
     @jax.jit
     def build_rays(zen, azi, y0, x0, dzv_j, zs_j):
