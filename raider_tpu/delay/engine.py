@@ -18,6 +18,7 @@ TPU-first redesign vs the reference:
 
 import datetime as dt
 import os
+from functools import partial
 from typing import Optional, Union
 
 import jax
@@ -88,6 +89,14 @@ def _stack2(w, h):
     """One (2, N) device buffer per slice: a single bulk d2h stream beats
     two per-array copies through a remote-TPU tunnel (fetch_overlap.py)."""
     return jnp.stack([w, h])
+
+
+@partial(jax.jit, static_argnames=('k',))
+def _stackk(k, *bufs):
+    """Stack k slices' (2, N) buffers for one batched d2h copy; jitted
+    (cached per arity) because an eager stack on a remote-attached backend
+    pays a dispatch round trip per call."""
+    return jnp.stack(bufs)
 
 
 def _default_compute_dtype():
@@ -441,12 +450,39 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             )
         if isinstance(out, tuple):  # non-static paths return (wet, hydro)
             out = _stack2(*out)
-        if os.environ.get('RAIDER_TPU_ASYNC_FETCH', '') != '0':
+        return out, orig_n
+
+    # Result-stream batching (VERDICT r2 item 4): stack k slices' (2, N)
+    # outputs into ONE (k, 2, N) buffer per async copy. Measured through the
+    # remote tunnel (scripts/fetch_overlap.py --batch): d2h throughput
+    # roughly doubles from 8 MB chunks (~12.8 MB/s) to 32 MB (~23.8 MB/s),
+    # and per-transfer round trips drop 4x; on a local-PCIe host transfers
+    # are ~1 ms either way. k=1 restores per-slice copies;
+    # RAIDER_TPU_ASYNC_FETCH=0 disables async copies entirely.
+    try:
+        fetch_batch = max(1, int(os.environ.get('RAIDER_TPU_FETCH_BATCH',
+                                                '4')))
+    except ValueError:
+        fetch_batch = 4
+    async_fetch = os.environ.get('RAIDER_TPU_ASYNC_FETCH', '') != '0'
+    fetch_batches = []       # (tuple_of_hh, stacked (k, 2, N) device buffer)
+    fetch_pending = []       # hh dispatched but not yet batched
+
+    def flush_fetch_batch():
+        if not fetch_pending:
+            return
+        hhs = tuple(fetch_pending)
+        fetch_pending.clear()
+        if len(hhs) == 1:
+            buf = device_outs[hhs[0]][0]
+        else:
+            buf = _stackk(len(hhs), *(device_outs[h][0] for h in hhs))
+        if async_fetch:
             try:
-                out.copy_to_host_async()
+                buf.copy_to_host_async()
             except (AttributeError, RuntimeError):  # non-jax arrays
                 pass
-        return out, orig_n
+        fetch_batches.append((hhs, buf))
 
     for hh in (int(i) for i in order):
         ht = zpts[hh]
@@ -601,6 +637,9 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         device_outs[hh] = run_integrate(
             args, per_level_max, hstep_max, heights, static=use_static)
         done_order.append(hh)
+        fetch_pending.append(hh)
+        if len(fetch_pending) >= fetch_batch:
+            flush_fetch_batch()
         # backpressure: the free-running dispatch loop would otherwise queue
         # every slice's geometry at once; waiting on the integrate output
         # bp_window slices back bounds the in-flight set at zero
@@ -642,30 +681,51 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             if (np.any(n_here[contrib] != n_expected[contrib])
                     or np.any(np.nan_to_num(hsm_raw) > seed_hstep)):
                 redo.append((hh, plm, hsm))
-        if redo:
-            logger.debug('plan misprediction on slices %s: recomputing them '
-                         'with their measured per-slice plans',
-                         [hh for hh, _, _ in redo])
-            for hh, plm, hsm in redo:
-                geom = geom_session.slice(float(zpts[hh]), chains[hh],
-                                          cold=True)
-                args = (geom['bnd_y'], geom['bnd_x'], geom['bnd_z'],
-                        geom['d2'], geom['ray_len'], re_device)
-                # the slice's own measured plan through the traced kernel
-                # (plan data are operands - no per-slice recompiles)
-                device_outs[hh] = run_integrate(
-                    args, plm, hsm, chains[hh], static=False)
+    else:
+        redo = []
+    redone = set()
+    if redo:
+        logger.debug('plan misprediction on slices %s: recomputing them '
+                     'with their measured per-slice plans',
+                     [hh for hh, _, _ in redo])
+        for hh, plm, hsm in redo:
+            geom = geom_session.slice(float(zpts[hh]), chains[hh],
+                                      cold=True)
+            args = (geom['bnd_y'], geom['bnd_x'], geom['bnd_z'],
+                    geom['d2'], geom['ray_len'], re_device)
+            # the slice's own measured plan through the traced kernel
+            # (plan data are operands - no per-slice recompiles)
+            device_outs[hh] = run_integrate(
+                args, plm, hsm, chains[hh], static=False)
+            redone.add(hh)
 
     if device_outs:
-        with stage('raytrace.final_fetch', log=False):
-            fetched = jax.device_get(device_outs)
-        for hh, (out_np, orig_n) in fetched.items():
+        flush_fetch_batch()
+
+        def store(hh, out_np):
             w_np, h_np = np.asarray(out_np)
+            orig_n = device_outs[hh][1]
             if orig_n is not None:
                 w_np = w_np[:orig_n]
                 h_np = h_np[:orig_n]
             outputArrs[0][hh] = w_np.reshape(ypts.size, xpts.size)
             outputArrs[1][hh] = h_np.reshape(ypts.size, xpts.size)
+
+        with stage('raytrace.final_fetch', log=False):
+            # batched buffers hold pre-recompute data for redone slices:
+            # skip those entries and fetch the recomputed outputs directly
+            fetched = jax.device_get([buf for _, buf in fetch_batches])
+            refetched = jax.device_get(
+                {hh: device_outs[hh][0] for hh in redone})
+        for (hhs, _), buf_np in zip(fetch_batches, fetched):
+            buf_np = np.asarray(buf_np)
+            if len(hhs) == 1:
+                buf_np = buf_np[None]
+            for i, hh in enumerate(hhs):
+                if hh not in redone:
+                    store(hh, buf_np[i])
+        for hh, out_np in refetched.items():
+            store(hh, out_np)
 
     return outputArrs
 

@@ -61,16 +61,16 @@ _PACK16_BYTE_LIMIT = 3 * 1024**3
 
 # Brick (grouped-gather) table geometry: a row holds planes x wy x wx x
 # {wet, hydro} corner values. Wider bricks admit more samples per group
-# (motion bound (wy-2) cells, z-span bound planes-2), i.e. FEWER gathers -
-# the dominant cost - at a larger table. Specs are tried in ladder order;
-# the first whose PADDED table (rows pad to 128-lane tiles in HBM) fits its
-# byte budget wins. (8, 4, 4) is 256 f32/row - exactly two 128-lane tiles,
-# no pad waste - and measured 7 groups vs (7, 3, 3)'s 11 on the bench
-# scenario (scripts/gather_sweep.py: gather cost is per-ROW, ~12.8 ns at
-# 256 lanes vs 11.5 at 128, so 7 x 12.8 beats 11 x 11.5 by ~1.4x).
+# (motion bound min(wy,wx)-2 cells, z-span bound planes-2), i.e. FEWER
+# gathers at a larger table — but they LOSE end to end: measured on v5e
+# (1M rays, 50-level cube, scripts/kernel_profile.py), (8,4,4,24) = 7
+# gathers ran 258 ms (XLA contraction) / 144 ms (Pallas) vs (7,3,3,6) = 11
+# gathers at 214 / 134 ms, at double the table (8.2 vs 4.0 GB: rows pad to
+# 128-lane tiles in HBM, so 126-f32 rows are pad-free). Fewer-but-fatter
+# gathers save less than the wider contraction costs, so the one-tile row
+# stays the only production spec; the ladder form remains for re-ablation.
 _BRICK_SPECS = (
     # (planes, wy, wx, group_max, byte_limit)
-    (8, 4, 4, 24, 9 * 1024**3),
     (7, 3, 3, 6, 6 * 1024**3),
 )
 # legacy aliases (the final-ladder fallback spec): tests and scripts

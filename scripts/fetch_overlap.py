@@ -263,28 +263,35 @@ def batch_variants():
     jax.block_until_ready(stack2(*one_slice(1)))
 
     def run(n, k):
+        # k = slices per copy; k=0 = ONE end-of-cube fetch (no async copies)
         batches = []
         pend = []
         t0 = _t.perf_counter()
         for hh in range(n):
             pend.append(stack2(*one_slice(hh)))
-            if len(pend) == k:
+            if k and len(pend) == k:
                 buf = stackn(pend) if k > 1 else pend[0]
                 buf.copy_to_host_async()
                 batches.append(buf)
                 pend = []
         if pend:
             buf = stackn(pend) if len(pend) > 1 else pend[0]
-            buf.copy_to_host_async()
+            if k:
+                buf.copy_to_host_async()
             batches.append(buf)
         fetched = jax.device_get(batches)
         return _t.perf_counter() - t0, fetched
 
-    for k in (1, 4, 8, 4):
+    import os
+    ks = tuple(int(v) for v in os.environ.get(
+        'FETCH_KS', '1,2,4,8,0').split(','))
+    n_long = int(os.environ.get('FETCH_NLONG', n_long))
+    for k in ks:
         t2, _ = run(2, k)
         tn, _ = run(n_long, k)
         slope = (tn - t2) / (n_long - 2)
-        print(f'batch k={k}:  2: {t2:6.3f} s   {n_long}: {tn:6.3f} s   '
+        name = f'batch k={k}' if k else 'endofcube '
+        print(f'{name}:  2: {t2:6.3f} s   {n_long}: {tn:6.3f} s   '
               f'slope {slope:6.3f} s/slice  ({n_rays / slope / 1e6:.2f} M rays/s)',
               flush=True)
 
