@@ -302,7 +302,8 @@ def make_pallas_fn(groups, planes, wy, wx, ys_np, xs_np, zs_np,
 
 
 def make_pallas2_fn(groups, planes, wy, wx, ys_np, xs_np, zs_np,
-                    tile_n=2048, interpret=False, kernel_transpose=False):
+                    tile_n=2048, interpret=False, kernel_transpose=False,
+                    barrier_depth=1):
     """v2: transposed brick (width, N) with RAYS ON LANES; everything but
     the gather runs inside one Pallas kernel per group.
 
@@ -425,6 +426,7 @@ def make_pallas2_fn(groups, planes, wy, wx, ys_np, xs_np, zs_np,
         d2_32 = d2.astype(cdt)
         rl_32 = ray_len.astype(cdt)
         L = d2.shape[0]
+        parts = []
         for za, samples in groups:
             ay = ax = None
             for (lv, f, *_rest) in samples:
@@ -435,7 +437,13 @@ def make_pallas2_fn(groups, planes, wy, wx, ys_np, xs_np, zs_np,
                 ay = iy if ay is None else jnp.minimum(ay, iy)
                 ax = ix if ax is None else jnp.minimum(ax, ix)
             lin = (za * ny + ay) * nx + ax
-            lin = jax.lax.optimization_barrier((lin, acc))[0]
+            # pipelined barrier: allow barrier_depth gathered bricks in
+            # flight so gather(g) overlaps the pallas contraction of g-1
+            if barrier_depth <= 1:
+                lin = jax.lax.optimization_barrier((lin, acc))[0]
+            elif len(parts) >= barrier_depth - 1:
+                lin = jax.lax.optimization_barrier(
+                    (lin, parts[-(barrier_depth - 1)]))[0]
             brick = jnp.take(table2d, lin, axis=0)      # (N, width)
             brickT = brick if kernel_transpose else brick.T
             aux = jnp.stack([ay.astype(cdt), ax.astype(cdt),
@@ -451,6 +459,7 @@ def make_pallas2_fn(groups, planes, wy, wx, ys_np, xs_np, zs_np,
                                   bnd_z32[lv0:hi1 + 1],
                                   d2_32[lv0:hiL + 1], rl_32[lv0:hiL + 1],
                                   aux, samples, lv0, n)
+            parts.append(part)
             acc = acc + part
         return acc[0], acc[1]
 
@@ -500,6 +509,10 @@ def main():
         elif variant.startswith('pallas2t'):
             fn = make_pallas2_fn(groups, pl, wy, wx, sc['ys'], sc['xs'],
                                  sc['zs'], tile_n=int(variant[8:]))
+        elif variant.startswith('pallas2d'):
+            fn = make_pallas2_fn(groups, pl, wy, wx, sc['ys'], sc['xs'],
+                                 sc['zs'], tile_n=4096,
+                                 barrier_depth=int(variant[8:]))
         else:
             fn = rt._static_brick_fn(groups, pl, wy, wx, axes['ys'],
                                      axes['xs'], axes['zs'], True, False)
