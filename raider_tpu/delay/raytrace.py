@@ -635,13 +635,20 @@ def pallas_integrate_mode(ys, xs) -> str:
 
 @lru_cache(maxsize=64)
 def _static_brick_pallas_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
-                            stacked=False, interpret=False, tile_n=4096):
+                            stacked=False, interpret=False, tile_n=4096,
+                            kernel_transpose=True):
     """Static-plan brick integrate with the contraction in a Pallas kernel.
 
     Same gathers as :func:`_static_brick_fn` (XLA's scattered-row jnp.take
     is at the measured gather floor), but the gathered brick is transposed
     to (width, N) — RAYS ON LANES — and everything else runs inside one
-    Pallas kernel per group:
+    Pallas kernel per group.  With ``kernel_transpose`` (the default) the
+    transpose happens on the (tile_n, width) block inside the kernel, which
+    skips the XLA-side transpose's extra HBM round trip over the gathered
+    brick (production kernel measured on-chip: 134.8 -> 122.6 ms per
+    1M-ray slice at the (7,3,3,6) spec, scripts/kernel_profile.py
+    prodpallaskt0/kt1; ``kernel_transpose=False`` keeps the XLA-side
+    transpose).  Structure:
 
       * every brick-row access is STATIC: the z-plane placement is static
         per sample and the y/x corner cells are enumerated statically with
@@ -683,6 +690,7 @@ def _static_brick_pallas_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
         re_local = aux_ref[2, :]
         acc_w = jnp.zeros_like(ay)
         acc_h = jnp.zeros_like(ay)
+        bt = bt_ref[:].T if kernel_transpose else bt_ref
         for (lv_abs, f, wal_abs, wav, wbl_abs, wbv, zlo, zinv, dzo) in samples:
             lv = lv_abs - lv0
             wal = wal_abs - lv0
@@ -730,19 +738,21 @@ def _static_brick_pallas_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
                     w1 = q1[k] * hx[l]
                     r0 = ((dzo * wy + k) * wx + l) * 2
                     r1 = (((dzo + 1) * wy + k) * wx + l) * 2
-                    acc_w = acc_w + bt_ref[r0, :] * w0
-                    acc_h = acc_h + bt_ref[r0 + 1, :] * w0
-                    acc_w = acc_w + bt_ref[r1, :] * w1
-                    acc_h = acc_h + bt_ref[r1 + 1, :] * w1
+                    acc_w = acc_w + bt[r0, :] * w0
+                    acc_h = acc_h + bt[r0 + 1, :] * w0
+                    acc_w = acc_w + bt[r1, :] * w1
+                    acc_h = acc_h + bt[r1 + 1, :] * w1
         out_ref[0, :] = acc_w
         out_ref[1, :] = acc_h
 
     def group_call(brickT, sy, sx, sz, sd2, srl, aux, samples, lv0, n):
         rowspec = lambda r: pl.BlockSpec((r, tile_n), lambda i: (0, i))
+        brickspec = (pl.BlockSpec((tile_n, width), lambda i: (i, 0))
+                     if kernel_transpose else rowspec(width))
         return pl.pallas_call(
             partial(group_kernel, samples=samples, lv0=lv0),
             grid=(pl.cdiv(n, tile_n),),
-            in_specs=[rowspec(width), rowspec(sy.shape[0]),
+            in_specs=[brickspec, rowspec(sy.shape[0]),
                       rowspec(sx.shape[0]), rowspec(sz.shape[0]),
                       rowspec(sd2.shape[0]), rowspec(srl.shape[0]),
                       rowspec(3)],
@@ -774,7 +784,7 @@ def _static_brick_pallas_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
             # scheduler never holds more than one gathered brick live
             lin = jax.lax.optimization_barrier((lin, acc))[0]
             brick = jnp.take(table2d, lin, axis=0)      # (N, width)
-            brickT = brick.T                            # (width, N)
+            brickT = brick if kernel_transpose else brick.T
             aux = jnp.stack([ay.astype(cdt), ax.astype(cdt), re32])
             # slice just the level-row window this group touches: the
             # kernel would otherwise stream all ~5L boundary rows per group
@@ -1022,7 +1032,9 @@ def integrate_rays(
                 fn = _static_brick_pallas_fn(
                     groups, planes, wy, wx, axes['ys'], axes['xs'],
                     axes['zs'], z_clip, stacked_out,
-                    interpret=(pmode == 'interpret'))
+                    interpret=(pmode == 'interpret'),
+                    kernel_transpose=(
+                        os.environ.get('RAIDER_TPU_PALLAS_KT', '1') != '0'))
                 fn = _shard_wrap(fn, ray_args[0], stacked_out)
                 return fn(packed2d, *ray_args)
             fn = _static_brick_fn(groups, planes, wy, wx, axes['ys'],

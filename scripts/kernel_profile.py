@@ -513,6 +513,12 @@ def main():
             fn = make_pallas2_fn(groups, pl, wy, wx, sc['ys'], sc['xs'],
                                  sc['zs'], tile_n=4096,
                                  barrier_depth=int(variant[8:]))
+        elif variant.startswith('prodpallas'):
+            # the PRODUCTION pallas kernel (raytrace.py), kt0/kt1 selects
+            # the XLA-side vs in-kernel brick transpose
+            fn = rt._static_brick_pallas_fn(
+                groups, pl, wy, wx, axes['ys'], axes['xs'], axes['zs'],
+                True, False, kernel_transpose=not variant.endswith('kt0'))
         else:
             fn = rt._static_brick_fn(groups, pl, wy, wx, axes['ys'],
                                      axes['xs'], axes['zs'], True, False)
