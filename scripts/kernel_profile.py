@@ -482,7 +482,9 @@ def main():
     run_specs = SPECS
     variant = sys.argv[2] if len(sys.argv) > 2 else 'prod'
     tensor_mode = variant == 'tensor'
-    if len(sys.argv) > 1 and sys.argv[1] != 'split':
+    if len(sys.argv) > 1 and sys.argv[1] == 'split':
+        run_specs = []          # split mode: only the gather/arith bounds
+    elif len(sys.argv) > 1:
         p, a, b, g = (int(v) for v in sys.argv[1].split(','))
         run_specs = [(p, a, b, g)]
     for (planes, wy_s, wx_s, gmax) in run_specs:
@@ -591,6 +593,32 @@ def main():
     t_gather = time_fn(lambda b: gather_only(packed2d, by_d + b, bx_d + b,
                                               bz_d, d2_d, rl_d, re_d))
     print(json.dumps(dict(variant='gather_only', t_s=round(t_gather, 4))),
+          flush=True)
+
+    # gather+MATERIALIZE: same gathers but the brick is forced out to HBM
+    # (optimization_barrier stops XLA fusing the take into the reduce) and
+    # read back — the exact traffic pattern the production pallas_call
+    # imposes (take writes the (N, width) brick; the kernel reads it).
+    @jax.jit
+    def gather_mat(table2d, bnd_y, bnd_x, bnd_z, d2, ray_len, re_local):
+        n = bnd_y.shape[1]
+        acc = jnp.zeros(n, table2d.dtype)
+        for za, samples in groups:
+            lv, f = samples[0][0], samples[0][1]
+            py = bnd_y[lv] + f * (bnd_y[lv + 1] - bnd_y[lv])
+            px = bnd_x[lv] + f * (bnd_x[lv + 1] - bnd_x[lv])
+            iy, _fy, _by = _loc(ys_np, py)
+            ix, _fx, _bx = _loc(xs_np, px)
+            lin = (za * ny + iy) * nx + ix
+            lin = jax.lax.optimization_barrier((lin, acc))[0]
+            brick = jnp.take(table2d, lin, axis=0)
+            brick = jax.lax.optimization_barrier(brick)
+            acc = acc + brick.sum(axis=1)
+        return acc
+
+    t_gm = time_fn(lambda b: gather_mat(packed2d, by_d + b, bx_d + b,
+                                        bz_d, d2_d, rl_d, re_d))
+    print(json.dumps(dict(variant='gather_materialized', t_s=round(t_gm, 4))),
           flush=True)
 
     # arith-only: full program with the gather replaced by one broadcast row
