@@ -413,15 +413,15 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             bp_window = int(max(1, min(3, 0.35 * lim // per_slice_bytes)))
 
     def run_integrate(args, per_level_max, hstep_max, heights, static):
-        """Dispatch one slice's integration (sharded when a mesh exists) and
-        start its device->host result transfer immediately: on
-        remote-attached TPUs the copy stream is slower than the kernels, so
-        serializing transfers after the loop would dominate wall time.
+        """Dispatch one slice's integration (sharded when a mesh exists).
 
-        wet+hydro are stacked into ONE (2, N) device buffer first so each
-        slice issues a single bulk copy: two per-slice copies measured
-        0.60 s/slice steady state vs 0.38-0.57 for the stacked single
-        stream (scripts/fetch_overlap.py; compute floor 0.35)."""
+        wet+hydro are stacked into ONE (2, N) device buffer; the caller
+        batches RAIDER_TPU_FETCH_BATCH such buffers into a stacked
+        (k, 2, N) array and starts ONE async device->host copy per batch
+        (flush_fetch_batch above): on remote-attached TPUs the copy stream
+        is slower than the kernels and per-copy overhead dominates small
+        transfers — 8 MB chunks measured ~12.8 MB/s vs 32 MB ~23.8 MB/s
+        through the tunnel (scripts/fetch_overlap.py --batch)."""
         nonlocal packed2d
         # shard the ray batch over all available devices (SPMD: replicated
         # packed cube, sharded indices, no collectives needed)
@@ -688,6 +688,11 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         logger.debug('plan misprediction on slices %s: recomputing them '
                      'with their measured per-slice plans',
                      [hh for hh, _, _ in redo])
+        # redone slices are fetched individually below (refetched); drop
+        # them from the unflushed batch so the final flush doesn't stack
+        # and transfer their recomputed buffers a second time
+        redo_set = {hh for hh, _, _ in redo}
+        fetch_pending[:] = [h for h in fetch_pending if h not in redo_set]
         for hh, plm, hsm in redo:
             geom = geom_session.slice(float(zpts[hh]), chains[hh],
                                       cold=True)
@@ -712,11 +717,13 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             outputArrs[1][hh] = h_np.reshape(ypts.size, xpts.size)
 
         with stage('raytrace.final_fetch', log=False):
-            # batched buffers hold pre-recompute data for redone slices:
-            # skip those entries and fetch the recomputed outputs directly
-            fetched = jax.device_get([buf for _, buf in fetch_batches])
-            refetched = jax.device_get(
-                {hh: device_outs[hh][0] for hh in redone})
+            # batches flushed BEFORE the redo decision may hold stale
+            # pre-recompute data for redone slices: skip those entries at
+            # store time and fetch the recomputed outputs directly (one
+            # combined device_get: each call costs a tunnel round trip)
+            fetched, refetched = jax.device_get((
+                [buf for _, buf in fetch_batches],
+                {hh: device_outs[hh][0] for hh in redone}))
         for (hhs, _), buf_np in zip(fetch_batches, fetched):
             buf_np = np.asarray(buf_np)
             if len(hhs) == 1:

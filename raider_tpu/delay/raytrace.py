@@ -598,13 +598,10 @@ def _static_brick_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
 
 def _axis_uniformish(ax_np) -> bool:
     """True when :func:`ops.interp._locate` takes its uniform fast path —
-    the Pallas kernel replicates exactly that formula, so the gate must be
-    the same predicate."""
-    ax_np = np.asarray(ax_np)
-    if ax_np.size < 2:
-        return False
-    d = np.diff(ax_np)
-    return bool(np.allclose(d, d[0], rtol=1e-6, atol=0.0))
+    the Pallas kernel replicates exactly that formula, so the gate is the
+    SAME predicate (`ops.interp.axis_uniform_step`), not a copy."""
+    from raider_tpu.ops.interp import axis_uniform_step
+    return axis_uniform_step(ax_np) is not None
 
 
 def pallas_integrate_mode(ys, xs) -> str:
@@ -718,16 +715,28 @@ def _static_brick_pallas_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
                               float(nx - 2))
             fx = posx - ixf
             fz = (pz - zlo) * zinv
-            dyi = iyf - ay
-            dxi = ixf - ax
+            # window membership must be tested on the CONTINUOUS offset
+            # gy = posy - ay, not on the recomputed floor: the anchor ay
+            # came from XLA's _locate while iyf is recomputed here by
+            # Mosaic, and a 1-ULP disagreement at a cell boundary flips
+            # floor() by a whole cell. gy is rounding-invariant (the floor
+            # cancels in dyi + fy), so the ULP case keeps its (correct)
+            # weights instead of NaN-poisoning a valid ray the engine's
+            # hstep-bound redo check would never recompute. The +1e-4 band
+            # admits at most 1e-4 of one sample's weight falling off the
+            # window edge (~µm of delay); genuine grouping violations
+            # overshoot by whole cells and still poison, matching the XLA
+            # kernel (where ay and iy come from the same computation and
+            # the index test is exact).
+            gy = (iyf - ay) + fy
+            gx = (ixf - ax) + fx
             ok = (bndy & bndx & bndz
-                  & (dyi <= float(wy - 2)) & (dxi <= float(wx - 2)))
+                  & (gy <= float(wy - 1) + 1e-4)
+                  & (gx <= float(wx - 1) + 1e-4))
             rl = wav * rl_ref[wal, :]
             if wbv:
                 rl = rl + wbv * rl_ref[wbl, :]
             wte = jnp.where(ok, 1.0e-6 * rl, jnp.nan)
-            gy = dyi + fy
-            gx = dxi + fx
             hy = [jnp.maximum(0.0, 1.0 - jnp.abs(gy - k)) for k in range(wy)]
             hx = [jnp.maximum(0.0, 1.0 - jnp.abs(gx - l)) for l in range(wx)]
             q0 = [wte * (1.0 - fz) * hyk for hyk in hy]

@@ -62,6 +62,27 @@ def interp_along_axis(xs, ys, new_xs, axis: int = -1, fill_value=jnp.nan):
     return jnp.moveaxis(out, -1, axis)
 
 
+def axis_uniform_step(axis_np) -> float | None:
+    """The uniform-axis fast-path predicate, shared by every consumer.
+
+    Returns the FMA-locate step ``(hi - lo) / (n - 1)`` when the axis is
+    uniform enough for :func:`_locate`'s fast path, else None. The Pallas
+    integrate kernel (delay/raytrace.py) replicates the fast path's exact
+    formula in-kernel, so its gate (`_axis_uniformish`) and `_locate` MUST
+    share this single predicate — a tolerance drift between them would let
+    the kernel's FMA locate disagree with XLA's searchsorted branch by
+    whole cells.
+    """
+    axis_np = np.asarray(axis_np)
+    n = axis_np.shape[0]
+    if n < 2:
+        return None
+    d = np.diff(axis_np)
+    if not np.allclose(d, d[0], rtol=1e-6, atol=0.0):
+        return None
+    return (float(axis_np[-1]) - float(axis_np[0])) / (n - 1)
+
+
 def _locate(axis_np: np.ndarray, coords):
     """Bracketing cell index + fractional offset along one rectilinear axis.
 
@@ -80,10 +101,8 @@ def _locate(axis_np: np.ndarray, coords):
         # degenerate single-node axis: everything clamps to cell 0
         return jnp.zeros_like(coords, jnp.int32), jnp.zeros_like(coords), in_bounds
 
-    diffs = np.diff(axis_np)
-    uniform = np.allclose(diffs, diffs[0], rtol=1e-6, atol=0.0)
-    if uniform and n > 1:
-        step = (hi - lo) / (n - 1)
+    step = axis_uniform_step(axis_np)
+    if step is not None:
         pos = (coords - lo) / step
         idx = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
         frac = pos - idx

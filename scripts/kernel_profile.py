@@ -307,6 +307,11 @@ def make_pallas2_fn(groups, planes, wy, wx, ys_np, xs_np, zs_np,
     """v2: transposed brick (width, N) with RAYS ON LANES; everything but
     the gather runs inside one Pallas kernel per group.
 
+    KEPT ONLY for the barrier_depth pipelining ablation (pallas2d<N>) and
+    the historical pallas2 baseline — every other variant routes through
+    the PRODUCTION rt._static_brick_pallas_fn so ablation numbers track
+    the shipped kernel (see the dispatch in main()).
+
     Every brick-row access is STATIC (z-plane placement static per sample;
     the y/x cells are enumerated statically with per-ray hat weights), so
     the per-sample trilinear turns into ~36 static-row MACs over fully
@@ -506,11 +511,18 @@ def main():
             fn = make_pallas2_fn(groups, pl, wy, wx, sc['ys'], sc['xs'],
                                  sc['zs'])
         elif variant == 'pallas3':
-            fn = make_pallas2_fn(groups, pl, wy, wx, sc['ys'], sc['xs'],
-                                 sc['zs'], kernel_transpose=True)
+            # in-kernel transpose — now the production default; route
+            # through the production function so the number can't go stale
+            fn = rt._static_brick_pallas_fn(
+                groups, pl, wy, wx, axes['ys'], axes['xs'], axes['zs'],
+                True, False, kernel_transpose=True)
         elif variant.startswith('pallas2t'):
-            fn = make_pallas2_fn(groups, pl, wy, wx, sc['ys'], sc['xs'],
-                                 sc['zs'], tile_n=int(variant[8:]))
+            # tile-size sweep on the production kernel (XLA-side transpose
+            # form, matching the historical pallas2 baseline)
+            fn = rt._static_brick_pallas_fn(
+                groups, pl, wy, wx, axes['ys'], axes['xs'], axes['zs'],
+                True, False, tile_n=int(variant[8:]),
+                kernel_transpose=False)
         elif variant.startswith('pallas2d'):
             fn = make_pallas2_fn(groups, pl, wy, wx, sc['ys'], sc['xs'],
                                  sc['zs'], tile_n=4096,

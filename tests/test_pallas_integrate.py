@@ -8,6 +8,7 @@ kernel in interpret mode on CPU against the XLA static kernel, mirroring the
 reference's tolerance discipline (reference: test/test_synthetic.py:218-432).
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -38,10 +39,12 @@ def run_pair(zs, heights, monkeypatch, n_rays=257, seed=0, mutate=None,
     packed, mode = pack_cubes(wet, hydro, mode='brick')
     assert mode == 'brick'
     out = {}
+    on_tpu = jax.default_backend() == 'tpu'   # conftest pins CPU in CI
     for env in ('0', '1'):
         monkeypatch.setenv('RAIDER_TPU_PALLAS_INTEGRATE', env)
-        assert pallas_integrate_mode(ys, xs) == ('interpret' if env == '1'
-                                                 else '')
+        expect = ('' if env == '0'
+                  else 'tpu' if on_tpu else 'interpret')
+        assert pallas_integrate_mode(ys, xs) == expect
         out[env] = integrate_rays(
             wet, hydro, ys, xs, zs, bnd_y, bnd_x, bnd_z, d2, ray_len, re,
             per_level_max, packed2d=packed, mode=mode,
@@ -115,7 +118,8 @@ class TestPallasIntegrateEquivalence:
         xs = np.arange(0.0, 1.01, 0.1)
         assert pallas_integrate_mode(ys_bad, xs) == ''
         assert pallas_integrate_mode(xs, ys_bad) == ''
-        assert pallas_integrate_mode(xs, xs) == 'interpret'
+        assert pallas_integrate_mode(xs, xs) == (
+            'tpu' if jax.default_backend() == 'tpu' else 'interpret')
 
 
 class TestPallasIntegrateSharded:
