@@ -6,8 +6,10 @@ with time interpolation) and 726-916 (weather-file selection/combination).
 
 import argparse
 import datetime as dt
+import os
 import shutil
 import sys
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -98,19 +100,19 @@ def calcDelays(iargs: Optional[Sequence[str]] = None) -> list:
         wm_bounds = aoi.bounds()
     model.set_latlon_bounds(wm_bounds, output_spacing=aoi.get_output_spacing())
 
-    wet_paths = []
-    for t, w, f in zip(run_config.date_group.date_list,
-                       run_config.wetFilenames, run_config.hydroFilenames):
-        logger.debug('Starting weather model calculation for %s', t)
+    interp_method = run_config.time_group.interpolate_time
+    if interp_method is None:
+        interp_method = 'none'
+        logger.warning(
+            "interp_method is not specified, defaulting to 'none', "
+            'i.e. nearest datetime for delay calculation'
+        )
 
-        interp_method = run_config.time_group.interpolate_time
-        if interp_method is None:
-            interp_method = 'none'
-            logger.warning(
-                "interp_method is not specified, defaulting to 'none', "
-                'i.e. nearest datetime for delay calculation'
-            )
-
+    def acquire_weather(t: dt.datetime) -> tuple:
+        """Host-side weather acquisition for one date: epoch selection +
+        download/processing. Returns (times, wfiles); raises exactly like
+        the reference's serial loop (DatetimeFailed aborts, per-epoch
+        failures keep going for center_time)."""
         if interp_method == 'azimuth_time_grid':
             from raider_tpu.workflows.s1_timing import get_times_for_azimuth_interpolation
 
@@ -144,61 +146,97 @@ def calcDelays(iargs: Optional[Sequence[str]] = None) -> list:
                 logger.error('Weather model files are: %s', wfiles)
                 logger.error('Downloading and/or preparation of %s failed.', model._Name)
                 continue
+        return times, wfiles
 
-        if dl_only:
-            continue
+    # Acquisition/compute pipelining (no reference counterpart — the
+    # reference loop is strictly serial, cli/raider.py:252-303): while
+    # date k runs on the TPU, date k+1's weather download + host
+    # processing runs on a single background worker. Results are consumed
+    # in date order, so failure semantics and outputs are identical to
+    # the serial loop; the worker is 1-wide so weather-model state is
+    # never touched concurrently (date k's compute only reads the already
+    # written processed file, never the model object). The processed-file
+    # cache makes shared epochs safe: a file written during date k's
+    # acquisition is reused, not rewritten, by date k+1's.
+    # RAIDER_TPU_PREFETCH_WM=0 restores the serial loop.
+    dates = list(zip(run_config.date_group.date_list,
+                     run_config.wetFilenames, run_config.hydroFilenames))
+    use_prefetch = (len(dates) > 1
+                    and os.environ.get('RAIDER_TPU_PREFETCH_WM', '1') != '0')
+    executor = (ThreadPoolExecutor(max_workers=1,
+                                   thread_name_prefix='wm-prefetch')
+                if use_prefetch else None)
+    wet_paths = []
+    try:
+        pending = executor.submit(acquire_weather, dates[0][0]) if executor else None
+        for i, (t, w, f) in enumerate(dates):
+            logger.debug('Starting weather model calculation for %s', t)
 
-        if len(wfiles) == 0:
-            logger.error('No weather model data was successfully processed.')
-            raise NoWeatherModelData('Weather model processing failed for all times')
+            if executor is not None:
+                times, wfiles = pending.result()
+                pending = (executor.submit(acquire_weather, dates[i + 1][0])
+                           if i + 1 < len(dates) else None)
+            else:
+                times, wfiles = acquire_weather(t)
 
-        weather_model_file = getWeatherFile(wfiles, times, t, model._Name, interp_method)
-        if weather_model_file is None:
-            continue
+            if dl_only:
+                continue
 
-        try:
-            wet_delay, hydro_delay = tropo_delay(
-                t, str(weather_model_file), aoi, los,
-                height_levels=run_config.height_group.height_levels,
-                out_proj=run_config.runtime_group.output_projection,
-                zref=run_config.los_group.zref,
-            )
-        except RuntimeError:
-            logger.exception('Datetime %s failed', t)
-            continue
+            if len(wfiles) == 0:
+                logger.error('No weather model data was successfully processed.')
+                raise NoWeatherModelData('Weather model processing failed for all times')
 
-        if los.is_Projected():
-            out_filename = w.replace('_ztd', '_std')
-            hydro_filename = f.replace('_ztd', '_std')
-        elif los.ray_trace():
-            out_filename = w.replace('_std', '_ray')
-            hydro_filename = f.replace('_std', '_ray')
-        else:
-            out_filename = w
-            hydro_filename = f
+            weather_model_file = getWeatherFile(wfiles, times, t, model._Name, interp_method)
+            if weather_model_file is None:
+                continue
 
-        if hydro_delay is None:
-            # cube workflow: write the Dataset
-            out_path = Path(out_filename.replace('wet', 'tropo'))
-            ds = wet_delay
-            times_str = [x.strftime('%Y%m%dT%H:%M:%S') for x in sorted(times)]
-            ds.attrs['model_name'] = model._Name
-            ds.attrs['model_times_used'] = times_str
-            ds.attrs['interpolation_method'] = interp_method
-            if out_path.suffix not in ('.nc', '.h5'):
-                out_path = out_path.with_suffix('.nc')
-            write_nc(ds, out_path)
-            logger.info('Successfully wrote delay cube to: %s', out_path)
-        else:
-            out_path = Path(out_filename)
-            hydro_path = Path(hydro_filename) if hydro_filename else None
-            if aoi.type() == 'station_file':
-                out_path = out_path.with_suffix('.csv')
-            if aoi.type() in ('station_file', 'radar_rasters', 'geocoded_file'):
-                writeDelays(aoi, wet_delay, hydro_delay, out_path, hydro_path,
-                            outformat=run_config.runtime_group.raster_format)
+            try:
+                wet_delay, hydro_delay = tropo_delay(
+                    t, str(weather_model_file), aoi, los,
+                    height_levels=run_config.height_group.height_levels,
+                    out_proj=run_config.runtime_group.output_projection,
+                    zref=run_config.los_group.zref,
+                )
+            except RuntimeError:
+                logger.exception('Datetime %s failed', t)
+                continue
 
-        wet_paths.append(out_path)
+            if los.is_Projected():
+                out_filename = w.replace('_ztd', '_std')
+                hydro_filename = f.replace('_ztd', '_std')
+            elif los.ray_trace():
+                out_filename = w.replace('_std', '_ray')
+                hydro_filename = f.replace('_std', '_ray')
+            else:
+                out_filename = w
+                hydro_filename = f
+
+            if hydro_delay is None:
+                # cube workflow: write the Dataset
+                out_path = Path(out_filename.replace('wet', 'tropo'))
+                ds = wet_delay
+                times_str = [x.strftime('%Y%m%dT%H:%M:%S') for x in sorted(times)]
+                ds.attrs['model_name'] = model._Name
+                ds.attrs['model_times_used'] = times_str
+                ds.attrs['interpolation_method'] = interp_method
+                if out_path.suffix not in ('.nc', '.h5'):
+                    out_path = out_path.with_suffix('.nc')
+                write_nc(ds, out_path)
+                logger.info('Successfully wrote delay cube to: %s', out_path)
+            else:
+                out_path = Path(out_filename)
+                hydro_path = Path(hydro_filename) if hydro_filename else None
+                if aoi.type() == 'station_file':
+                    out_path = out_path.with_suffix('.csv')
+                if aoi.type() in ('station_file', 'radar_rasters', 'geocoded_file'):
+                    writeDelays(aoi, wet_delay, hydro_delay, out_path, hydro_path,
+                                outformat=run_config.runtime_group.raster_format)
+
+            wet_paths.append(out_path)
+
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=True)
 
     return wet_paths
 

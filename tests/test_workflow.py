@@ -553,3 +553,116 @@ def test_pressure_level_pipeline_with_real_dem(tmp_path, monkeypatch):
     lo = hgts < 500
     if hi.any() and lo.any():
         assert hydro[hi].mean() < hydro[lo].mean() - 0.2
+
+
+class TestWeatherPrefetchPipeline:
+    """Acquisition/compute pipelining in the multi-date loop.
+
+    No reference counterpart (the reference loop is strictly serial,
+    cli/raider.py:252-303): while date k computes, date k+1's weather
+    acquisition runs on a background worker. Results must be identical to
+    the serial loop, and the overlap must actually happen.
+    """
+
+    WM_FILE = 'ERA-5_2020_01_30_T13_52_45_32N_35N_120W_115W.nc'
+
+    def _cfg(self, tmp_path, out_dir):
+        out_dir.mkdir(parents=True, exist_ok=True)
+        return _write_cfg(tmp_path, {
+            'date_group': {'date_list': [20200130, 20200131]},
+            'height_group': {'height_levels': [0, 500]},
+            'time_group': {'time': '13:52:45', 'interpolate_time': 'none'},
+            'aoi_group': {'bounding_box': [33, 34, -118.25, -116.75]},
+            'runtime_group': {
+                'output_directory': str(out_dir),
+                'weather_model_directory': str(out_dir / 'wm'),
+                'verbose': False,
+            },
+        })
+
+    def _fake_prepare(self, events=None, delay=0.0):
+        import threading
+        import time as _time
+
+        wm = str(REF_WM_DIR / self.WM_FILE)
+        lock = threading.Lock()
+
+        def fake(model, tt, ll_bounds, makePlots=False):
+            if events is not None:
+                with lock:
+                    events.append(('prep_start', tt.day))
+            if delay:
+                _time.sleep(delay)
+            if events is not None:
+                with lock:
+                    events.append(('prep_end', tt.day))
+            return wm
+
+        return fake
+
+    def test_prefetch_matches_serial(self, tmp_path, monkeypatch):
+        """Same cubes out of the pipelined and serial loops (both dates
+        driven off the same processed file, so date-1 == date-2 too)."""
+        import raider_tpu.workflows.calc_delays as cd
+        from raider_tpu.io import read_nc
+
+        monkeypatch.setattr(cd, 'prepareWeatherModel', self._fake_prepare())
+        results = {}
+        for flag in ('0', '1'):
+            out_dir = tmp_path / f'out{flag}'
+            cfg = self._cfg(tmp_path, out_dir)
+            monkeypatch.setenv('RAIDER_TPU_PREFETCH_WM', flag)
+            monkeypatch.chdir(tmp_path)
+            paths = cd.calcDelays([cfg])
+            assert len(paths) == 2
+            results[flag] = [read_nc(p) for p in paths]
+        for d_serial, d_pref in zip(results['0'], results['1']):
+            np.testing.assert_array_equal(np.asarray(d_serial['wet'].data),
+                                          np.asarray(d_pref['wet'].data))
+            np.testing.assert_array_equal(np.asarray(d_serial['hydro'].data),
+                                          np.asarray(d_pref['hydro'].data))
+
+    def test_acquisition_overlaps_compute(self, tmp_path, monkeypatch):
+        """Date 2's acquisition must START while date 1's compute is still
+        running (the whole point of the pipeline)."""
+        import time as _time
+
+        import raider_tpu.workflows.calc_delays as cd
+
+        events = []
+        monkeypatch.setattr(cd, 'prepareWeatherModel',
+                            self._fake_prepare(events, delay=0.15))
+        overlap_seen = []
+
+        def fake_tropo(t, wm_file, aoi, los, **kw):
+            if t.day == 30:
+                deadline = _time.monotonic() + 10.0
+                while _time.monotonic() < deadline:
+                    if ('prep_start', 31) in events:
+                        overlap_seen.append(True)
+                        break
+                    _time.sleep(0.01)
+            # RuntimeError is the loop's keep-going path: no outputs needed
+            raise RuntimeError('synthetic compute')
+
+        monkeypatch.setattr(cd, 'tropo_delay', fake_tropo)
+        monkeypatch.setenv('RAIDER_TPU_PREFETCH_WM', '1')
+        monkeypatch.chdir(tmp_path)
+        cfg = self._cfg(tmp_path, tmp_path / 'out_ov')
+        paths = cd.calcDelays([cfg])
+        assert paths == []
+        assert overlap_seen == [True], (
+            f'date-2 acquisition never overlapped date-1 compute: {events}')
+        # and the serial loop must NOT overlap
+        events.clear()
+        overlap_seen.clear()
+        monkeypatch.setenv('RAIDER_TPU_PREFETCH_WM', '0')
+
+        def fake_tropo_serial(t, wm_file, aoi, los, **kw):
+            if t.day == 30:
+                assert ('prep_start', 31) not in events
+            raise RuntimeError('synthetic compute')
+
+        monkeypatch.setattr(cd, 'tropo_delay', fake_tropo_serial)
+        cfg = self._cfg(tmp_path, tmp_path / 'out_serial')
+        assert cd.calcDelays([cfg]) == []
