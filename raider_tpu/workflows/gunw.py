@@ -7,6 +7,15 @@ delay cubes, convert to interferometric phase, and package them back into the
 GUNW netCDF under science/grids/corrections/external/troposphere/<MODEL>.
 
 All GUNW IO is h5py-based (GUNWs are netCDF4/HDF5 files).
+
+The two epochs run through calcDelays' acquisition/compute pipeline:
+epoch 2's weather download + host processing overlaps epoch 1's delay
+computation on the TPU (calc_delays.py). Batching both epochs into ONE
+integrate launch (SURVEY §7 M5's original sketch) was rejected by design:
+the epochs have different orbits (different rays) AND different weather
+cubes (two packed brick tables resident in HBM at once, ~8 GB), while a
+1M-ray launch already saturates the chip — overlap across epochs is the
+win, not launch fusion.
 """
 
 import argparse

@@ -183,3 +183,97 @@ class TestReviewRegressions:
         idx, frac, ok = _locate_uniformish(np.array([5.0]), jnp.asarray([5.0, 6.0]))
         assert np.asarray(idx).tolist() == [0, 0]
         assert np.asarray(ok).tolist() == [True, False]
+
+
+class TestRealSceneRegimes:
+    """Golden checks on the reference's OTHER two real processed scenes —
+    Brazilian tropics (southern hemisphere) and Alaskan Arctic — which the
+    reference's own test-suite never reads. The stored wet/hydro
+    refractivities and wet_total/hydro_total integrals in these files are
+    the reference pipeline's own outputs (reference:
+    models/weatherModel.py:355-403), so recomputing them from the stored
+    t/p/e with OUR formulas is a real-data golden across three climate
+    regimes."""
+
+    SCENES = [
+        ('ERA-5_2020_01_30_T13_52_45_32N_35N_120W_115W.nc', 'midlatitude'),
+        ('ERA-5_2019_11_17_T20_51_58_5S_2S_41W_37W.nc', 'tropics-SH'),
+        ('ERA-5_2022_08_29_T17_00_01_69N_73N_159W_152W.nc', 'arctic'),
+    ]
+
+    @staticmethod
+    def _load(fname):
+        from raider_tpu.io import read_nc
+        from tests.conftest import REF_WM_DIR
+
+        path = REF_WM_DIR / fname
+        if not path.exists():
+            pytest.skip(f'{fname} not available')
+        return read_nc(str(path))
+
+    @pytest.mark.parametrize('fname,regime', SCENES)
+    def test_refractivity_golden(self, fname, regime):
+        from raider_tpu.wx.ecmwf import ERA5
+
+        ds = self._load(fname)
+        t = np.asarray(ds['t'].data, np.float64)
+        p = np.asarray(ds['p'].data, np.float64)
+        e = np.asarray(ds['e'].data, np.float64)
+        m = ERA5()
+        wet = m._k2 * e / t + m._k3 * e / t**2
+        hydro = m._k1 * p / t
+        # the stored fields are float32; 5e-7 rel = f32 rounding
+        np.testing.assert_allclose(wet, np.asarray(ds['wet'].data),
+                                   rtol=5e-7, atol=1e-9)
+        np.testing.assert_allclose(hydro, np.asarray(ds['hydro'].data),
+                                   rtol=5e-7, atol=1e-9)
+
+    @pytest.mark.parametrize('fname,regime', SCENES)
+    def test_ztd_integral_golden(self, fname, regime):
+        from raider_tpu.ops import cumtrapz_from_top
+
+        ds = self._load(fname)
+        zs = np.asarray(ds.coords['z'].data, np.float64)
+        for refr, total in (('wet', 'wet_total'), ('hydro', 'hydro_total')):
+            prof = np.asarray(ds[refr].data, np.float64).transpose(1, 2, 0)
+            got = np.asarray(cumtrapz_from_top(prof, zs)).transpose(2, 0, 1)
+            np.testing.assert_allclose(
+                got, np.asarray(ds[total].data), rtol=1e-6, atol=5e-9)
+
+    @pytest.mark.parametrize('fname,bbox,date,mean_lo,mean_hi', [
+        ('ERA-5_2019_11_17_T20_51_58_5S_2S_41W_37W.nc',
+         [-4.5, -2.5, -40.5, -37.5], dt.datetime(2019, 11, 17, 20, 51, 58),
+         2.3, 2.8),    # tropics: fat wet delay
+        ('ERA-5_2022_08_29_T17_00_01_69N_73N_159W_152W.nc',
+         [69.5, 72.5, -158.0, -153.0], dt.datetime(2022, 8, 29, 17, 0, 1),
+         2.2, 2.6),    # arctic: thin wet delay
+    ])
+    def test_cube_engine_new_regimes(self, fname, bbox, date,
+                                     mean_lo, mean_hi):
+        """Full ZTD cube build on the tropics/arctic scenes vs the float64
+        scipy re-implementation of the reference cube build."""
+        from tests.conftest import REF_WM_DIR
+
+        path = REF_WM_DIR / fname
+        if not path.exists():
+            pytest.skip(f'{fname} not available')
+        aoi = BoundingBox(bbox, cube_spacing_in_m=2000.0)
+        aoi.add_buffer(0.25)
+        aoi.set_output_xygrid(4326)
+        heights = [0.0, 500.0, 3000.0]
+        ds, _ = tropo_delay(date, str(path), aoi, Zenith(),
+                            height_levels=heights)
+        ref_wet, ref_hydro = _reference_build_cube(
+            str(path), aoi.xpts, aoi.ypts, np.array(heights))
+        np.testing.assert_allclose(np.asarray(ds['wet'].data), ref_wet,
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ds['hydro'].data), ref_hydro,
+                                   atol=1e-7)
+        total0 = np.asarray(ds['wet'].data)[0] + np.asarray(ds['hydro'].data)[0]
+        assert mean_lo < np.nanmean(total0) < mean_hi
+        # wet fraction separates the regimes: tropics > 8x the arctic's
+        wet_mean = float(np.nanmean(np.asarray(ds['wet'].data)[0]))
+        if 'T20_51_58' in fname:
+            assert wet_mean > 0.15
+        else:
+            assert wet_mean < 0.10
