@@ -68,6 +68,15 @@ WGS84 = Ellipsoid()
 SPHERE_6371229 = Ellipsoid(a=6371229.0, f=0.0)  # NCEP sphere (HRRR grids)
 
 
+def _norm_lon(lon_deg):
+    """Normalize longitudes to [-180, 180) — the PROJ/pyproj convention
+    for inverse projections. Without this, a projection with lon_0 far
+    from 0 (HRRR's 262.5, HRRR-AK's 225) returns inverse longitudes in
+    (lon_0 - 180, lon_0 + 180] (e.g. 370), which breaks downstream
+    containment/bounds comparisons on antimeridian-adjacent scenes."""
+    return jnp.mod(lon_deg + 180.0, 360.0) - 180.0
+
+
 def _conformal_t(lat_rad, e):
     """Snyder eq. 15-9: isometric colatitude function t(phi)."""
     s = jnp.sin(lat_rad)
@@ -226,7 +235,7 @@ class LambertConformalConic(CRS):
         t = (rho / (a * big_f)) ** (1.0 / n)
         lat = _inv_conformal_t(t, e)
         lon = jnp.rad2deg(theta / n) + self.lon_0
-        return lon, jnp.rad2deg(lat)
+        return _norm_lon(lon), jnp.rad2deg(lat)
 
     def to_cf(self) -> dict:
         sp = (
@@ -312,7 +321,7 @@ class PolarStereographic(CRS):
         lat = jnp.rad2deg(lat)
         if south:
             lon, lat = -lon, -lat
-        return lon, lat
+        return _norm_lon(lon), lat
 
     def to_cf(self) -> dict:
         cf = {
@@ -434,7 +443,7 @@ class TransverseMercator(CRS):
                 - lat
             )
         lon = self.lon_0 + jnp.rad2deg(jnp.arctan2(jnp.sinh(eta_p), jnp.cos(xi_p)))
-        return lon, jnp.rad2deg(lat)
+        return _norm_lon(lon), jnp.rad2deg(lat)
 
     def to_cf(self) -> dict:
         return {

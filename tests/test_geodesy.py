@@ -235,3 +235,88 @@ def test_crs_forward_traceable_under_jit():
         xe, ye = crs.forward(np.array([-117.8, -148.0]), np.array([33.4, 65.0]))
         np.testing.assert_allclose(np.asarray(x), np.asarray(xe), rtol=1e-9)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ye), rtol=1e-9)
+
+
+class TestCrsEdgeCases:
+    """Antimeridian, pole, and longitude-normalization behavior of the
+    closed-form CRS engine — the regimes where a from-scratch projection
+    implementation diverges from PROJ if the wrap handling is wrong
+    (reference delegates all of this to pyproj)."""
+
+    def _ps_ak(self):
+        return PolarStereographic(lat_0=90.0, lon_0=225.0, lat_ts=60.0,
+                                  ellipsoid=Ellipsoid(a=6371229.0, f=0.0))
+
+    def _lcc_conus(self):
+        return LambertConformalConic(lat_0=38.5, lon_0=262.5, lat_1=38.5,
+                                     lat_2=38.5,
+                                     ellipsoid=Ellipsoid(a=6371229.0, f=0.0))
+
+    @staticmethod
+    def _rt(crs, lon, lat):
+        x, y = (np.asarray(v) for v in crs.forward(np.float64(lon),
+                                                   np.float64(lat)))
+        lon2, lat2 = (float(np.asarray(v)) for v in crs.inverse(x, y))
+        return lon2, lat2
+
+    def test_inverse_lon_normalized(self):
+        """PROJ convention: inverse longitudes in [-180, 180) even when
+        lon_0 is far from zero (HRRR 262.5, HRRR-AK 225)."""
+        for crs, lon, lat in [(self._ps_ak(), 10.0, 65.0),
+                              (self._lcc_conus(), 82.6, 38.5),
+                              (utm_crs(1), 177.0, 10.0)]:
+            lon2, lat2 = self._rt(crs, lon, lat)
+            assert -180.0 <= lon2 < 180.0
+            np.testing.assert_allclose(np.mod(lon2 - lon + 180, 360) - 180,
+                                       0.0, atol=1e-8)
+            np.testing.assert_allclose(lat2, lat, atol=1e-8)
+
+    def test_ps_antimeridian_continuity(self):
+        """Forward must be continuous across lon = +/-180 (an Alaska scene
+        spans the antimeridian)."""
+        ps = self._ps_ak()
+        xw, yw = (float(np.asarray(v)) for v in ps.forward(np.float64(179.999), np.float64(65.0)))
+        xe, ye = (float(np.asarray(v)) for v in ps.forward(np.float64(-179.999), np.float64(65.0)))
+        assert np.hypot(xw - xe, yw - ye) < 300.0  # ~0.002 deg at 65N
+        for lon in (180.0, -180.0):
+            lon2, lat2 = self._rt(ps, lon, 65.0)
+            np.testing.assert_allclose(np.mod(lon2 - 180.0 + 180, 360) - 180,
+                                       0.0, atol=1e-8)
+            np.testing.assert_allclose(lat2, 65.0, atol=1e-8)
+
+    def test_ps_pole(self):
+        """The pole maps to the projection origin; its inverse returns
+        lat=90 with a finite, normalized longitude."""
+        ps = self._ps_ak()
+        x, y = (float(np.asarray(v)) for v in ps.forward(np.float64(10.0), np.float64(90.0)))
+        np.testing.assert_allclose([x, y], [0.0, 0.0], atol=1e-6)
+        lon2, lat2 = (float(np.asarray(v)) for v in ps.inverse(0.0, 0.0))
+        np.testing.assert_allclose(lat2, 90.0, atol=1e-9)
+        assert -180.0 <= lon2 < 180.0 and np.isfinite(lon2)
+
+    def test_lcc_cone_cut(self):
+        """Points on both sides of the cone's cut (lon_0 +/- 180 = 82.5)
+        round-trip to the same angle mod 360."""
+        lcc = self._lcc_conus()
+        for lon in (82.4, 82.6, -277.6):
+            lon2, lat2 = self._rt(lcc, lon, 38.5)
+            np.testing.assert_allclose(np.mod(lon2 - lon + 180, 360) - 180,
+                                       0.0, atol=1e-8)
+            assert -180.0 <= lon2 < 180.0
+
+    def test_utm_south_roundtrip(self, rng):
+        """UTM 23S (the Brazilian tropics scene's zone): false northing,
+        negative latitudes."""
+        crs = utm_crs(23, south=True)
+        lon = rng.uniform(-45.0, -39.0, 200)
+        lat = rng.uniform(-6.0, -1.0, 200)
+        x, y = (np.asarray(v) for v in crs.forward(lon, lat))
+        assert (y > 0).all() and (y < 10000000.0).all()  # false northing
+        lon2, lat2 = (np.asarray(v) for v in crs.inverse(x, y))
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_utm_south_epsg(self):
+        c = crs_from_epsg(32723)
+        assert c == utm_crs(23, south=True)
+        assert c.to_epsg() == 32723
