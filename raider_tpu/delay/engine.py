@@ -477,6 +477,15 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             buf = device_outs[hhs[0]][0]
         else:
             buf = _stackk(len(hhs), *(device_outs[h][0] for h in hhs))
+            # drop the per-slice (2, N) buffers: the stacked copy (held by
+            # fetch_batches) is the only thing still needed — redo slices
+            # re-dispatch from scratch, never reuse the old buffer — so
+            # keeping both would double device-side output residency
+            # (~16 MB/slice at 1M rays). Repointing at the stacked buffer
+            # (rather than None) keeps the backpressure block_until_ready
+            # on already-flushed slices valid.
+            for h in hhs:
+                device_outs[h] = (buf, device_outs[h][1])
         if async_fetch:
             try:
                 buf.copy_to_host_async()

@@ -660,8 +660,15 @@ def _static_brick_pallas_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
 
     Equivalent to the XLA kernel to < 1e-5 relative (scripts/kernel_profile
     checks on-chip; tests/test_pallas_integrate.py in interpret mode), with
-    identical NaN semantics: an out-of-window or out-of-bounds sample NaNs
-    its whole ray, never silently zeroes.
+    matching NaN semantics up to the documented 1e-4 boundary band: an
+    out-of-window or out-of-bounds sample NaNs its whole ray, never silently
+    zeroes, but the window test admits sub-ULP/boundary overshoots inside
+    the ``gy <= wy - 1 + 1e-4`` band that the XLA kernel's exact integer
+    test (``dyi <= wy - 2``) would NaN. The stated invariant for
+    predicted-plan slices is therefore the GUARD STRUCTURE: the engine's
+    deferred hstep-excursion check recomputes any slice whose measured
+    motion exceeded the bound it integrated with (engine.py, deferred
+    block), so a band-admitted overshoot can never ship silently.
 
     Replaces the reference's per-level, per-fraction scipy interpolator loop
     (reference: tools/RAiDER/delay.py:286-323).

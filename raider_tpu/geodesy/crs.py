@@ -63,6 +63,13 @@ class Ellipsoid:
             'inverse_flattening': 1.0 / self.f,
         }
 
+    def wkt_spheroid(self) -> str:
+        """WKT1 SPHEROID fragment (inverse flattening 0 encodes a sphere)."""
+        name = 'WGS 84' if self == WGS84 else ('sphere' if self.f == 0.0
+                                               else 'ellipsoid')
+        inv_f = 0.0 if self.f == 0.0 else 1.0 / self.f
+        return f'SPHEROID["{name}",{self.a!r},{inv_f!r}]'
+
 
 WGS84 = Ellipsoid()
 SPHERE_6371229 = Ellipsoid(a=6371229.0, f=0.0)  # NCEP sphere (HRRR grids)
@@ -120,6 +127,33 @@ class CRS:
     def to_epsg(self) -> Optional[int]:
         return None
 
+    def _geogcs_wkt(self) -> str:
+        """The GEOGCS block shared by geographic and projected WKT1."""
+        name = 'WGS 84' if self.ellipsoid == WGS84 else 'unnamed'
+        return (
+            f'GEOGCS["{name}",DATUM["{name.replace(" ", "_")}",'
+            f'{self.ellipsoid.wkt_spheroid()}],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+        )
+
+    def to_wkt(self) -> str:
+        """WKT1 string for this CRS (round-trips through crs_from_wkt).
+
+        The reference writes GUNW ``crs_wkt`` via pyproj/rioxarray
+        (aria/calcGUNW.py:150-158); this is the pyproj-free equivalent for
+        product metadata. Projected subclasses emit a PROJCS whose PARAMETER
+        names match exactly what :func:`crs_from_wkt` reads back.
+        """
+        raise NotImplementedError
+
+    def _projcs_wkt(self, name: str, projection: str, params: dict) -> str:
+        plist = ','.join(f'PARAMETER["{k}",{float(v)!r}]'
+                         for k, v in params.items())
+        return (
+            f'PROJCS["{name}",{self._geogcs_wkt()},'
+            f'PROJECTION["{projection}"],{plist},UNIT["metre",1]]'
+        )
+
     def __eq__(self, other) -> bool:
         return isinstance(other, CRS) and self.to_cf() == other.to_cf()
 
@@ -148,6 +182,9 @@ class Geographic(CRS):
     def to_epsg(self) -> Optional[int]:
         return 4326 if self.ellipsoid == WGS84 else None
 
+    def to_wkt(self) -> str:
+        return self._geogcs_wkt()
+
 
 @dataclass(frozen=True, eq=False)
 class Geocentric(CRS):
@@ -161,6 +198,14 @@ class Geocentric(CRS):
 
     def to_epsg(self) -> Optional[int]:
         return 4978 if self.ellipsoid == WGS84 else None
+
+    def to_wkt(self) -> str:
+        name = 'WGS 84' if self.ellipsoid == WGS84 else 'unnamed'
+        return (
+            f'GEOCCS["{name}",DATUM["{name.replace(" ", "_")}",'
+            f'{self.ellipsoid.wkt_spheroid()}],'
+            'PRIMEM["Greenwich",0],UNIT["metre",1]]'
+        )
 
 
 @dataclass(frozen=True, eq=False)
@@ -253,6 +298,18 @@ class LambertConformalConic(CRS):
             **self.ellipsoid.cf_attrs(),
         }
 
+    def to_wkt(self) -> str:
+        return self._projcs_wkt(
+            'unnamed', 'Lambert_Conformal_Conic_2SP', {
+                'latitude_of_origin': self.lat_0,
+                'central_meridian': self.lon_0,
+                'standard_parallel_1': self.lat_1,
+                'standard_parallel_2': (self.lat_1 if self.lat_2 is None
+                                        else self.lat_2),
+                'false_easting': self.x_0,
+                'false_northing': self.y_0,
+            })
+
 
 @dataclass(frozen=True, eq=False)
 class PolarStereographic(CRS):
@@ -337,6 +394,21 @@ class PolarStereographic(CRS):
         else:
             cf['scale_factor_at_projection_origin'] = self.k0
         return cf
+
+    def to_wkt(self) -> str:
+        params = {
+            'latitude_of_origin': self.lat_0,
+            'central_meridian': self.lon_0,
+            'false_easting': self.x_0,
+            'false_northing': self.y_0,
+        }
+        # crs_from_wkt reads standard_parallel_1 as lat_ts (default 60): a
+        # k0-form CRS round-trips only through CF attrs, not WKT1
+        if self.lat_ts is not None:
+            params['standard_parallel_1'] = self.lat_ts
+        else:
+            params['scale_factor'] = self.k0
+        return self._projcs_wkt('unnamed', 'Polar_Stereographic', params)
 
 
 # 6th-order Krueger series coefficients for transverse Mercator on WGS84-like
@@ -461,6 +533,19 @@ class TransverseMercator(CRS):
             return (32700 if self.utm_south else 32600) + self.utm_zone
         return None
 
+    def to_wkt(self) -> str:
+        name = 'unnamed'
+        if self.utm_zone is not None:
+            name = (f'WGS 84 / UTM zone {self.utm_zone}'
+                    f'{"S" if self.utm_south else "N"}')
+        return self._projcs_wkt(name, 'Transverse_Mercator', {
+            'latitude_of_origin': self.lat_0,
+            'central_meridian': self.lon_0,
+            'scale_factor': self.k0,
+            'false_easting': self.x_0,
+            'false_northing': self.y_0,
+        })
+
 
 def utm_crs(zone: int, south: bool = False) -> TransverseMercator:
     """UTM zone CRS (EPSG 326xx / 327xx)."""
@@ -566,22 +651,21 @@ def crs_from_wkt(wkt: str) -> CRS:
     reference's processed weather files); our own files carry CF attrs.
     """
     w = wkt.lower()
-    if 'geogcrs' in w or 'geogcs' in w or '"wgs 84"' in w and 'projcrs' not in w and 'projcs' not in w:
-        if 'projcrs' not in w and 'projcs' not in w and 'geoccs' not in w:
-            return Geographic()
-    if 'geocentric' in w or 'geoccs' in w or '4978' in w:
-        return Geocentric()
-
-    def _param(name, default=0.0):
-        m = re.search(r'parameter\s*\[\s*"' + name + r'"\s*,\s*([-0-9.eE+]+)', wkt, re.IGNORECASE)
-        return float(m.group(1)) if m else default
-
     ell = WGS84
     m = re.search(r'(?:spheroid|ellipsoid)\s*\[\s*"[^"]*"\s*,\s*([-0-9.eE+]+)\s*,\s*([-0-9.eE+]+)', wkt, re.IGNORECASE)
     if m:
         a = float(m.group(1))
         invf = float(m.group(2))
         ell = Ellipsoid(a=a, f=0.0 if invf == 0 else 1.0 / invf)
+    if 'geogcrs' in w or 'geogcs' in w or '"wgs 84"' in w and 'projcrs' not in w and 'projcs' not in w:
+        if 'projcrs' not in w and 'projcs' not in w and 'geoccs' not in w:
+            return Geographic(ellipsoid=ell)
+    if 'geocentric' in w or 'geoccs' in w or '4978' in w:
+        return Geocentric(ellipsoid=ell)
+
+    def _param(name, default=0.0):
+        m = re.search(r'parameter\s*\[\s*"' + name + r'"\s*,\s*([-0-9.eE+]+)', wkt, re.IGNORECASE)
+        return float(m.group(1)) if m else default
     if 'lambert' in w:
         return LambertConformalConic(
             lat_0=_param('latitude_of_origin'),
@@ -593,10 +677,17 @@ def crs_from_wkt(wkt: str) -> CRS:
             ellipsoid=ell,
         )
     if 'stereographic' in w or 'stere' in w:
+        # the k0 form carries scale_factor and no standard parallel
+        has_sp = re.search(r'parameter\s*\[\s*"standard_parallel_1"', wkt,
+                           re.IGNORECASE) is not None
+        has_k0 = re.search(r'parameter\s*\[\s*"scale_factor"', wkt,
+                           re.IGNORECASE) is not None
         return PolarStereographic(
             lat_0=_param('latitude_of_origin', 90.0),
             lon_0=_param('central_meridian'),
-            lat_ts=_param('standard_parallel_1', 60.0),
+            lat_ts=(None if (has_k0 and not has_sp)
+                    else _param('standard_parallel_1', 60.0)),
+            k0=_param('scale_factor', 1.0),
             x_0=_param('false_easting'),
             y_0=_param('false_northing'),
             ellipsoid=ell,

@@ -16,14 +16,20 @@ Pieces:
     the height output needs only +,-,*,/,sqrt,cbrt - all df64-implementable.
   * level intersections (TOA Newton) and ray segment lengths in df64.
 
-STATUS - EXPERIMENTAL. df64 correctness is compiler-dependent: XLA:CPU's
-LLVM codegen applies floating-point rewrites inside fused loops that can
-destroy the error-free transformations (measured: results collapse to f32
-precision for some fusion shapes, varying with XLA fast-math flags; the HLO
-itself is intact and jax.lax.optimization_barrier is removed by the CPU
-pipeline). The host-f64 path (geometry.orbit / geometry.rays) remains the
-production default. Use this module on TPU targets after validating
-tests/test_device_geom.py on the actual backend.
+STATUS - PRODUCTION DEFAULT ON TPU (since round 2): delay/engine.py selects
+this module for the raytrace cube build whenever the backend is TPU (see
+engine.py, _use_device_geom), with full-workflow TPU-vs-CPU parity pinned at
+0.1 mm in tests/test_parity_bound.py (measured 0.0058 mm on the real ERA5
+raytrace scenario).
+
+Caveat - CPU backends only: df64 correctness is compiler-dependent there.
+XLA:CPU's LLVM codegen applies floating-point rewrites inside fused loops
+that can destroy the error-free transformations (measured: results collapse
+to f32 precision for some fusion shapes, varying with XLA fast-math flags;
+the HLO itself is intact and jax.lax.optimization_barrier is removed by the
+CPU pipeline). On CPU the host-f64 path (geometry.orbit / geometry.rays) is
+therefore the default; on any new backend validate tests/test_device_geom.py
+before relying on this module.
 """
 
 from functools import partial

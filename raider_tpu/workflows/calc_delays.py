@@ -236,7 +236,13 @@ def calcDelays(iargs: Optional[Sequence[str]] = None) -> list:
 
     finally:
         if executor is not None:
-            executor.shutdown(wait=True)
+            # On an error escaping the loop, don't block propagation behind
+            # an in-flight next-date download: drop the queued prefetch
+            # (an already-RUNNING acquisition still completes — the thread
+            # can't be interrupted — but a queued one is cancelled).
+            if pending is not None:
+                pending.cancel()
+            executor.shutdown(wait=True, cancel_futures=True)
 
     return wet_paths
 

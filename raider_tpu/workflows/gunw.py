@@ -313,6 +313,18 @@ def update_gunw_slc(path_gunw, model: str, arrays: dict, coords: dict,
                 v_proj = rs_grp['crs']
             for ck, cv in crs_attrs.items():
                 v_proj.attrs[ck] = np.bytes_(cv) if isinstance(cv, str) else cv
+            # downstream GUNW consumers read the CRS from crs_wkt /
+            # spatial_ref (the reference writes them via rioxarray,
+            # calcGUNW.py:150-158); derive the WKT from the CF attrs
+            if 'crs_wkt' not in v_proj.attrs:
+                try:
+                    from raider_tpu.geodesy.crs import crs_from_cf
+
+                    wkt = crs_from_cf(crs_attrs).to_wkt()
+                    v_proj.attrs['crs_wkt'] = np.bytes_(wkt)
+                    v_proj.attrs['spatial_ref'] = np.bytes_(wkt)
+                except (ValueError, KeyError, NotImplementedError):
+                    logger.debug('could not derive crs_wkt from CF attrs')
 
             for name in TROPO_NAMES:
                 da = arrays[f'{rs}_{name}'].astype(np.float32)

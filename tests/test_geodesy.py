@@ -320,3 +320,48 @@ class TestCrsEdgeCases:
         c = crs_from_epsg(32723)
         assert c == utm_crs(23, south=True)
         assert c.to_epsg() == 32723
+
+
+class TestWktEmission:
+    """to_wkt round-trips through crs_from_wkt for every CRS family.
+
+    The reference gets WKT emission free from pyproj (GUNW crs_wkt,
+    aria/calcGUNW.py:150-158); ours is closed-form WKT1."""
+
+    def _cases(self):
+        from raider_tpu.geodesy.crs import (
+            SPHERE_6371229, Geocentric, Geographic, LambertConformalConic,
+            PolarStereographic)
+
+        return [
+            Geographic(),
+            Geocentric(),
+            LambertConformalConic(lat_0=38.5, lon_0=-97.5, lat_1=38.5,
+                                  lat_2=38.5, ellipsoid=SPHERE_6371229),
+            PolarStereographic(lat_0=90.0, lon_0=-135.0, lat_ts=60.0,
+                               ellipsoid=SPHERE_6371229),
+            PolarStereographic(lat_0=-90.0, lon_0=0.0, lat_ts=None, k0=0.994),
+            utm_crs(11),
+            utm_crs(23, south=True),
+        ]
+
+    def test_roundtrip_cf_identical(self):
+        from raider_tpu.geodesy.crs import crs_from_wkt
+
+        for crs in self._cases():
+            back = crs_from_wkt(crs.to_wkt())
+            assert back.to_cf() == crs.to_cf(), crs.to_wkt()
+
+    def test_roundtrip_forward_bitexact(self, rng):
+        from raider_tpu.geodesy.crs import crs_from_wkt
+
+        lon = rng.uniform(-170.0, 170.0, 64)
+        lat = rng.uniform(-80.0, 80.0, 64)
+        for crs in self._cases():
+            if crs.is_geocentric:
+                continue
+            back = crs_from_wkt(crs.to_wkt())
+            x1, y1 = (np.asarray(v) for v in crs.forward(lon, lat))
+            x2, y2 = (np.asarray(v) for v in back.forward(lon, lat))
+            np.testing.assert_array_equal(x1, x2)
+            np.testing.assert_array_equal(y1, y2)
