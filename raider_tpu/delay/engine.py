@@ -84,6 +84,14 @@ class WeatherCube:
         return np.ascontiguousarray(arr)
 
 
+def _device_get_global(tree):
+    """device_get that all-gathers non-fully-addressable (multi-host) leaves
+    so every process holds the full global value (see parallel.mesh)."""
+    from raider_tpu.parallel.mesh import device_get_global
+
+    return device_get_global(tree)
+
+
 @jax.jit
 def _stack2(w, h):
     """One (2, N) device buffer per slice: a single bulk d2h stream beats
@@ -261,15 +269,17 @@ def _build_cube(wm: WeatherCube, xpts, ypts, zpts, pts_crs, fields, compute_dtyp
         w_x = grid_weights(wm.xs, xpts)
         w_z = grid_weights(wm.zs, zpts)
         if shard:
-            from raider_tpu.parallel.mesh import place_ray_arrays, replicate
+            from raider_tpu.parallel.mesh import (device_get_global,
+                                                  place_ray_arrays, replicate)
 
             # shard w_y rows (= output y rows); out axis 1 comes back sharded
             (w_y_s,), orig_ny = place_ray_arrays([w_y], ray_axis=0)
             w_z_r = replicate(jnp.asarray(w_z))
             w_x_r = replicate(jnp.asarray(w_x))
             return [
-                np.asarray(interp3d_separable(replicate(jnp.asarray(c)),
-                                              w_z_r, w_y_s, w_x_r))[:, :orig_ny]
+                np.asarray(device_get_global(interp3d_separable(
+                    replicate(jnp.asarray(c)),
+                    w_z_r, w_y_s, w_x_r)))[:, :orig_ny]
                 for c in cubes
             ]
         return [
@@ -285,14 +295,15 @@ def _build_cube(wm: WeatherCube, xpts, ypts, zpts, pts_crs, fields, compute_dtyp
     pts_x = np.broadcast_to(mx, (zpts.size,) + mx.shape)
     pts_z = np.broadcast_to(zpts[:, None, None], pts_y.shape)
     if shard:
-        from raider_tpu.parallel.mesh import place_ray_arrays, replicate
+        from raider_tpu.parallel.mesh import (device_get_global,
+                                              place_ray_arrays, replicate)
 
         (py, px, pz), orig_ny = place_ray_arrays(
             [pts_y, pts_x, pts_z], ray_axis=1)
         return [
-            np.asarray(interp3d_points(replicate(jnp.asarray(c)),
-                                       wm.ys, wm.xs, wm.zs,
-                                       py, px, pz))[:, :orig_ny]
+            np.asarray(device_get_global(interp3d_points(
+                replicate(jnp.asarray(c)), wm.ys, wm.xs, wm.zs,
+                py, px, pz)))[:, :orig_ny]
             for c in cubes
         ]
     return [
@@ -489,8 +500,8 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         if async_fetch:
             try:
                 buf.copy_to_host_async()
-            except (AttributeError, RuntimeError):  # non-jax arrays
-                pass
+            except (AttributeError, RuntimeError, ValueError):
+                pass  # non-jax arrays / non-fully-addressable (multi-host)
         fetch_batches.append((hhs, buf))
 
     for hh in (int(i) for i in order):
@@ -513,8 +524,8 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             if plan_state is None or per_slice_plans:
                 # the FIRST contributing (lowest) slice seeds the cube-global
                 # plan: one synchronous fetch per cube
-                plm, hsm = jax.device_get((geom['per_level_max'],
-                                            geom['hstep_max']))
+                plm, hsm = _device_get_global((geom['per_level_max'],
+                                               geom['hstep_max']))
                 per_level_max = np.asarray(plm, dtype=np.float64)
                 # inflate by the f32 coordinate quantization so the brick
                 # grouping bound stays conservative (coords ~O(10-100) in
@@ -666,7 +677,7 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         # guarantee -> NaN poisoning, never silent errors).
         # ONE stacked (n, 2, L) transfer: fetching 2(n-1) tiny arrays
         # individually costs a tunnel round trip each
-        fetched_plans = np.asarray(jax.device_get(
+        fetched_plans = np.asarray(_device_get_global(
             jnp.stack([jnp.stack([p, h]) for _, p, h, _ in deferred])))
         # flag against the EXACT bound the slices integrated with
         # (plan_state[1]). The measured hsm_raw is the nanmax of the very
@@ -730,7 +741,7 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             # pre-recompute data for redone slices: skip those entries at
             # store time and fetch the recomputed outputs directly (one
             # combined device_get: each call costs a tunnel round trip)
-            fetched, refetched = jax.device_get((
+            fetched, refetched = _device_get_global((
                 [buf for _, buf in fetch_batches],
                 {hh: device_outs[hh][0] for hh in redone}))
         for (hhs, _), buf_np in zip(fetch_batches, fetched):

@@ -93,6 +93,27 @@ def replicate(array, mesh: Optional[Mesh] = None):
     return jax.device_put(array, NamedSharding(mesh, P()))
 
 
+def device_get_global(tree):
+    """``jax.device_get`` that also works across process boundaries.
+
+    On a multi-host mesh the engine's output arrays are globally sharded and
+    each process addresses only its local shards; plain ``device_get`` /
+    ``np.asarray`` raise there. Leaves that are not fully addressable are
+    all-gathered (one collective over the global mesh — gloo on CPU test
+    meshes, ICI/DCN on a pod) so EVERY process returns the full global
+    value, matching the single-process engine contract. Fully addressable
+    leaves (the single-host case) take the plain device_get path unchanged.
+    """
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
 def shard_rays(fn: Callable, mesh: Optional[Mesh] = None, ray_axis_argnums=(),
                replicated_argnums=()) -> Callable:
     """Wrap a ray-batched function so the listed args shard over the mesh.

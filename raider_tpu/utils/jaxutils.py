@@ -14,15 +14,19 @@ import jax
 
 @functools.lru_cache(maxsize=None)
 def cpu_device():
-    return jax.devices('cpu')[0]
+    # local_devices, NOT devices: in a multi-process (jax.distributed) run
+    # jax.devices() is the GLOBAL list and [0] can belong to another
+    # process — pinning default_device there yields arrays this process
+    # cannot fetch
+    return jax.local_devices(backend='cpu')[0]
 
 
 @functools.lru_cache(maxsize=None)
 def tpu_device():
-    """Best accelerator device available, else CPU."""
+    """Best accelerator device available (process-local), else CPU."""
     for kind in ('tpu', 'gpu'):
         try:
-            return jax.devices(kind)[0]
+            return jax.local_devices(backend=kind)[0]
         except RuntimeError:
             continue
     return cpu_device()

@@ -1,0 +1,61 @@
+"""Shared production scene for the multi-process engine test.
+
+Built identically (fixed seeds) by the single-process golden run in
+tests/test_parallel.py::TestMultiHost and by each OS process in
+tests/_mh_worker.py, so the only variable is the mesh the engine runs on.
+"""
+
+import datetime as dtm
+import hashlib
+
+import numpy as np
+
+T0 = dtm.datetime(2020, 1, 30, 13, 52, 45)
+HEIGHTS = [0.0, 2000.0, 8000.0]
+# inside the synthetic weather grid (ys 32..35, xs -120..-116) and the
+# synthetic orbit's zero-Doppler band — the scene the parity drives use
+BBOX = [33.2, 33.8, -118.4, -117.2]
+
+
+def build_inputs():
+    """Deterministic weather dataset + orbit (identical in every process)."""
+    from raider_tpu.io.ncdf import Variable
+    from tests.test_orbit import synthetic_orbit
+    from tests.test_raytrace import synthetic_wm_dataset
+
+    rng = np.random.default_rng(11)
+    shape = (49, 13, 17)          # synthetic_wm_dataset's (z, y, x) grid
+    wet = rng.uniform(1.0, 60.0, shape)
+    hydro = rng.uniform(50.0, 300.0, shape)
+    ds = synthetic_wm_dataset(wet_cube=wet, hydro_cube=hydro)
+    # structured integrated fields so the Zenith leg is non-trivial
+    ds.variables['wet_total'] = Variable(
+        ('z', 'y', 'x'), rng.uniform(0.0, 0.3, shape), {})
+    ds.variables['hydro_total'] = Variable(
+        ('z', 'y', 'x'), rng.uniform(0.5, 2.5, shape), {})
+    return ds, synthetic_orbit(T0)
+
+
+def run_production() -> dict:
+    """PRODUCTION tropo_delay (Zenith cube + Raytracing cube) on whatever
+    device mesh is active; returns bit-level digests of the delay cubes."""
+    from raider_tpu.delay.engine import tropo_delay
+    from raider_tpu.geometry.aoi import BoundingBox
+    from raider_tpu.geometry.los import Raytracing, Zenith
+
+    ds, orbit = build_inputs()
+    aoi = BoundingBox(list(BBOX), cube_spacing_in_m=5000)
+    z_ds, _ = tropo_delay(T0, ds, aoi, Zenith(), height_levels=HEIGHTS)
+    aoi2 = BoundingBox(list(BBOX), cube_spacing_in_m=5000)
+    r_ds, _ = tropo_delay(T0, ds, aoi2, Raytracing(orbit=orbit, time=T0),
+                          height_levels=HEIGHTS, zref=25000.0)
+
+    out = {}
+    for name, d in (('zenith', z_ds), ('ray', r_ds)):
+        w = np.ascontiguousarray(np.asarray(d['wet'].data, np.float64))
+        h = np.ascontiguousarray(np.asarray(d['hydro'].data, np.float64))
+        out[name] = hashlib.md5(w.tobytes() + h.tobytes()).hexdigest()
+        out[f'{name}_shape'] = list(w.shape)
+        out[f'{name}_finite_frac'] = float(np.isfinite(w).mean())
+        out[f'{name}_sum'] = float(np.nansum(w) + np.nansum(h))
+    return out

@@ -66,3 +66,18 @@ expected = float(np.sum(1e-6 * wet_ppm * seg_len))
 got = float(out)
 assert abs(got - expected) < 1e-9 * abs(expected), (got, expected)
 print(f'MH_OK pid={pid} total={got:.12f}', flush=True)
+
+# ---- stage 2: PRODUCTION tropo_delay across the process boundary ----------
+# The real engine (Zenith separable cube + Raytracing with host geometry,
+# sharded integrate, batched async result stream) on the 2-process global
+# mesh: each process holds the full inputs (deterministic scene), the ray
+# batch shards over all 8 global devices, and device_get_global all-gathers
+# the outputs so BOTH processes print the full-cube digest. The parent
+# asserts the digests match each other AND the single-process golden
+# bit-exactly.
+import json  # noqa: E402
+
+from tests._mh_scene import run_production  # noqa: E402
+
+digests = run_production()
+print(f'MH_PROD pid={pid} {json.dumps(digests, sort_keys=True)}', flush=True)

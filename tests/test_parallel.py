@@ -201,7 +201,7 @@ class TestMultiHost:
         outs = []
         for p in procs:
             try:
-                out, _ = p.communicate(timeout=240)
+                out, _ = p.communicate(timeout=480)
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
@@ -213,3 +213,33 @@ class TestMultiHost:
                   for out in outs for line in out.splitlines()
                   if line.startswith('MH_OK')}
         assert len(totals) == 1, f'processes disagree: {outs}'
+
+        # ---- production tropo_delay across the OS-process boundary ----
+        # Both workers ran the REAL engine (Zenith + Raytracing cubes,
+        # sharded integrate, async result stream, device_get_global
+        # all-gather) on the 2-process x 4-device global mesh and printed
+        # full-cube digests; they must agree with each other AND with the
+        # single-process UNSHARDED golden bit-exactly.
+        import json
+
+        prod = [json.loads(line.split(' ', 2)[2])
+                for out in outs for line in out.splitlines()
+                if line.startswith('MH_PROD')]
+        assert len(prod) == 2, f'missing production digests: {outs}'
+        assert prod[0] == prod[1], f'processes disagree: {prod}'
+        assert prod[0]['zenith_finite_frac'] == 1.0
+        assert prod[0]['ray_finite_frac'] > 0.99
+
+        import os as _os
+
+        from tests._mh_scene import run_production
+        old = _os.environ.get('RAIDER_TPU_SHARD')
+        _os.environ['RAIDER_TPU_SHARD'] = '0'
+        try:
+            golden = run_production()
+        finally:
+            if old is None:
+                _os.environ.pop('RAIDER_TPU_SHARD', None)
+            else:
+                _os.environ['RAIDER_TPU_SHARD'] = old
+        assert prod[0] == golden, (prod[0], golden)
