@@ -127,6 +127,86 @@ def make_scene(rng, idx):
     return wm, xq, yq, hts, los, zref, label
 
 
+def make_antimeridian_scene(rng):
+    """HRRR-Alaska regime: polar-stereographic weather CRS on the NCEP
+    sphere (lat_0=90, lon_0=225, lat_ts=60 — reference models/hrrr.py:22-25)
+    with the output grid CROSSING the +/-180 antimeridian at ~60N (the
+    Aleutian edge of the AK domain, reference hrrr.py:284-356 casting /
+    containment). Exercises: lon>180 query coordinates, inverse-projection
+    lon normalization along ray chains, and projected-CRS containment with
+    no geographic wrap seam (the grid is continuous in stereo meters).
+    Returns the same tuple shape as make_scene.
+    """
+    from raider_tpu.delay.engine import WeatherCube
+    from raider_tpu.geodesy import transform_points
+    from raider_tpu.geodesy.crs import Geographic
+    from raider_tpu.geometry.los import Raytracing
+    from raider_tpu.geometry.orbit import Orbit
+    from raider_tpu.io.ncdf import Dataset, Variable
+    from raider_tpu.wx.hrrr import HRRR_AK_PROJ
+
+    t_ref = dt.datetime(2020, 1, 1, 12, 0, 0)
+    # near-polar circular orbit whose t=0 subsatellite point is (60N, 176E),
+    # heading north: base track in the lon-0 meridian plane rotated up to
+    # lat 60 (Ry) then around to lon 176 (Rz). The scene at lon 179.2-180.8
+    # is then ~1.6-2.4 deg cross-track (incidence ~25-45 deg), east of the
+    # track, with the zero-Doppler crossing near t=0 for every target.
+    alt = rng.uniform(550e3, 750e3)
+    tt = np.arange(-600.0, 601.0, 30.0)
+    r_orb = 6378137.0 + alt
+    om = 2.0 * np.pi / (5400.0 + alt / 1e3)
+    ang = om * tt
+    base = np.stack([r_orb * np.cos(ang), np.zeros_like(ang),
+                     r_orb * np.sin(ang)], -1)
+    th = np.deg2rad(-60.0)
+    ry = np.array([[np.cos(th), 0.0, np.sin(th)],
+                   [0.0, 1.0, 0.0],
+                   [-np.sin(th), 0.0, np.cos(th)]])
+    ph = np.deg2rad(176.0)
+    rz = np.array([[np.cos(ph), -np.sin(ph), 0.0],
+                   [np.sin(ph), np.cos(ph), 0.0],
+                   [0.0, 0.0, 1.0]])
+    pos = base @ ry.T @ rz.T
+    vel = np.gradient(pos, 30.0, axis=0)
+    orbit = Orbit(times=tt, pos=pos, vel=vel, ref_time=t_ref)
+
+    # weather grid in stereo METERS covering lon 177..183E/W, lat 58..62.5
+    # (generous slant margin); projected bounding box over the boundary
+    lon_b = np.linspace(177.0, 183.0, 41)
+    lat_b = np.linspace(58.0, 62.5, 41)
+    blon = np.concatenate([lon_b, lon_b, np.full(41, lon_b[0]),
+                           np.full(41, lon_b[-1])])
+    blat = np.concatenate([np.full(41, lat_b[0]), np.full(41, lat_b[-1]),
+                           lat_b, lat_b])
+    gx, gy, _ = transform_points(Geographic(), HRRR_AK_PROJ,
+                                 blon, blat, np.zeros_like(blon))
+    gx, gy = np.asarray(gx), np.asarray(gy)
+    nz, ny, nx = 30, 52, 52
+    top = rng.uniform(19000.0, 26000.0)
+    zs = -500.0 + (top + 500.0) * np.linspace(0, 1, nz) ** 1.4
+    xs_m = np.linspace(gx.min(), gx.max(), nx)
+    ys_m = np.linspace(gy.min(), gy.max(), ny)
+    wet = rng.uniform(0.1, 100.0, (nz, ny, nx))
+    hydro = rng.uniform(50.0, 300.0, (nz, ny, nx))
+    wm = WeatherCube(Dataset(
+        coords={'x': Variable(('x',), xs_m, {}),
+                'y': Variable(('y',), ys_m, {}),
+                'z': Variable(('z',), zs, {})},
+        variables={'wet': Variable(('z', 'y', 'x'), wet, {}),
+                   'hydro': Variable(('z', 'y', 'x'), hydro, {}),
+                   'proj': Variable((), np.int64(0), HRRR_AK_PROJ.to_cf())},
+        attrs={}))
+
+    yq = np.linspace(59.5, 60.5, 12)
+    xq = np.linspace(179.2, 180.8, 15)          # crosses the antimeridian
+    hts = np.array([0.0, 1200.0, 3000.0])
+    zref = float(min(18000.0, zs[-1] - 1.0))
+    los = Raytracing(orbit=orbit, time=t_ref)
+    label = ('antimeridian-AK: stereo-NCEP grid '
+             f'{ny}x{nx} xq 179.2..180.8E zref={zref:.0f}')
+    return wm, xq, yq, hts, los, zref, label
+
+
 def main():
     import raider_tpu  # noqa: F401
     from raider_tpu.delay.engine import _build_cube_ray
@@ -136,8 +216,9 @@ def main():
     rng = np.random.default_rng(int(os.environ.get('SWEEP_SEED', '11')))
     worst = 0.0
     failures = []
-    for idx in range(n_scenes):
-        wm, xq, yq, hts, los, zref, label = make_scene(rng, idx)
+    scenes = [make_scene(rng, idx) for idx in range(n_scenes)]
+    scenes.append(make_antimeridian_scene(rng))   # always: HRRR-AK regime
+    for wm, xq, yq, hts, los, zref, label in scenes:
         t0 = time.perf_counter()
         os.environ['RAIDER_TPU_DEVICE_GEOMETRY'] = '0'
         w_h, h_h = _build_cube_ray(wm, xq, yq, hts, los, Geographic(),
@@ -159,7 +240,7 @@ def main():
             failures.append(f'{label}: {delta_mm:.4f} mm')
         print(f'{label}: max|d|={delta_mm:.4f} mm [{status}] '
               f'({time.perf_counter() - t0:.0f}s)', flush=True)
-    print(f'worst across {n_scenes} scenes: {worst:.4f} mm', flush=True)
+    print(f'worst across {len(scenes)} scenes: {worst:.4f} mm', flush=True)
     if failures:
         print('FAILURES:\n' + '\n'.join(failures), flush=True)
         sys.exit(1)

@@ -70,3 +70,41 @@ def test_parity_bound_fixed_scene(idx, restore_geom_env):
         f'{label}: parity {1e3 * worst:.4f} mm exceeds the pinned '
         f'{BOUND_MM} mm CI bound (known failure modes measure ~1 mm; '
         f'baseline for these scenes is ~0.151 mm on the CPU backend)')
+
+
+def test_parity_bound_antimeridian(restore_geom_env):
+    """HRRR-AK regime pinned in CI: output grid crossing +/-180 deg lon in
+    the polar-stereographic NCEP-sphere model CRS (VERDICT r3 item 6;
+    reference models/hrrr.py:22-25, 284-356). Asserts host-f64 vs
+    device-geometry parity under the same pinned bound, that the scene
+    actually produced finite delays (an all-NaN cube would pass a
+    delta-only check vacuously), and that both legs agree on NaN masks.
+    """
+    from parity_sweep import make_antimeridian_scene
+
+    from raider_tpu.delay.engine import _build_cube_ray
+    from raider_tpu.geodesy.crs import Geographic
+
+    rng = np.random.default_rng(11)
+    wm, xq, yq, hts, los, zref, label = make_antimeridian_scene(rng)
+    assert xq[0] < 180.0 < xq[-1]          # the scene must cross 180
+
+    os.environ['RAIDER_TPU_DEVICE_GEOMETRY'] = '0'
+    w_h, h_h = _build_cube_ray(wm, xq, yq, hts, los, Geographic(),
+                               zref=zref, compute_dtype=np.float32)
+    os.environ['RAIDER_TPU_DEVICE_GEOMETRY'] = '1'
+    w_d, h_d = _build_cube_ray(wm, xq, yq, hts, los, Geographic(),
+                               zref=zref, compute_dtype=np.float32)
+
+    worst = 0.0
+    for a, b in ((w_h, w_d), (h_h, h_d)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).mean() > 0.95, (
+            f'{label}: scene mostly NaN ({np.isfinite(a).mean():.2f} finite)')
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b),
+                                      err_msg=f'{label}: NaN masks differ')
+        d = np.abs(a - b)
+        if np.isfinite(d).any():
+            worst = max(worst, float(np.nanmax(d)))
+    assert 1e3 * worst < BOUND_MM, (
+        f'{label}: parity {1e3 * worst:.4f} mm exceeds {BOUND_MM} mm')
