@@ -26,6 +26,44 @@ import numpy as np
 
 
 def main() -> None:
+    # ------------- cold/warm start (VERDICT r3 item 4), FIRST: the remote
+    # TPU attachment is exclusive (a second process's ops hang while the
+    # first holds the chip — measured), so the two probe subprocesses run
+    # before this process touches any backend. One fresh compile-cache dir:
+    # the cold leg populates it, the warm leg is a NEW process that can only
+    # be fast if the on-disk cache actually serves the compiled executables
+    # (incl. the static-plan integrate) across processes.
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    setup_cold_s = setup_warm_s = None
+    setup_cache_served = None
+    if os.environ.get('RAIDER_TPU_BENCH_SETUP', '1') != '0':
+        probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             'scripts', 'setup_probe.py')
+        legs = []
+        with tempfile.TemporaryDirectory(prefix='raider_xla_cold') as td:
+            env = dict(os.environ, RAIDER_TPU_COMPILE_CACHE=td)
+            for _leg in ('cold', 'warm'):
+                try:
+                    out = subprocess.run(
+                        [sys.executable, probe], env=env, timeout=720,
+                        capture_output=True, text=True)
+                    legs.append(json.loads(
+                        out.stdout.strip().splitlines()[-1]))
+                except Exception:  # noqa: BLE001 - probe legs are optional
+                    legs.append(None)
+            if legs[0]:
+                setup_cold_s = legs[0]['t_first_slice_s']
+            if legs[1]:
+                setup_warm_s = legs[1]['t_first_slice_s']
+            if legs[0] and legs[1]:
+                setup_cache_served = bool(
+                    legs[0]['cache_files_after'] > 0
+                    and setup_warm_s < 0.6 * setup_cold_s)
+
     import jax
     import jax.numpy as jnp
 
@@ -130,6 +168,44 @@ def main() -> None:
         t_ztd_pallas = time_path(pallas_path)
         t_ztd_xla = time_path(ztd_xla_path)
 
+    # ------------------- station-batch ZTD point query (the GNSS path)
+    # reference delay.py:98-129: point-type AOIs (StationFile) sample the
+    # delay cube at scattered station (lat, lon, hgt) points - the
+    # highest-traffic workflow after cubes (VERDICT r3 item 8). 1M stations
+    # against the integrated cubes through the production interp3d_points
+    # gather kernel (the exact call tropo_delay makes, engine.py:193).
+    from raider_tpu.ops.interp import interp3d_points
+
+    @jax.jit
+    def integrate_cubes(wet, hydro, zs_j):
+        wet_t = jnp.moveaxis(
+            cumtrapz_from_top(jnp.moveaxis(wet, 0, -1), zs_j), -1, 0)
+        hyd_t = jnp.moveaxis(
+            cumtrapz_from_top(jnp.moveaxis(hydro, 0, -1), zs_j), -1, 0)
+        return wet_t, hyd_t
+
+    n_st = 1_000_000
+    wet_t_d, hyd_t_d = jax.block_until_ready(integrate_cubes(
+        jnp.asarray(wet), jnp.asarray(hydro), jnp.asarray(zs.astype(dtype))))
+    st_y = jnp.asarray(rng.uniform(31.0, 39.0, n_st).astype(dtype))
+    st_x = jnp.asarray(rng.uniform(-124.0, -116.0, n_st).astype(dtype))
+    st_z = jnp.asarray(rng.uniform(0.0, 8000.0, n_st).astype(dtype))
+
+    def run_stations(bump):
+        pz = st_z + bump           # on-device perturbation per rep
+        a = interp3d_points(wet_t_d, ys, xs, zs, st_y, st_x, pz)
+        b = interp3d_points(hyd_t_d, ys, xs, zs, st_y, st_x, pz)
+        return float(jnp.nansum(a) + jnp.nansum(b))
+
+    _ = run_stations(jnp.float32(0.0))
+    t_station = []
+    for k in range(1, 4):
+        t0 = time.perf_counter()
+        _ = run_stations(jnp.float32(k) * 1e-3)
+        t_station.append(time.perf_counter() - t0)
+    t_station = min(t_station)
+    del wet_t_d, hyd_t_d, st_y, st_x, st_z
+
     # --------------------------------------------------- raytraced STD (1 M)
     # contiguous slant rays (random start, azimuth, 25-45 deg zenith): the
     # brick kernel's grouping guarantees rely on level-to-level continuity,
@@ -213,6 +289,72 @@ def main() -> None:
 
     del dev, packed2d
     gc.collect()
+
+    # ------------- big-cube regime: full-CONUS HRRR (~95M cells) kernel
+    # The 50x1059x1799 grid is the reference's largest real scene class
+    # (HRRR CONUS, models/hrrr.py): its f32 PACK16 table (6.1 GB) exceeds
+    # _PACK16_BYTE_LIMIT and its brick table (49 GB) exceeds the brick
+    # budget, so before round 4 it silently fell to PACK4 (4 gathers per
+    # sample). The quantized int16 PACK16 mode (pack16_i16, 3.05 GB table)
+    # keeps 1 gather per sample at < 0.03 mm quantization impact
+    # (tests/test_raytrace_i16.py); this leg records both kernels on the
+    # same rays so the win in the regime production scenes actually hit is
+    # a measured artifact number (VERDICT r3 item 2).
+    t_big_i16 = t_big_pack4 = float('nan')
+    big_mode = None
+    if jax.default_backend() == 'tpu':
+        from raider_tpu.delay.raytrace import pack_mode_for
+
+        nz_b, ny_b, nx_b = 50, 1059, 1799
+        big_mode = pack_mode_for((nz_b, ny_b, nx_b), np.float32,
+                                 grouped=True)
+        ys_b = np.linspace(21.0, 53.0, ny_b)
+        xs_b = np.linspace(-134.0, -60.0, nx_b)
+
+        @jax.jit
+        def make_cube(lo, hi, salt):
+            v = jax.random.uniform(jax.random.PRNGKey(salt),
+                                   (nz_b, ny_b, nx_b), jnp.float32)
+            return lo + (hi - lo) * v
+
+        big_wet = jax.block_until_ready(make_cube(0.1, 100.0, 0))
+        big_hydro = jax.block_until_ready(make_cube(50.0, 300.0, 1))
+
+        zen_b = rng.uniform(np.deg2rad(25.0), np.deg2rad(45.0), n_rays)
+        azi_b = rng.uniform(0.0, 2.0 * np.pi, n_rays)
+        y0_b = rng.uniform(25.0, 49.0, n_rays)
+        x0_b = rng.uniform(-124.0, -70.0, n_rays)
+        dev_b = jax.block_until_ready(build_rays(
+            jnp.asarray(zen_b), jnp.asarray(azi_b), jnp.asarray(y0_b),
+            jnp.asarray(x0_b), jnp.asarray(dzv), jnp.asarray(zs)))
+        plm_b = (dzv * float((1.0 / np.cos(zen_b)).max())).astype(dtype)
+
+        def time_big(mode_name):
+            from raider_tpu.delay.raytrace import pack_cubes as _pc
+            packed_b, _ = _pc(big_wet, big_hydro, mode=mode_name)
+
+            def run(bump):
+                by_d, bx_d, bz_d, d2_d, rl_d, re_d = dev_b
+                w_o, h_o = integrate_rays(
+                    big_wet, big_hydro, ys_b, xs_b, zs,
+                    by_d + bump, bx_d, bz_d, d2_d, rl_d, re_d,
+                    plm_b, packed2d=packed_b, mode=mode_name)
+                return float(jnp.nansum(w_o) + jnp.nansum(h_o))
+
+            _ = run(jnp.float32(0.0))
+            ts = []
+            for k in range(1, 4):
+                t0 = time.perf_counter()
+                _ = run(jnp.float32(k) * 1e-7)
+                ts.append(time.perf_counter() - t0)
+            del packed_b
+            gc.collect()
+            return min(ts)
+
+        t_big_i16 = time_big('pack16_i16')
+        t_big_pack4 = time_big('pack4')
+        del big_wet, big_hydro, dev_b
+        gc.collect()
 
     # ----------------- END-TO-END production STD (geometry + integrate)
     # the real _build_cube_ray path: GeomSession device geometry (targets
@@ -358,6 +500,10 @@ def main() -> None:
         'unit': 's_single_chip',
         'vs_baseline': round(target / v5e8_estimate, 3),
         'detail': {
+            # the 8-chip number is an EXTRAPOLATION: per-ray SPMD with no
+            # collectives, sharded==unsharded asserted on the 8-device
+            # dryrun mesh, but never timed on 8 real chips (1 available)
+            'vs_baseline_basis': 'target 1 s vs single-chip/8, linear-scaling extrapolation',
             # ztd_s is device compute + scalar reduction (the production
             # kernels: cumtrapz_from_top + separable MXU interpolation); the
             # STD leg is the full production engine path incl. the result
@@ -383,6 +529,22 @@ def main() -> None:
             'std_samples_per_ray': int(n_samples),
             'std_gathers_per_ray': int(n_gathers),
             'pack_mode': mode,
+            # full-CONUS-HRRR cube (95M cells): the quantized 1-gather
+            # PACK16 vs the 4-gather PACK4 floor it replaces, 1M rays
+            'bigcube_kernel_i16_s': round(t_big_i16, 4),
+            'bigcube_kernel_pack4_s': round(t_big_pack4, 4),
+            'bigcube_pack_mode': big_mode,
+            # 1M-station point query against the integrated ZTD cubes (the
+            # GNSS StationFile path, engine.py:193)
+            'station_ztd_1M_s': round(t_station, 4),
+            'station_points_per_s_chip': round(n_st / t_station, 0),
+            # time-to-first-slice of the production raytrace path in a
+            # fresh process: cold = empty compile cache, warm = the same
+            # on-disk cache in a NEW process (so a fast warm leg proves
+            # cross-process serving of the compiled executables)
+            'setup_cold_s': setup_cold_s,
+            'setup_warm_s': setup_warm_s,
+            'setup_cache_served': setup_cache_served,
             'integrate_kernel': integrate_kernel,
             'kernel_rays_per_s_chip': round(n_rays / t_std, 0),
             # measured result-stream bandwidth this run: 8 MB/slice wet+hydro

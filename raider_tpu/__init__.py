@@ -40,7 +40,11 @@ if _cache != '0':
     try:
         _os.makedirs(_cache, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', _cache)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        # 0.1 s: on a remote-attached TPU every compile rides an HTTP round
+        # trip, so even sub-second executables are worth persisting
+        # (measured cold 526.6 s -> warm 114.6 s time-to-first-slice with
+        # zero recompiles; see BASELINE.md "Cold vs warm start")
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
     except (OSError, AttributeError):  # read-only FS or very old jax
         pass
 

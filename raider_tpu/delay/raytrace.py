@@ -15,10 +15,16 @@ gather row per sample:
 
   * PACK16: row(z, y, x) = all 8 cell corners x {wet, hydro} -> 1 gather per
     sample (8x memory; used when the packed cube fits comfortably in HBM)
+  * PACK16_I16: the same rows quantized to per-field affine int16 -> still
+    1 gather per sample at HALF the table bytes (covers full-CONUS-HRRR
+    ~95M-cell cubes whose f32 table exceeds the limit); < 0.03 mm
+    worst-case quantization impact, NaN via the -32768 sentinel
   * PACK4: row(z, y, x) = {wet, hydro} x {x, x+1} -> 4 gathers per sample
-    (2x memory fallback for very large cubes)
+    (2x memory floor for cubes past even the int16 window)
 
-measured 3.4x (PACK4) to ~10x (PACK16) over the naive 16-gather form.
+measured 3.4x (PACK4) to ~10x (PACK16) over the naive 16-gather form;
+16-bit rows gather at the same wall time as f32 rows (gather-count bound,
+scripts/probe_f16.py).
 
 Ablation on v5e (1M rays, HRRR-sized cube, 11 brick groups/ray): full kernel
 265 ms = gather+index 112 ms + per-sample arithmetic ~98 ms + non-overlap.
@@ -58,6 +64,20 @@ from raider_tpu.ops.interp import _locate as _locate_uniformish
 
 # switch to the 4-value packing above this packed-cube size
 _PACK16_BYTE_LIMIT = 3 * 1024**3
+
+# Quantized PACK16 (scaled int16 rows): keeps 1-gather-per-sample for cubes
+# whose f32 PACK16 table would blow _PACK16_BYTE_LIMIT. Probe verdict
+# (scripts/probe_f16.py on v5e, BASELINE.md "16-bit packed rows"): 16-bit
+# 128-lane row gathers run at the same wall time as f32 126-lane rows (the
+# kernel is gather-COUNT bound), Mosaic loads+converts int16 exactly, and
+# f16 is rejected by the compiler — so fixed-point int16 halves the table at
+# zero kernel cost. Per-field affine quantization (v ~ raw * scale + off,
+# raw in [-32767, 32767]) bounds the delay error by ~range/65534 * path
+# length: < 0.03 mm worst-case fully-correlated for refractivity ranges of
+# real weather cubes, measured 100x under the 0.1 mm parity promise
+# (tests/test_raytrace_i16.py). -32768 is the NaN sentinel.
+_PACK16_I16_BYTE_LIMIT = 6 * 1024**3
+_I16_NAN = -32768
 
 # Brick (grouped-gather) table geometry: a row holds planes x wy x wx x
 # {wet, hydro} corner values. Wider bricks admit more samples per group
@@ -200,6 +220,33 @@ def _pack_cubes(cube_wet, cube_hydro, mode: str):
     return packed.reshape(nz * ny * nx, len(rows))
 
 
+@jax.jit
+def _quantize_i16(cube):
+    """Affine int16 quantization of one refractivity field.
+
+    Returns (raw int16 cube, scale f32, offset f32) with
+    ``v ~ raw * scale + off``; non-finite cells map to the ``_I16_NAN``
+    sentinel (int16 has no NaN) and decode back to NaN in the kernel.
+    """
+    finite = jnp.isfinite(cube)
+    masked = jnp.where(finite, cube, jnp.nan)
+    vmin, vmax = jnp.nanmin(masked), jnp.nanmax(masked)
+    scale = jnp.maximum(vmax - vmin, 1e-12) / 65534.0
+    off = 0.5 * (vmin + vmax)
+    raw = jnp.clip(jnp.round((cube - off) / scale), -32767, 32767)
+    raw = jnp.where(finite, raw, float(_I16_NAN)).astype(jnp.int16)
+    return raw, scale.astype(jnp.float32), off.astype(jnp.float32)
+
+
+def _i16_column_deq(n_cols, deq, compute_dtype):
+    """Per-column (scale, offset) vectors for a packed i16 row: columns
+    alternate {wet, hydro} (see _pack_cubes), deq = [sw, ow, sh, oh]."""
+    par = jnp.arange(n_cols, dtype=jnp.int32) % 2
+    sc = jnp.where(par == 0, deq[0], deq[2]).astype(compute_dtype)
+    of = jnp.where(par == 0, deq[1], deq[3]).astype(compute_dtype)
+    return sc, of
+
+
 
 
 @partial(jax.jit, static_argnames=('ys', 'xs', 'zs', 'z_clip', 'mode'))
@@ -212,8 +259,9 @@ def _integrate_packed(
     coord_lvl, fracs, wa_lvl, wa, wb_lvl, wb,  # (P,) dedup sampling plan
     ys, xs, zs,                 # static grid axes
     z_clip, mode,
+    deq=None,                   # (4,) [sw, ow, sh, oh] for pack16_i16
 ):
-    compute_dtype = packed2d.dtype
+    compute_dtype = deq.dtype if deq is not None else packed2d.dtype
     ys_np, xs_np, zs_np = np.asarray(ys), np.asarray(xs), np.asarray(zs)
     ny, nx = ys_np.size, xs_np.size
 
@@ -245,8 +293,12 @@ def _integrate_packed(
         fx = fx.astype(compute_dtype)
         fz = fz.astype(compute_dtype)
 
-        if mode == 'pack16':
+        if mode in ('pack16', 'pack16_i16'):
             g = jnp.take(packed2d, lin, axis=0)  # (N, 16)
+            if mode == 'pack16_i16':
+                sc, of = _i16_column_deq(16, deq, compute_dtype)
+                g = jnp.where(g == _I16_NAN, jnp.nan,
+                              g.astype(compute_dtype) * sc + of)
             w00 = (1 - fy) * (1 - fx)
             w01 = (1 - fy) * fx
             w10 = fy * (1 - fx)
@@ -958,8 +1010,17 @@ def pack_mode_for(cube_shape, dtype, grouped: bool = False) -> str:
     """
     if grouped and _brick_spec_for(cube_shape, dtype) is not None:
         return 'brick'
-    nbytes16 = int(np.prod(cube_shape)) * 16 * np.dtype(dtype).itemsize
-    return 'pack16' if nbytes16 <= _PACK16_BYTE_LIMIT else 'pack4'
+    n_cells = int(np.prod(cube_shape))
+    nbytes16 = n_cells * 16 * np.dtype(dtype).itemsize
+    if nbytes16 <= _PACK16_BYTE_LIMIT:
+        return 'pack16'
+    # quantized int16 rows: same gather count as pack16 at half the bytes
+    # (measured same gather wall time; see _PACK16_I16_BYTE_LIMIT note) —
+    # covers full-CONUS-HRRR-class cubes (~95M cells = 3.0 GiB i16 table)
+    # that f32 PACK16 cannot hold, at < 0.03 mm quantization impact
+    if n_cells * 16 * 2 <= _PACK16_I16_BYTE_LIMIT:
+        return 'pack16_i16'
+    return 'pack4'
 
 
 def integrate_rays(
@@ -1014,7 +1075,12 @@ def integrate_rays(
         cube_wet = jnp.asarray(cube_wet)
         packed2d, mode = pack_cubes(cube_wet, jnp.asarray(cube_hydro),
                                     grouped=grouped_ok)
-    dtype = packed2d.dtype
+    deq = None
+    if mode == 'pack16_i16':     # table rides with its dequant params
+        packed2d, deq = packed2d
+        dtype = deq.dtype
+    else:
+        dtype = packed2d.dtype
     ray_args = (
         jnp.asarray(bnd_y, dtype), jnp.asarray(bnd_x, dtype),
         jnp.asarray(bnd_z, dtype),
@@ -1068,7 +1134,7 @@ def integrate_rays(
                            _PLAN_BUCKET)
     return _integrate_packed(
         packed2d, *ray_args, *plan,
-        **axes, z_clip=z_clip, mode=mode,
+        **axes, z_clip=z_clip, mode=mode, deq=deq,
     )
 
 
@@ -1133,4 +1199,9 @@ def pack_cubes(cube_wet, cube_hydro, mode=None, grouped: bool = False):
                 or _BRICK_SPECS[-1][:4])
         planes, wy, wx, _ = spec
         return _pack_bricks(cube_wet, cube_hydro, planes, wy, wx), mode
+    if mode == 'pack16_i16':
+        qw, sw, ow = _quantize_i16(cube_wet)
+        qh, sh, oh = _quantize_i16(cube_hydro)
+        deq = jnp.stack([sw, ow, sh, oh])
+        return (_pack_cubes(qw, qh, 'pack16'), deq), mode
     return _pack_cubes(cube_wet, cube_hydro, mode), mode

@@ -176,3 +176,52 @@ class TestLiveScenario1ERA5:
         hydro = np.asarray(hydro).reshape(true_hydro.shape)
         assert np.nanmax(np.abs((wet - true_wet) / true_wet)) < 1e-2
         assert np.nanmax(np.abs((hydro - true_hydro) / true_hydro)) < 1e-2
+
+
+class TestLiveScenario1GMAO:
+    """Second scenario-1 model leg (VERDICT r3 item 7): GMAO rides NASA's
+    OpenDAP (pydap + Earthdata login), not paid CDS credentials, so this is
+    the most runnable per-model raster regression after ERA5. Same Mexico
+    scene / goldens / rtol as the reference (test/_scenario_1.py:64-144).
+    Provenance of which live legs have ever executed is in COVERAGE.md."""
+
+    SCENARIO = pathlib.Path('/root/reference/test/scenario_1')
+    GEOM = pathlib.Path('/root/reference/test/test_geom')
+
+    def test_scenario_1_gmao_zenith(self, tmp_path):
+        pytest.importorskip('pydap')
+        if not _has_egress('opendap.nccs.nasa.gov'):
+            pytest.skip('no network egress')
+        if not (self.SCENARIO / 'GMAO' / 'wet.envi').exists():
+            pytest.skip('reference scenario_1 data not available')
+
+        from raider_tpu.delay.engine import tropo_delay
+        from raider_tpu.geometry.aoi import RasterRDR
+        from raider_tpu.geometry.los import Zenith
+        from raider_tpu.io.rasters import rio_open
+        from raider_tpu.wx.gmao import GMAO
+        from raider_tpu.wx.process import prepareWeatherModel
+
+        time = dt.datetime(2020, 1, 3, 23, 0)
+        ll_bounds = (15.75, 18.25, -103.24, -99.75)
+
+        model = GMAO()
+        model.set_wmLoc(str(tmp_path))
+        wm_file = prepareWeatherModel(model, time, list(ll_bounds))
+
+        aoi = RasterRDR(
+            str(self.SCENARIO / 'geom' / 'lat.dat'),
+            str(self.SCENARIO / 'geom' / 'lon.dat'),
+            hgt_file=str(self.GEOM / 'warpedDEM.dem'),
+        )
+        wet, hydro = tropo_delay(time, wm_file, aoi, Zenith(), zref=20000.0)
+
+        true_wet, _ = rio_open(str(self.SCENARIO / 'GMAO' / 'wet.envi'))
+        true_hydro, _ = rio_open(str(self.SCENARIO / 'GMAO' / 'hydro.envi'))
+        true_wet = np.where(true_wet == 0.0, np.nan, true_wet)
+        true_hydro = np.where(true_hydro == 0.0, np.nan, true_hydro)
+
+        wet = np.asarray(wet).reshape(true_wet.shape)
+        hydro = np.asarray(hydro).reshape(true_hydro.shape)
+        assert np.nanmax(np.abs((wet - true_wet) / true_wet)) < 1e-2
+        assert np.nanmax(np.abs((hydro - true_hydro) / true_hydro)) < 1e-2
