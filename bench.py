@@ -372,11 +372,14 @@ def main() -> None:
     # inflation, not engine throughput.
     import datetime as dt
 
-    from raider_tpu.delay.engine import WeatherCube, _build_cube_ray
+    from raider_tpu.delay.engine import (WeatherCube, _build_cube_ray,
+                                         _stream_quant16)
     from raider_tpu.geodesy.crs import Geographic
     from raider_tpu.geometry.los import Raytracing
     from raider_tpu.geometry.orbit import Orbit
     from raider_tpu.io.ncdf import Dataset, Variable
+
+    stream_mode = 'i16' if _stream_quant16() else 'f32'
 
     t_ref = dt.datetime(2020, 1, 1, 12, 0, 0)
     tt = np.arange(-600.0, 601.0, 30.0)
@@ -546,12 +549,18 @@ def main() -> None:
             'setup_warm_s': setup_warm_s,
             'setup_cache_served': setup_cache_served,
             'integrate_kernel': integrate_kernel,
+            # result-stream wire format for the e2e leg: 'i16' = per-slice
+            # affine int16 (half the unoverlapped d2h bytes, error bounded
+            # at range/131068 per slice - engine._quant16), the TPU default
+            'stream_mode': stream_mode,
             'kernel_rays_per_s_chip': round(n_rays / t_std, 0),
-            # measured result-stream bandwidth this run: 8 MB/slice wet+hydro
-            # over (e2e slope - compute floor). On a local-PCIe host the
-            # denominator ~vanishes and this reads very large / null.
+            # measured result-stream bandwidth this run: wet+hydro bytes per
+            # slice (8 MB f32 / 4 MB quantized i16) over (e2e slope -
+            # compute floor). On a local-PCIe host the denominator
+            # ~vanishes and this reads very large / null.
             'tunnel_mbytes_per_s': (
-                round(2 * n_rays * 4 / 1e6 / (t_std_e2e - (t_geom + t_std)), 1)
+                round(2 * n_rays * (2 if stream_mode == 'i16' else 4)
+                      / 1e6 / (t_std_e2e - (t_geom + t_std)), 1)
                 if np.isfinite(t_geom) and t_std_e2e > t_geom + t_std + 1e-3
                 else None),
         },

@@ -107,6 +107,56 @@ def _stackk(k, *bufs):
     return jnp.stack(bufs)
 
 
+@jax.jit
+def _quant16(buf):
+    """Affine int16 quantization of the result stream, per (slice, field) row.
+
+    The d2h result stream does NOT overlap device compute on remote-attached
+    TPUs (the e2e slope measures compute + transfer, bench.py), so bytes on
+    the wire are wall time: int16 rows halve the per-slice transfer. Same
+    idiom as the pack16_i16 cube mode (raytrace.py): scale = finite_range /
+    65534, NaN rides the -32768 sentinel, inf folds to NaN. Worst-case
+    dequantization error is range/131068 per row plus a few f32 ulp of the
+    value - < 0.1 mm for any physical delay slice (range < 13 m), measured
+    0.02 mm class; the parity budget (tests/test_parity_bound.py, 0.1 mm
+    on TPU) absorbs it.
+    RAIDER_TPU_STREAM=f32 restores exact streaming.
+    """
+    finite = jnp.isfinite(buf)
+    big = jnp.float32(np.inf)
+    lo = jnp.min(jnp.where(finite, buf, big), axis=-1)
+    hi = jnp.max(jnp.where(finite, buf, -big), axis=-1)
+    ok = lo <= hi                      # False only for all-NaN rows
+    lo = jnp.where(ok, lo, 0.0)
+    hi = jnp.where(ok, hi, 0.0)
+    scale = jnp.maximum((hi - lo) / 65534.0, jnp.float32(1e-30))
+    q = jnp.round((buf - lo[..., None]) / scale[..., None]) - 32767.0
+    q = jnp.clip(q, -32767.0, 32767.0)
+    q = jnp.where(finite, q, -32768.0).astype(jnp.int16)
+    return q, lo, scale
+
+
+def _dequant16(q, lo, scale):
+    """Host-side inverse of _quant16 (numpy): int16 payload -> f32 delays."""
+    q = np.asarray(q)
+    v = (np.asarray(lo, np.float32)[..., None]
+         + (q.astype(np.float32) + np.float32(32767.0))
+         * np.asarray(scale, np.float32)[..., None])
+    return np.where(q == -32768, np.float32(np.nan), v)
+
+
+def _stream_quant16() -> bool:
+    """Quantized-i16 result stream: default on TPU, off elsewhere (on CPU
+    'device->host' is a no-op copy, so quantization would cost work and
+    precision for nothing). RAIDER_TPU_STREAM={i16,f32} overrides."""
+    mode = os.environ.get('RAIDER_TPU_STREAM', '').lower()
+    if mode == 'i16':
+        return True
+    if mode == 'f32':
+        return False
+    return jax.default_backend() == 'tpu'
+
+
 def _default_compute_dtype():
     """f32 when an accelerator will run the kernels (true f64 is emulated
     there), full f64 on CPU-only hosts."""
@@ -476,8 +526,18 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     except ValueError:
         fetch_batch = 4
     async_fetch = os.environ.get('RAIDER_TPU_ASYNC_FETCH', '') != '0'
+    stream_q16 = _stream_quant16()
     fetch_batches = []       # (tuple_of_hh, stacked (k, 2, N) device buffer)
     fetch_pending = []       # hh dispatched but not yet batched
+
+    def start_async_copy(buf):
+        if not async_fetch:
+            return
+        for leaf in jax.tree_util.tree_leaves(buf):
+            try:
+                leaf.copy_to_host_async()
+            except (AttributeError, RuntimeError, ValueError):
+                pass  # non-jax arrays / non-fully-addressable (multi-host)
 
     def flush_fetch_batch():
         if not fetch_pending:
@@ -488,20 +548,21 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             buf = device_outs[hhs[0]][0]
         else:
             buf = _stackk(len(hhs), *(device_outs[h][0] for h in hhs))
-            # drop the per-slice (2, N) buffers: the stacked copy (held by
-            # fetch_batches) is the only thing still needed — redo slices
-            # re-dispatch from scratch, never reuse the old buffer — so
-            # keeping both would double device-side output residency
-            # (~16 MB/slice at 1M rays). Repointing at the stacked buffer
-            # (rather than None) keeps the backpressure block_until_ready
-            # on already-flushed slices valid.
-            for h in hhs:
-                device_outs[h] = (buf, device_outs[h][1])
-        if async_fetch:
-            try:
-                buf.copy_to_host_async()
-            except (AttributeError, RuntimeError, ValueError):
-                pass  # non-jax arrays / non-fully-addressable (multi-host)
+        if stream_q16:
+            # halve the wire: (k, 2, N) i16 payload + (k, 2) f32 lo/scale.
+            # The transfer is unoverlapped wall time through a remote
+            # tunnel (see _quant16); dequantized at store time.
+            buf = _quant16(buf)
+        # drop the per-slice (2, N) buffers: the batch copy (held by
+        # fetch_batches) is the only thing still needed — redo slices
+        # re-dispatch from scratch, never reuse the old buffer — so
+        # keeping both would double device-side output residency
+        # (~16 MB/slice at 1M rays). Repointing at the batch buffer
+        # (rather than None) keeps the backpressure block_until_ready
+        # on already-flushed slices valid (it depends on the originals).
+        for h in hhs:
+            device_outs[h] = (buf, device_outs[h][1])
+        start_async_copy(buf)
         fetch_batches.append((hhs, buf))
 
     for hh in (int(i) for i in order):
@@ -736,23 +797,32 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             outputArrs[0][hh] = w_np.reshape(ypts.size, xpts.size)
             outputArrs[1][hh] = h_np.reshape(ypts.size, xpts.size)
 
+        def as_f32(buf_np, single):
+            # a quantized batch arrives as the (payload, lo, scale) triple
+            if stream_q16:
+                q, lo, scale = buf_np
+                out = _dequant16(q, lo, scale)
+            else:
+                out = np.asarray(buf_np)
+            return out[None] if single else out
+
         with stage('raytrace.final_fetch', log=False):
             # batches flushed BEFORE the redo decision may hold stale
             # pre-recompute data for redone slices: skip those entries at
             # store time and fetch the recomputed outputs directly (one
-            # combined device_get: each call costs a tunnel round trip)
+            # combined device_get: each call costs a tunnel round trip).
+            # Recomputed buffers ride the same quantized wire format.
             fetched, refetched = _device_get_global((
                 [buf for _, buf in fetch_batches],
-                {hh: device_outs[hh][0] for hh in redone}))
+                {hh: (_quant16(device_outs[hh][0]) if stream_q16
+                      else device_outs[hh][0]) for hh in redone}))
         for (hhs, _), buf_np in zip(fetch_batches, fetched):
-            buf_np = np.asarray(buf_np)
-            if len(hhs) == 1:
-                buf_np = buf_np[None]
+            buf_np = as_f32(buf_np, single=len(hhs) == 1)
             for i, hh in enumerate(hhs):
                 if hh not in redone:
                     store(hh, buf_np[i])
         for hh, out_np in refetched.items():
-            store(hh, out_np)
+            store(hh, as_f32(out_np, single=False))
 
     return outputArrs
 

@@ -50,12 +50,38 @@ def run_production() -> dict:
     r_ds, _ = tropo_delay(T0, ds, aoi2, Raytracing(orbit=orbit, time=T0),
                           height_levels=HEIGHTS, zref=25000.0)
 
+    # quantized-i16 result stream (the TPU production default) across the
+    # same mesh: quantization is order-independent (exact min/max +
+    # elementwise round), so sharded-multi-process must stay bit-identical
+    # to the unsharded golden here too
+    import os
+
+    old_stream = os.environ.get('RAIDER_TPU_STREAM')
+    os.environ['RAIDER_TPU_STREAM'] = 'i16'
+    try:
+        aoi3 = BoundingBox(list(BBOX), cube_spacing_in_m=5000)
+        q_ds, _ = tropo_delay(T0, ds, aoi3, Raytracing(orbit=orbit, time=T0),
+                              height_levels=HEIGHTS, zref=25000.0)
+    finally:
+        if old_stream is None:
+            os.environ.pop('RAIDER_TPU_STREAM', None)
+        else:
+            os.environ['RAIDER_TPU_STREAM'] = old_stream
+
     out = {}
-    for name, d in (('zenith', z_ds), ('ray', r_ds)):
+    for name, d in (('zenith', z_ds), ('ray', r_ds), ('ray_q16', q_ds)):
         w = np.ascontiguousarray(np.asarray(d['wet'].data, np.float64))
         h = np.ascontiguousarray(np.asarray(d['hydro'].data, np.float64))
         out[name] = hashlib.md5(w.tobytes() + h.tobytes()).hexdigest()
         out[f'{name}_shape'] = list(w.shape)
         out[f'{name}_finite_frac'] = float(np.isfinite(w).mean())
         out[f'{name}_sum'] = float(np.nansum(w) + np.nansum(h))
+    # the quantized stream must track the exact one within its documented
+    # bound (range/131068 per slice; delays here are O(1) m)
+    wr = np.asarray(r_ds['wet'].data, np.float64)
+    wq = np.asarray(q_ds['wet'].data, np.float64)
+    both = np.isfinite(wr) & np.isfinite(wq)
+    out['ray_q16_close'] = bool(
+        (np.isfinite(wr) == np.isfinite(wq)).all()
+        and float(np.abs(wq[both] - wr[both]).max()) < 1e-4)
     return out
