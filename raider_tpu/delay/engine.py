@@ -157,6 +157,22 @@ def _stream_quant16() -> bool:
     return jax.default_backend() == 'tpu'
 
 
+def _fetch_stream(x):
+    """Fetch a device array over the quantized-i16 wire when enabled.
+
+    The zenith/projected cube path materializes whole (nz, ny, nx) f32
+    fields host-side (32 MB/field for a 50x400x400 cube); on remote-attached
+    TPUs that transfer is unoverlapped wall time exactly like the raytrace
+    result stream, so it rides the same per-row affine int16 format
+    (_quant16 over the trailing axis — for cubes that is one x-row per
+    (z, y), a tighter range than the raytrace slice rows). No-op f32 fetch
+    when the stream is f32 (CPU backends / RAIDER_TPU_STREAM=f32)."""
+    if not _stream_quant16():
+        return np.asarray(_device_get_global(x))
+    q, lo, scale = _device_get_global(_quant16(x))
+    return _dequant16(q, lo, scale)
+
+
 def _default_compute_dtype():
     """f32 when an accelerator will run the kernels (true f64 is emulated
     there), full f64 on CPU-only hosts."""
@@ -240,8 +256,10 @@ def tropo_delay(
         wet3 = wet3[::-1]
         hydro3 = hydro3[::-1]
 
-    wetDelay = np.asarray(interp3d_points(wet3, cube_y, cube_x, cube_z, pts_y, pts_x, pts_z))
-    hydroDelay = np.asarray(interp3d_points(hydro3, cube_y, cube_x, cube_z, pts_y, pts_x, pts_z))
+    wetDelay = _fetch_stream(
+        interp3d_points(wet3, cube_y, cube_x, cube_z, pts_y, pts_x, pts_z))
+    hydroDelay = _fetch_stream(
+        interp3d_points(hydro3, cube_y, cube_x, cube_z, pts_y, pts_x, pts_z))
 
     if los.is_Projected():
         los.setTime(datetime)
@@ -327,13 +345,14 @@ def _build_cube(wm: WeatherCube, xpts, ypts, zpts, pts_crs, fields, compute_dtyp
             w_z_r = replicate(jnp.asarray(w_z))
             w_x_r = replicate(jnp.asarray(w_x))
             return [
-                np.asarray(device_get_global(interp3d_separable(
+                _fetch_stream(interp3d_separable(
                     replicate(jnp.asarray(c)),
-                    w_z_r, w_y_s, w_x_r)))[:, :orig_ny]
+                    w_z_r, w_y_s, w_x_r))[:, :orig_ny]
                 for c in cubes
             ]
         return [
-            np.asarray(interp3d_separable(c, w_z, w_y, w_x)) for c in cubes
+            _fetch_stream(interp3d_separable(c, w_z, w_y, w_x))
+            for c in cubes
         ]
 
     # general path: transform the grid into the model CRS once, batch all
@@ -351,13 +370,14 @@ def _build_cube(wm: WeatherCube, xpts, ypts, zpts, pts_crs, fields, compute_dtyp
         (py, px, pz), orig_ny = place_ray_arrays(
             [pts_y, pts_x, pts_z], ray_axis=1)
         return [
-            np.asarray(device_get_global(interp3d_points(
+            _fetch_stream(interp3d_points(
                 replicate(jnp.asarray(c)), wm.ys, wm.xs, wm.zs,
-                py, px, pz)))[:, :orig_ny]
+                py, px, pz))[:, :orig_ny]
             for c in cubes
         ]
     return [
-        np.asarray(interp3d_points(c, wm.ys, wm.xs, wm.zs, pts_y, pts_x, pts_z))
+        _fetch_stream(interp3d_points(c, wm.ys, wm.xs, wm.zs,
+                                      pts_y, pts_x, pts_z))
         for c in cubes
     ]
 

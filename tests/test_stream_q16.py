@@ -161,3 +161,89 @@ class TestEnginePath:
                     f'slice {hh}: {worst * 1e3:.5f} mm > {bound * 1e3:.5f} mm')
         # and absolutely: far under the 0.1 mm parity budget
         assert np.abs(w_q[ok] - w_f[ok]).max() < 1e-4
+
+    @pytest.mark.parametrize('path', ['separable', 'general'])
+    def test_build_cube_zenith_stream_i16(self, monkeypatch, path):
+        """The zenith/projected cube fetch rides the same quantized wire:
+        both the separable-MXU fast path and the general gather path,
+        per-(z, y) x-row bound (tighter than the raytrace slice rows)."""
+        from test_raytrace import synthetic_wm_dataset
+
+        from raider_tpu.delay.engine import WeatherCube, _build_cube
+        from raider_tpu.geodesy.crs import Geographic, utm_crs
+
+        rng = np.random.default_rng(11)
+        shape = (49, 13, 17)
+        wet_c = rng.uniform(0.1, 100.0, shape)
+        nan_z, nan_y, nan_x = rng.integers(0, shape, (4, 3)).T
+        wm = WeatherCube(synthetic_wm_dataset(wet_cube=wet_c))
+        if path == 'separable':
+            # same CRS + NaN-free cube -> three MXU contractions
+            pts_crs = wm.crs
+            assert isinstance(pts_crs, Geographic)
+            xpts = np.linspace(-118.4, -117.2, 12)
+            ypts = np.linspace(33.2, 33.8, 9)
+        else:
+            # CRS mismatch forces the gather path; poke NaNs in to cover
+            # the sentinel on a whole-cube fetch
+            w = np.asarray(wm.ds['wet'].data)
+            w[nan_z, nan_y, nan_x] = np.nan
+            pts_crs = utm_crs(zone=11)
+            xpts = np.linspace(370e3, 480e3, 12)
+            ypts = np.linspace(3.67e6, 3.74e6, 9)
+        zpts = np.array([0.0, 1000.0, 2500.0, 4000.0])
+
+        def run(stream):
+            monkeypatch.setenv('RAIDER_TPU_STREAM', stream)
+            return _build_cube(wm, xpts, ypts, zpts, pts_crs,
+                               ['wet', 'hydro'], np.float32)
+
+        f32 = run('f32')
+        q16 = run('i16')
+        for exact, quant in zip(f32, q16):
+            exact, quant = np.asarray(exact), np.asarray(quant)
+            assert exact.shape == quant.shape == (4, 9, 12)
+            np.testing.assert_array_equal(np.isnan(exact), np.isnan(quant))
+            okm = np.isfinite(exact)
+            assert okm.mean() > 0.5
+            # per-x-row bound: range/131068 over each (z, y) row
+            rng_row = (np.nanmax(exact, -1) - np.nanmin(exact, -1))
+            bound = np.broadcast_to(
+                rng_row[..., None] / 131068.0
+                + 4 * np.spacing(np.nanmax(np.abs(exact))), exact.shape)
+            assert (np.abs(quant - exact)[okm] <= bound[okm]).all()
+            # relative: the synthetic cube spans ~100 units/row, so the
+            # bound is ~1e-5 of the range (a real delay cube's range is
+            # O(m), landing the same relative bound under 0.1 mm)
+            rng_all = exact[okm].max() - exact[okm].min()
+            assert np.abs(quant[okm] - exact[okm]).max() <= 1e-5 * rng_all
+
+    def test_point_query_stream_i16(self, monkeypatch):
+        """Station-point sampling (the GNSS path) over the quantized wire."""
+        from test_raytrace import synthetic_wm_dataset
+
+        from raider_tpu.delay.engine import WeatherCube
+        from raider_tpu.ops.interp import interp3d_points
+
+        rng = np.random.default_rng(13)
+        wm = WeatherCube(synthetic_wm_dataset())
+        cube = wm.field('wet', np.float32)
+        n = 4096
+        py = rng.uniform(33.2, 33.8, n)
+        px = rng.uniform(-118.4, -117.2, n)
+        pz = rng.uniform(0.0, 8000.0, n)
+
+        from raider_tpu.delay.engine import _fetch_stream
+
+        monkeypatch.setenv('RAIDER_TPU_STREAM', 'f32')
+        exact = _fetch_stream(
+            interp3d_points(cube, wm.ys, wm.xs, wm.zs, py, px, pz))
+        monkeypatch.setenv('RAIDER_TPU_STREAM', 'i16')
+        quant = _fetch_stream(
+            interp3d_points(cube, wm.ys, wm.xs, wm.zs, py, px, pz))
+        okm = np.isfinite(exact)
+        np.testing.assert_array_equal(okm, np.isfinite(quant))
+        assert okm.mean() > 0.9
+        bound = ((exact[okm].max() - exact[okm].min()) / 131068.0
+                 + 4 * np.spacing(np.abs(exact[okm]).max()))
+        assert np.abs(quant[okm] - exact[okm]).max() <= bound
