@@ -40,6 +40,7 @@ def main() -> None:
 
     setup_cold_s = setup_warm_s = None
     setup_cache_served = None
+    setup_cache_files = None
     if os.environ.get('RAIDER_TPU_BENCH_SETUP', '1') != '0':
         probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              'scripts', 'setup_probe.py')
@@ -60,9 +61,21 @@ def main() -> None:
             if legs[1]:
                 setup_warm_s = legs[1]['t_first_slice_s']
             if legs[0] and legs[1]:
+                # "served" = the cold leg populated the cache AND the warm
+                # process compiled NOTHING new (zero added cache files).
+                # Wall-time ratios are NOT the criterion: the tunnel drifts
+                # 3-100 MB/s between legs minutes apart, and the warm leg
+                # still pays cache deserialization/upload through it, so a
+                # warm leg in a degraded regime can out-wall-clock a cold
+                # leg in a fast one (observed 307.6 s warm vs 157.9 s cold;
+                # the 2026-08-19 pair measured 526.6 -> 114.6 s with zero
+                # recompiles, BASELINE.md "Cold vs warm start").
                 setup_cache_served = bool(
                     legs[0]['cache_files_after'] > 0
-                    and setup_warm_s < 0.6 * setup_cold_s)
+                    and legs[1]['cache_files_after']
+                    <= legs[0]['cache_files_after'])
+                setup_cache_files = [legs[0]['cache_files_after'],
+                                     legs[1]['cache_files_after']]
 
     import jax
     import jax.numpy as jnp
@@ -548,6 +561,8 @@ def main() -> None:
             'setup_cold_s': setup_cold_s,
             'setup_warm_s': setup_warm_s,
             'setup_cache_served': setup_cache_served,
+            # [after cold, after warm]: equal counts = zero warm recompiles
+            'setup_cache_files': setup_cache_files,
             'integrate_kernel': integrate_kernel,
             # result-stream wire format for the e2e leg: 'i16' = per-slice
             # affine int16 (half the unoverlapped d2h bytes, error bounded
