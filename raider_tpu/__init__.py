@@ -40,11 +40,16 @@ if _cache != '0':
     try:
         _os.makedirs(_cache, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', _cache)
-        # 0.1 s: on a remote-attached TPU every compile rides an HTTP round
-        # trip, so even sub-second executables are worth persisting
-        # (measured cold 526.6 s -> warm 114.6 s time-to-first-slice with
-        # zero recompiles; see BASELINE.md "Cold vs warm start")
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
+        # 0: persist EVERY executable. On a remote-attached TPU every
+        # compile rides an HTTP round trip, so even trivial executables are
+        # worth persisting (measured cold 526.6 s -> warm 114.6 s
+        # time-to-first-slice; BASELINE.md "Cold vs warm start"). A nonzero
+        # threshold also makes the warm-process recompile count
+        # nondeterministic: an executable whose compile lands UNDER the
+        # threshold in the cold process is not written, then lands over it
+        # in the warm process and IS — observed as cache_files 20 -> 21
+        # (setup_cache_served false) with the old 0.1 s threshold.
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
     except (OSError, AttributeError):  # read-only FS or very old jax
         pass
 
