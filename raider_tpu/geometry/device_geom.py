@@ -130,26 +130,66 @@ def _run_df64_probe() -> bool:
     return bool(ok1 and ok2)
 
 
+def _probe_verdict_path(backend: str):
+    """Where the probe verdict persists across processes, or None.
+
+    The verdict is a property of the COMPILER, not the process: for a fixed
+    (backend, jax, jaxlib, XLA_FLAGS) the same probe HLO compiles to the
+    same executable, so one process's verdict holds for every other. Running
+    the probe per process instead puts a device round trip on every fresh
+    process's critical path — measured 115 s+ time-to-first-result in slow
+    remote-TPU tunnel regimes (the single largest warm-start cost). Rides
+    the compile-cache dir; no persistence when the cache is disabled.
+    """
+    import hashlib
+    import os
+    import pathlib
+
+    d = jax.config.jax_compilation_cache_dir
+    if not d:
+        return None
+    flags = hashlib.sha256(
+        os.environ.get('XLA_FLAGS', '').encode()).hexdigest()[:8]
+    import jaxlib
+
+    return pathlib.Path(d) / (
+        f'df64_probe_{backend}-{jax.__version__}-{jaxlib.__version__}'
+        f'-{flags}.verdict')
+
+
 def df64_backend_ok() -> bool:
     """Whether the active backend's compiler preserves df64 arithmetic.
 
-    Runs a one-time-per-backend cancellation probe (see _df64_probe_jit):
-    some XLA pipelines apply floating-point rewrites that silently collapse
-    double-single arithmetic to f32 precision (observed on XLA:CPU for some
-    fusion shapes - module docstring). A failing probe means on-device
-    geometry would silently lose mm precision, so callers must fall back to
-    the host-f64 path. ``RAIDER_TPU_DF64_PROBE=skip`` bypasses the probe
-    (always trusted). Note a tiny probe can't prove every fusion shape is
-    safe - the cross-backend parity drive (scripts/xbackend_drive.py)
-    remains the authoritative check.
+    Runs a one-time-per-(backend, compiler-version) cancellation probe (see
+    _df64_probe_jit): some XLA pipelines apply floating-point rewrites that
+    silently collapse double-single arithmetic to f32 precision (observed on
+    XLA:CPU for some fusion shapes - module docstring). A failing probe
+    means on-device geometry would silently lose mm precision, so callers
+    must fall back to the host-f64 path. The verdict persists in the
+    compile-cache dir (see _probe_verdict_path) so warm processes skip the
+    device round trip. ``RAIDER_TPU_DF64_PROBE=skip`` bypasses the probe
+    (always trusted); ``=fresh`` re-runs it ignoring any persisted verdict.
+    Note a tiny probe can't prove every fusion shape is safe - the
+    cross-backend parity drive (scripts/xbackend_drive.py) remains the
+    authoritative check.
     """
     import os
 
-    if os.environ.get('RAIDER_TPU_DF64_PROBE', '') == 'skip':
+    mode = os.environ.get('RAIDER_TPU_DF64_PROBE', '')
+    if mode == 'skip':
         return True
     backend = jax.default_backend()
     if backend not in _PROBE_OK:
-        _PROBE_OK[backend] = _run_df64_probe()
+        path = None if mode == 'fresh' else _probe_verdict_path(backend)
+        if path is not None and path.is_file():
+            _PROBE_OK[backend] = path.read_text().strip() == '1'
+        else:
+            _PROBE_OK[backend] = _run_df64_probe()
+            if path is not None:
+                try:
+                    path.write_text('1' if _PROBE_OK[backend] else '0')
+                except OSError:
+                    pass
         if not _PROBE_OK[backend]:
             from raider_tpu.logger import logger
             logger.warning(

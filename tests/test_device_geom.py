@@ -303,6 +303,9 @@ class TestDf64RuntimeGuard:
 
     def test_bad_backend_falls_back_to_host(self, monkeypatch, caplog):
         monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', '1')
+        # 'fresh': a persisted cross-process verdict must not mask the
+        # patched probe (df64_backend_ok verdict persistence)
+        monkeypatch.setenv('RAIDER_TPU_DF64_PROBE', 'fresh')
         monkeypatch.setattr(dg, '_run_df64_probe', lambda: False)
         monkeypatch.setattr(dg, '_PROBE_OK', {})
         # the device-geometry entry point must NOT be reached
@@ -323,6 +326,40 @@ class TestDf64RuntimeGuard:
         monkeypatch.setattr(dg, '_run_df64_probe', lambda: False)
         monkeypatch.setattr(dg, '_PROBE_OK', {})
         monkeypatch.setenv('RAIDER_TPU_DF64_PROBE', 'skip')
+        assert dg.df64_backend_ok() is True
+
+    def test_probe_verdict_persists_across_processes(self, monkeypatch,
+                                                     tmp_path):
+        """The probe verdict is a property of the compiler, so a second
+        process (fresh _PROBE_OK) must serve it from the persisted file
+        without a device round trip (measured 115 s+ per probe in slow
+        remote-tunnel regimes)."""
+        vpath = tmp_path / 'probe.verdict'
+        monkeypatch.setattr(dg, '_probe_verdict_path', lambda backend: vpath)
+        monkeypatch.delenv('RAIDER_TPU_DF64_PROBE', raising=False)
+
+        calls = []
+        monkeypatch.setattr(dg, '_run_df64_probe',
+                            lambda: calls.append(1) or True)
+        monkeypatch.setattr(dg, '_PROBE_OK', {})
+        assert dg.df64_backend_ok() is True
+        assert len(calls) == 1 and vpath.read_text() == '1'
+
+        # "new process": empty in-memory dict, probe must NOT run again
+        monkeypatch.setattr(dg, '_PROBE_OK', {})
+        monkeypatch.setattr(dg, '_run_df64_probe', lambda: pytest.fail(
+            'probe re-ran despite persisted verdict'))
+        assert dg.df64_backend_ok() is True
+
+        # a persisted FAILURE is honored too (and not silently re-probed)
+        vpath.write_text('0')
+        monkeypatch.setattr(dg, '_PROBE_OK', {})
+        assert dg.df64_backend_ok() is False
+
+        # 'fresh' ignores the file and re-runs the probe
+        monkeypatch.setenv('RAIDER_TPU_DF64_PROBE', 'fresh')
+        monkeypatch.setattr(dg, '_run_df64_probe', lambda: True)
+        monkeypatch.setattr(dg, '_PROBE_OK', {})
         assert dg.df64_backend_ok() is True
 
 
