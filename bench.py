@@ -313,7 +313,7 @@ def main() -> None:
     # (tests/test_raytrace_i16.py); this leg records both kernels on the
     # same rays so the win in the regime production scenes actually hit is
     # a measured artifact number (VERDICT r3 item 2).
-    t_big_i16 = t_big_pack4 = float('nan')
+    t_big_i16 = t_big_pack4 = None   # null off-TPU (keep the JSON valid)
     big_mode = None
     if jax.default_backend() == 'tpu':
         from raider_tpu.delay.raytrace import pack_mode_for
@@ -547,8 +547,10 @@ def main() -> None:
             'pack_mode': mode,
             # full-CONUS-HRRR cube (95M cells): the quantized 1-gather
             # PACK16 vs the 4-gather PACK4 floor it replaces, 1M rays
-            'bigcube_kernel_i16_s': round(t_big_i16, 4),
-            'bigcube_kernel_pack4_s': round(t_big_pack4, 4),
+            'bigcube_kernel_i16_s': (
+                round(t_big_i16, 4) if t_big_i16 is not None else None),
+            'bigcube_kernel_pack4_s': (
+                round(t_big_pack4, 4) if t_big_pack4 is not None else None),
             'bigcube_pack_mode': big_mode,
             # 1M-station point query against the integrated ZTD cubes (the
             # GNSS StationFile path, engine.py:193)

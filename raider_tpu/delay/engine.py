@@ -337,8 +337,7 @@ def _build_cube(wm: WeatherCube, xpts, ypts, zpts, pts_crs, fields, compute_dtyp
         w_x = grid_weights(wm.xs, xpts)
         w_z = grid_weights(wm.zs, zpts)
         if shard:
-            from raider_tpu.parallel.mesh import (device_get_global,
-                                                  place_ray_arrays, replicate)
+            from raider_tpu.parallel.mesh import place_ray_arrays, replicate
 
             # shard w_y rows (= output y rows); out axis 1 comes back sharded
             (w_y_s,), orig_ny = place_ray_arrays([w_y], ray_axis=0)
@@ -364,8 +363,7 @@ def _build_cube(wm: WeatherCube, xpts, ypts, zpts, pts_crs, fields, compute_dtyp
     pts_x = np.broadcast_to(mx, (zpts.size,) + mx.shape)
     pts_z = np.broadcast_to(zpts[:, None, None], pts_y.shape)
     if shard:
-        from raider_tpu.parallel.mesh import (device_get_global,
-                                              place_ray_arrays, replicate)
+        from raider_tpu.parallel.mesh import place_ray_arrays, replicate
 
         (py, px, pz), orig_ny = place_ray_arrays(
             [pts_y, pts_x, pts_z], ray_axis=1)

@@ -1017,8 +1017,12 @@ def pack_mode_for(cube_shape, dtype, grouped: bool = False) -> str:
     # quantized int16 rows: same gather count as pack16 at half the bytes
     # (measured same gather wall time; see _PACK16_I16_BYTE_LIMIT note) —
     # covers full-CONUS-HRRR-class cubes (~95M cells = 3.0 GiB i16 table)
-    # that f32 PACK16 cannot hold, at < 0.03 mm quantization impact
-    if n_cells * 16 * 2 <= _PACK16_I16_BYTE_LIMIT:
+    # that f32 PACK16 cannot hold, at < 0.03 mm quantization impact.
+    # f32 compute only: an f64 cube is the exact-reference path (CPU
+    # hosts, _default_compute_dtype) and must never silently downgrade to
+    # a quantized f32 kernel — big f64 cubes take the exact PACK4 floor.
+    if (np.dtype(dtype) == np.float32
+            and n_cells * 16 * 2 <= _PACK16_I16_BYTE_LIMIT):
         return 'pack16_i16'
     return 'pack4'
 

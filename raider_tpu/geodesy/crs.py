@@ -529,15 +529,20 @@ class TransverseMercator(CRS):
         }
 
     def to_epsg(self) -> Optional[int]:
-        if self.utm_zone is not None:
+        # EPSG 326xx/327xx are the WGS 84 UTM codes specifically — a UTM
+        # grid on another ellipsoid has no code here
+        if self.utm_zone is not None and self.ellipsoid == WGS84:
             return (32700 if self.utm_south else 32600) + self.utm_zone
         return None
 
     def to_wkt(self) -> str:
         name = 'unnamed'
         if self.utm_zone is not None:
-            name = (f'WGS 84 / UTM zone {self.utm_zone}'
-                    f'{"S" if self.utm_south else "N"}')
+            # only claim the WGS 84 EPSG name when the datum actually IS
+            # WGS84 — GIS tools classify by PROJCS name, and a mislabeled
+            # datum in GUNW crs_wkt metadata would be silently wrong
+            zone = f'UTM zone {self.utm_zone}{"S" if self.utm_south else "N"}'
+            name = f'WGS 84 / {zone}' if self.ellipsoid == WGS84 else zone
         return self._projcs_wkt(name, 'Transverse_Mercator', {
             'latitude_of_origin': self.lat_0,
             'central_meridian': self.lon_0,

@@ -134,12 +134,19 @@ def _probe_verdict_path(backend: str):
     """Where the probe verdict persists across processes, or None.
 
     The verdict is a property of the COMPILER, not the process: for a fixed
-    (backend, jax, jaxlib, XLA_FLAGS) the same probe HLO compiles to the
-    same executable, so one process's verdict holds for every other. Running
-    the probe per process instead puts a device round trip on every fresh
-    process's critical path — measured 115 s+ time-to-first-result in slow
-    remote-TPU tunnel regimes (the single largest warm-start cost). Rides
-    the compile-cache dir; no persistence when the cache is disabled.
+    compiler identity the same probe HLO compiles to the same executable, so
+    one process's verdict holds for every other. Running the probe per
+    process instead puts a device round trip on every fresh process's
+    critical path — measured 115 s+ time-to-first-result in slow remote-TPU
+    tunnel regimes (the single largest warm-start cost). Rides the
+    compile-cache dir; no persistence when the cache is disabled.
+
+    The key must cover everything that can change the compiled probe: jax +
+    jaxlib versions, the TPU runtime library (libtpu ships independently of
+    jaxlib in TPU-VM runtime updates), the concrete device generation
+    (``device_kind`` — a cache dir can be shared via NFS or baked VM
+    images), and the compiler-relevant env (XLA_FLAGS, LIBTPU_INIT_ARGS).
+    A key miss just re-runs the probe — stale trust is the only real hazard.
     """
     import hashlib
     import os
@@ -148,13 +155,28 @@ def _probe_verdict_path(backend: str):
     d = jax.config.jax_compilation_cache_dir
     if not d:
         return None
-    flags = hashlib.sha256(
-        os.environ.get('XLA_FLAGS', '').encode()).hexdigest()[:8]
     import jaxlib
 
+    import importlib.metadata as _md
+
+    libtpu = 'none'
+    for pkg in ('libtpu', 'libtpu-nightly'):
+        try:
+            libtpu = _md.version(pkg)
+            break
+        except Exception:  # noqa: BLE001 - not installed / broken metadata
+            continue
+    try:
+        kind = jax.local_devices()[0].device_kind.replace(' ', '_')
+    except (RuntimeError, IndexError):
+        kind = backend
+    env = hashlib.sha256('\x1f'.join((
+        os.environ.get('XLA_FLAGS', ''),
+        os.environ.get('LIBTPU_INIT_ARGS', ''),
+        libtpu, kind)).encode()).hexdigest()[:12]
     return pathlib.Path(d) / (
         f'df64_probe_{backend}-{jax.__version__}-{jaxlib.__version__}'
-        f'-{flags}.verdict')
+        f'-{env}.verdict')
 
 
 def df64_backend_ok() -> bool:

@@ -237,11 +237,9 @@ def calcDelays(iargs: Optional[Sequence[str]] = None) -> list:
     finally:
         if executor is not None:
             # On an error escaping the loop, don't block propagation behind
-            # an in-flight next-date download: drop the queued prefetch
-            # (an already-RUNNING acquisition still completes — the thread
-            # can't be interrupted — but a queued one is cancelled).
-            if pending is not None:
-                pending.cancel()
+            # an in-flight next-date download: cancel_futures drops any
+            # QUEUED prefetch (an already-RUNNING acquisition still
+            # completes — the thread can't be interrupted).
             executor.shutdown(wait=True, cancel_futures=True)
 
     return wet_paths

@@ -10,27 +10,17 @@ the on-device quantization op itself.
 Run on the real chip: python scripts/probe_stream_i16.py
 """
 import json
+import pathlib
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-@jax.jit
-def quant16(buf):
-    finite = jnp.isfinite(buf)
-    big = jnp.float32(np.inf)
-    lo = jnp.min(jnp.where(finite, buf, big), axis=-1)
-    hi = jnp.max(jnp.where(finite, buf, -big), axis=-1)
-    ok = lo <= hi
-    lo = jnp.where(ok, lo, 0.0)
-    hi = jnp.where(ok, hi, 0.0)
-    scale = jnp.maximum((hi - lo) / 65534.0, jnp.float32(1e-30))
-    q = jnp.round((buf - lo[..., None]) / scale[..., None]) - 32767.0
-    q = jnp.clip(q, -32767.0, 32767.0)
-    q = jnp.where(finite, q, -32768.0).astype(jnp.int16)
-    return q, lo, scale
+# measure the PRODUCTION quantizer, not a copy that can drift from it
+from raider_tpu.delay.engine import _quant16 as quant16  # noqa: E402
 
 
 def main():

@@ -142,6 +142,10 @@ class TestModeLadder:
         assert pack_mode_for((50, 400, 400), f32, grouped=True) == 'brick'
         assert pack_mode_for((50, 1059, 1799), f32,
                              grouped=True) == 'pack16_i16'
+        # f64 cubes are the exact-reference path (CPU hosts): they must
+        # NEVER silently downgrade to the quantized f32 kernel — the same
+        # big cube takes the exact PACK4 floor instead
+        assert pack_mode_for((50, 1059, 1799), np.float64) == 'pack4'
 
     def test_limits_are_ordered(self):
         assert _PACK16_I16_BYTE_LIMIT >= _PACK16_BYTE_LIMIT
