@@ -47,10 +47,13 @@ def main() -> None:
         legs = []
         with tempfile.TemporaryDirectory(prefix='raider_xla_cold') as td:
             env = dict(os.environ, RAIDER_TPU_COMPILE_CACHE=td)
-            for _leg in ('cold', 'warm'):
+            # cold measured 526-692 s across tunnel regimes — a 720 s cap
+            # was one bad regime away from killing the leg (and a dead cold
+            # leg half-populates the cache, poisoning the warm criterion)
+            for _leg, _cap in (('cold', 1500), ('warm', 720)):
                 try:
                     out = subprocess.run(
-                        [sys.executable, probe], env=env, timeout=720,
+                        [sys.executable, probe], env=env, timeout=_cap,
                         capture_output=True, text=True)
                     legs.append(json.loads(
                         out.stdout.strip().splitlines()[-1]))
