@@ -287,7 +287,7 @@ def main() -> None:
 
     packed2d, mode = pack_cubes(wet, hydro, grouped=True)
     n_gathers = n_samples
-    if mode == 'brick':
+    if mode in ('brick', 'brick_i16'):
         from raider_tpu.delay.raytrace import build_group_plan
         n_gathers = build_group_plan(per_level_max, heights, hstep_max,
                                      ys, xs, zs).anchor.size

@@ -515,7 +515,8 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             args = (*placed, r_a)
             # rebinding persists across slices; device_put with an identical
             # sharding is a no-op, so only the first slice pays the transfer
-            packed2d = replicate(packed2d)
+            # (tree_map: the i16 table modes carry (table, deq) tuples)
+            packed2d = jax.tree_util.tree_map(replicate, packed2d)
         with stage('raytrace.integrate', log=False):
             out = integrate_rays(
                 cube_wet, cube_hydro,

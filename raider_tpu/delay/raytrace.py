@@ -564,7 +564,7 @@ def static_plan_from(plan: 'GroupPlan'):
 
 @lru_cache(maxsize=64)
 def _static_brick_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
-                     stacked=False):
+                     stacked=False, has_deq=False):
     """Compile the fully static brick integrate for one plan structure.
 
     Measured on v5e (1M rays, 50-level HRRR-sized cube, 16 groups): 270 ms
@@ -580,8 +580,8 @@ def _static_brick_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
     ny, nx = ys_np.size, xs_np.size
 
     @jax.jit
-    def run(table2d, bnd_y, bnd_x, bnd_z, d2, ray_len, re_local):
-        cdt = table2d.dtype
+    def run(table2d, bnd_y, bnd_x, bnd_z, d2, ray_len, re_local, deq=None):
+        cdt = deq.dtype if has_deq else table2d.dtype
         n = bnd_y.shape[1]
         acc_w = jnp.zeros(n, cdt)
         acc_h = jnp.zeros(n, cdt)
@@ -612,6 +612,12 @@ def _static_brick_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
             lin = jax.lax.optimization_barrier((lin, acc_w))[0]
             brick = jnp.take(table2d, lin, axis=0)
             brick = brick.reshape(n, planes, wy, wx, 2)
+            if has_deq:
+                # int16 rows -> f32: per-field affine, NaN via the sentinel
+                sc2 = jnp.stack([deq[0], deq[2]]).astype(cdt)
+                of2 = jnp.stack([deq[1], deq[3]]).astype(cdt)
+                brick = jnp.where(brick == _I16_NAN, jnp.nan,
+                                  brick.astype(cdt) * sc2 + of2)
             U = [[[None] * wx for _ in range(wy)] for _ in range(planes)]
             for (iy, ix, fy, fx, fz, ok, wt, dzo) in persample:
                 dyi = iy - ay
@@ -685,7 +691,7 @@ def pallas_integrate_mode(ys, xs) -> str:
 @lru_cache(maxsize=64)
 def _static_brick_pallas_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
                             stacked=False, interpret=False, tile_n=4096,
-                            kernel_transpose=True):
+                            kernel_transpose=True, has_deq=False):
     """Static-plan brick integrate with the contraction in a Pallas kernel.
 
     Same gathers as :func:`_static_brick_fn` (XLA's scattered-row jnp.take
@@ -740,13 +746,33 @@ def _static_brick_pallas_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
     step_x = (x_hi - x_lo) / (nx - 1)
 
     def group_kernel(bt_ref, by_ref, bx_ref, bz_ref, d2_ref, rl_ref,
-                     aux_ref, out_ref, *, samples, lv0):
+                     aux_ref, *rest, samples, lv0):
+        (deq_ref, out_ref) = rest if has_deq else (None, rest[0])
         ay = aux_ref[0, :]
         ax = aux_ref[1, :]
         re_local = aux_ref[2, :]
         acc_w = jnp.zeros_like(ay)
         acc_h = jnp.zeros_like(ay)
-        bt = bt_ref[:].T if kernel_transpose else bt_ref
+        if has_deq:
+            # int16 brick -> f32 in VMEM: per-column affine, NaN riding the
+            # sentinel. With the in-kernel transpose the block arrives
+            # (tile_n, width) and deq_ref is (2, width) — the multiply
+            # broadcasts along lanes, THEN the f32 result transposes (never
+            # transpose the raw int16). Without it the block arrives
+            # (width, tile_n) and deq_ref is passed pre-transposed
+            # (width, 2) so scale/offset broadcast as (width, 1) columns.
+            raw = bt_ref[:]
+            if kernel_transpose:
+                g = jnp.where(raw == _I16_NAN, jnp.nan,
+                              raw.astype(jnp.float32) * deq_ref[0, :]
+                              + deq_ref[1, :])
+                bt = g.T
+            else:
+                bt = jnp.where(raw == _I16_NAN, jnp.nan,
+                               raw.astype(jnp.float32) * deq_ref[:, 0:1]
+                               + deq_ref[:, 1:2])
+        else:
+            bt = bt_ref[:].T if kernel_transpose else bt_ref
         for (lv_abs, f, wal_abs, wav, wbl_abs, wbv, zlo, zinv, dzo) in samples:
             lv = lv_abs - lv0
             wal = wal_abs - lv0
@@ -813,31 +839,45 @@ def _static_brick_pallas_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
         out_ref[0, :] = acc_w
         out_ref[1, :] = acc_h
 
-    def group_call(brickT, sy, sx, sz, sd2, srl, aux, samples, lv0, n):
+    def group_call(brickT, sy, sx, sz, sd2, srl, aux, samples, lv0, n,
+                   deq_in=None):
         rowspec = lambda r: pl.BlockSpec((r, tile_n), lambda i: (0, i))
         brickspec = (pl.BlockSpec((tile_n, width), lambda i: (i, 0))
                      if kernel_transpose else rowspec(width))
+        in_specs = [brickspec, rowspec(sy.shape[0]),
+                    rowspec(sx.shape[0]), rowspec(sz.shape[0]),
+                    rowspec(sd2.shape[0]), rowspec(srl.shape[0]),
+                    rowspec(3)]
+        extra = ()
+        if has_deq:
+            # replicated per-column (scale, offset) table; see group_kernel
+            in_specs.append(pl.BlockSpec(deq_in.shape, lambda i: (0, 0)))
+            extra = (deq_in,)
+        out_dtype = jnp.float32 if has_deq else brickT.dtype
         return pl.pallas_call(
             partial(group_kernel, samples=samples, lv0=lv0),
             grid=(pl.cdiv(n, tile_n),),
-            in_specs=[brickspec, rowspec(sy.shape[0]),
-                      rowspec(sx.shape[0]), rowspec(sz.shape[0]),
-                      rowspec(sd2.shape[0]), rowspec(srl.shape[0]),
-                      rowspec(3)],
+            in_specs=in_specs,
             out_specs=rowspec(2),
-            out_shape=jax.ShapeDtypeStruct((2, n), brickT.dtype),
+            out_shape=jax.ShapeDtypeStruct((2, n), out_dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=('arbitrary',)),
             interpret=interpret,
-        )(brickT, sy, sx, sz, sd2, srl, aux)
+        )(brickT, sy, sx, sz, sd2, srl, aux, *extra)
 
     @jax.jit
-    def run(table2d, bnd_y, bnd_x, bnd_z, d2, ray_len, re_local):
-        cdt = table2d.dtype
+    def run(table2d, bnd_y, bnd_x, bnd_z, d2, ray_len, re_local, deq=None):
+        cdt = jnp.float32 if has_deq else table2d.dtype
         n = bnd_y.shape[1]
         L = d2.shape[0]
         acc = jnp.zeros((2, n), cdt)
         re32 = re_local.astype(cdt)
+        deq_in = None
+        if has_deq:
+            sc_row, of_row = _i16_column_deq(width, deq, jnp.float32)
+            deq_in = jnp.stack([sc_row, of_row])       # (2, width)
+            if not kernel_transpose:
+                deq_in = deq_in.T                      # (width, 2)
         for za, samples in groups:
             ay = ax = None
             for (lv, f, *_rest) in samples:
@@ -864,18 +904,19 @@ def _static_brick_pallas_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
                                   bnd_y[lv0:hi1 + 1], bnd_x[lv0:hi1 + 1],
                                   bnd_z[lv0:hi1 + 1],
                                   d2[lv0:hiL + 1], ray_len[lv0:hiL + 1],
-                                  aux, samples, lv0, n)
+                                  aux, samples, lv0, n, deq_in=deq_in)
             acc = acc + part
         return acc if stacked else (acc[0], acc[1])
 
     return run
 
 
-def _shard_wrap(run_fn, sample_arr, stacked: bool):
+def _shard_wrap(run_fn, sample_arr, stacked: bool, n_extra_replicated=0):
     """shard_map the pallas-backed run over the ray mesh when inputs arrive
     sharded: pallas_call has no SPMD partitioning rule, so under plain jit a
     sharded input would force a full all-gather. Every op is per-ray, the
-    packed table is replicated — no collectives inside."""
+    packed table is replicated — no collectives inside.
+    ``n_extra_replicated`` trailing args (the i16 dequant params) replicate."""
     sh = getattr(sample_arr, 'sharding', None)
     mesh = getattr(sh, 'mesh', None)
     if mesh is None or int(np.prod(mesh.devices.shape)) <= 1:
@@ -883,7 +924,8 @@ def _shard_wrap(run_fn, sample_arr, stacked: bool):
     from jax.sharding import PartitionSpec as P
 
     ray = mesh.axis_names[0]
-    in_specs = ((P(None, None),) + (P(None, ray),) * 5 + (P(ray),))
+    in_specs = ((P(None, None),) + (P(None, ray),) * 5 + (P(ray),)
+                + (P(None),) * n_extra_replicated)
     out_specs = P(None, ray) if stacked else (P(ray), P(ray))
     return jax.shard_map(run_fn, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
@@ -897,9 +939,9 @@ def _integrate_bricks(
     d2, ray_len,                # (L, N)
     re_local,                   # (N,)
     anchor, lvl, frac, wa_lvl, wa, wb_lvl, wb, dzoff, zlo, zinv, pad,
-    ys, xs, zs, z_clip, G, planes, wy=3, wx=3,
+    ys, xs, zs, z_clip, G, planes, wy=3, wx=3, deq=None,
 ):
-    compute_dtype = table2d.dtype
+    compute_dtype = deq.dtype if deq is not None else table2d.dtype
     ys_np, xs_np, zs_np = np.asarray(ys), np.asarray(xs), np.asarray(zs)
     ny, nx = ys_np.size, xs_np.size
     n = bnd_y.shape[1]
@@ -944,6 +986,12 @@ def _integrate_bricks(
         lin = (za * ny + ay) * nx + ax
         brick = jnp.take(table2d, lin, axis=0)          # (N, planes*wy*wx*2)
         brick = brick.reshape(n, planes, wy, wx, 2)
+        if deq is not None:
+            # int16 rows -> f32: per-field affine, NaN via the sentinel
+            sc2 = jnp.stack([deq[0], deq[2]]).astype(compute_dtype)
+            of2 = jnp.stack([deq[1], deq[3]]).astype(compute_dtype)
+            brick = jnp.where(brick == _I16_NAN, jnp.nan,
+                              brick.astype(compute_dtype) * sc2 + of2)
 
         for s in range(G):
             fy, fx, fz, ok, rl = samples[s]
@@ -1009,6 +1057,15 @@ def pack_mode_for(cube_shape, dtype, grouped: bool = False) -> str:
     The brick extent itself comes from :func:`_brick_spec_for`'s ladder.
     """
     if grouped and _brick_spec_for(cube_shape, dtype) is not None:
+        # experimental: quantized int16 brick table (RAIDER_TPU_BRICK_I16=1)
+        # halves the hot kernel's HBM bytes — gather output materialization
+        # and the Pallas kernel's brick reads — at the same quantization
+        # bound as pack16_i16 (< 0.03 mm; the gathers themselves are
+        # count-bound so their wall time is unchanged). Default OFF until
+        # the on-chip win and the parity sweep are both demonstrated.
+        if (os.environ.get('RAIDER_TPU_BRICK_I16', '') == '1'
+                and np.dtype(dtype) == np.float32):
+            return 'brick_i16'
         return 'brick'
     n_cells = int(np.prod(cube_shape))
     nbytes16 = n_cells * 16 * np.dtype(dtype).itemsize
@@ -1080,7 +1137,7 @@ def integrate_rays(
         packed2d, mode = pack_cubes(cube_wet, jnp.asarray(cube_hydro),
                                     grouped=grouped_ok)
     deq = None
-    if mode == 'pack16_i16':     # table rides with its dequant params
+    if mode in ('pack16_i16', 'brick_i16'):  # table rides with dequant params
         packed2d, deq = packed2d
         dtype = deq.dtype
     else:
@@ -1096,7 +1153,7 @@ def integrate_rays(
         xs=tuple(np.asarray(xs).tolist()),
         zs=tuple(np.asarray(zs).tolist()),
     )
-    if mode == 'brick':
+    if mode in ('brick', 'brick_i16'):
         if not grouped_ok:
             raise ValueError("mode='brick' needs heights and hstep_max")
         # the spec is a deterministic function of (cube shape, dtype), so
@@ -1111,6 +1168,8 @@ def integrate_rays(
                                 max_segment_length,
                                 group_max=gmax_s, planes=planes_s,
                                 wy=wy_s, wx=wx_s)
+        has_deq = deq is not None
+        deq_args = (deq,) if has_deq else ()
         if static_plan:
             groups, planes, wy, wx = static_plan_from(plan)
             pmode = pallas_integrate_mode(ys, xs)
@@ -1120,19 +1179,22 @@ def integrate_rays(
                     axes['zs'], z_clip, stacked_out,
                     interpret=(pmode == 'interpret'),
                     kernel_transpose=(
-                        os.environ.get('RAIDER_TPU_PALLAS_KT', '1') != '0'))
-                fn = _shard_wrap(fn, ray_args[0], stacked_out)
-                return fn(packed2d, *ray_args)
+                        os.environ.get('RAIDER_TPU_PALLAS_KT', '1') != '0'),
+                    has_deq=has_deq)
+                fn = _shard_wrap(fn, ray_args[0], stacked_out,
+                                 n_extra_replicated=len(deq_args))
+                return fn(packed2d, *ray_args, *deq_args)
             fn = _static_brick_fn(groups, planes, wy, wx, axes['ys'],
-                                  axes['xs'], axes['zs'], z_clip, stacked_out)
-            return fn(packed2d, *ray_args)
+                                  axes['xs'], axes['zs'], z_clip, stacked_out,
+                                  has_deq=has_deq)
+            return fn(packed2d, *ray_args, *deq_args)
         plan = _pad_group_plan(plan, _PLAN_BUCKET)
         return _integrate_bricks(
             packed2d, *ray_args,
             plan.anchor, plan.lvl, plan.frac, plan.wa_lvl, plan.wa,
             plan.wb_lvl, plan.wb, plan.dzoff, plan.zlo, plan.zinv, plan.pad,
             **axes, z_clip=z_clip, G=plan.G, planes=plan.planes,
-            wy=plan.wy, wx=plan.wx,
+            wy=plan.wy, wx=plan.wx, deq=deq,
         )
     plan = _pad_point_plan(build_sampling_plan(ray_lengths_max, max_segment_length),
                            _PLAN_BUCKET)
@@ -1203,6 +1265,16 @@ def pack_cubes(cube_wet, cube_hydro, mode=None, grouped: bool = False):
                 or _BRICK_SPECS[-1][:4])
         planes, wy, wx, _ = spec
         return _pack_bricks(cube_wet, cube_hydro, planes, wy, wx), mode
+    if mode == 'brick_i16':
+        # same spec (and therefore the same plan/width) as the f32 brick —
+        # quantization changes the table element type, nothing else
+        spec = (_brick_spec_for(cube_wet.shape, cube_wet.dtype)
+                or _BRICK_SPECS[-1][:4])
+        planes, wy, wx, _ = spec
+        qw, sw, ow = _quantize_i16(cube_wet)
+        qh, sh, oh = _quantize_i16(cube_hydro)
+        deq = jnp.stack([sw, ow, sh, oh])
+        return (_pack_bricks(qw, qh, planes, wy, wx), deq), mode
     if mode == 'pack16_i16':
         qw, sw, ow = _quantize_i16(cube_wet)
         qh, sh, oh = _quantize_i16(cube_hydro)

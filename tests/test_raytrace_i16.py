@@ -24,7 +24,7 @@ from tests.test_brick_kernel import contiguous_rays
 
 
 def run_modes(zs, heights, modes, n_rays=257, seed=0, mutate=None,
-              cube_mutate=None):
+              cube_mutate=None, static_plan=False, cube_dtype=None):
     rng = np.random.default_rng(seed)
     ys = np.arange(33.0, 34.01, 0.1)
     xs = np.arange(-118.0, -116.99, 0.1)
@@ -32,6 +32,9 @@ def run_modes(zs, heights, modes, n_rays=257, seed=0, mutate=None,
     # so the error bound must be demonstrated at real spans, not unit cubes
     wet = rng.uniform(0.1, 100.0, (zs.size, ys.size, xs.size))
     hydro = rng.uniform(50.0, 300.0, (zs.size, ys.size, xs.size))
+    if cube_dtype is not None:
+        wet = wet.astype(cube_dtype)
+        hydro = hydro.astype(cube_dtype)
     if cube_mutate is not None:
         cube_mutate(wet, hydro)
     bnd_y, bnd_x, bnd_z, d2, ray_len, hstep_max = contiguous_rays(
@@ -46,7 +49,7 @@ def run_modes(zs, heights, modes, n_rays=257, seed=0, mutate=None,
         w, h = integrate_rays(
             wet, hydro, ys, xs, zs, bnd_y, bnd_x, bnd_z, d2, ray_len, re,
             per_level_max, packed2d=packed, mode=mode,
-            heights=heights, hstep_max=hstep_max,
+            heights=heights, hstep_max=hstep_max, static_plan=static_plan,
         )
         out[mode] = (np.asarray(w), np.asarray(h))
     return out
@@ -124,6 +127,70 @@ class TestI16Equivalence:
                         cube_mutate=cube_mutate)
         (w_f, _), (w_q, _) = out['pack16'], out['pack16_i16']
         np.testing.assert_allclose(w_q, w_f, rtol=1e-6)
+
+
+class TestBrickI16:
+    """Quantized int16 BRICK table (round 4, experimental,
+    RAIDER_TPU_BRICK_I16=1): same quantizer and sentinel as pack16_i16, but
+    applied to the grouped brick table the production Pallas kernel
+    consumes — halves the gather-output materialization and the kernel's
+    HBM brick reads. Default off until the on-chip win is demonstrated;
+    these tests pin the precision/NaN contract on all three kernel paths
+    (traced plan, static XLA, static Pallas-interpret)."""
+
+    ZS = -500.0 + 26500.0 * np.linspace(0.0, 1.0, 40) ** 1.4
+
+    def _assert_close(self, out):
+        (w_f, h_f), (w_q, h_q) = out['brick'], out['brick_i16']
+        np.testing.assert_array_equal(np.isnan(w_f), np.isnan(w_q))
+        ok = np.isfinite(w_f)
+        assert ok.mean() > 0.7
+        worst = max(np.abs(w_q[ok] - w_f[ok]).max(),
+                    np.abs(h_q[ok] - h_f[ok]).max())
+        assert worst < 1e-4, f'quantized delay off by {worst * 1e3:.4f} mm'
+
+    def test_traced_plan(self):
+        heights = level_heights(self.ZS, 0.0, 25000.0)
+        self._assert_close(run_modes(self.ZS, heights,
+                                     ('brick', 'brick_i16')))
+
+    def test_static_plan_xla(self):
+        heights = level_heights(self.ZS, 0.0, 25000.0)
+        self._assert_close(run_modes(self.ZS, heights,
+                                     ('brick', 'brick_i16'),
+                                     static_plan=True))
+
+    def test_static_plan_pallas_interpret(self, monkeypatch):
+        # f32 cubes: the Pallas path runs under enable_x64(False) and takes
+        # f32 tables only — exactly what production (TPU) feeds it
+        monkeypatch.setenv('RAIDER_TPU_PALLAS_INTEGRATE', '1')
+        heights = level_heights(self.ZS, 0.0, 25000.0)
+        self._assert_close(run_modes(self.ZS, heights,
+                                     ('brick', 'brick_i16'),
+                                     static_plan=True,
+                                     cube_dtype=np.float32))
+
+    def test_nan_cells_poison_identically_static(self):
+        heights = level_heights(self.ZS, 0.0, 25000.0)
+
+        def cube_mutate(wet, hydro):
+            wet[3:5, 4:7, 4:7] = np.nan
+
+        out = run_modes(self.ZS, heights, ('brick', 'brick_i16'),
+                        cube_mutate=cube_mutate, static_plan=True)
+        (w_f, _), (w_q, _) = out['brick'], out['brick_i16']
+        np.testing.assert_array_equal(np.isnan(w_f), np.isnan(w_q))
+        assert np.isnan(w_f).any() and not np.isnan(w_f).all()
+
+    def test_mode_gate(self, monkeypatch):
+        shape = (50, 400, 400)
+        assert pack_mode_for(shape, np.float32, grouped=True) == 'brick'
+        monkeypatch.setenv('RAIDER_TPU_BRICK_I16', '1')
+        assert pack_mode_for(shape, np.float32, grouped=True) == 'brick_i16'
+        # the exact-f64 reference path never quantizes (small enough that
+        # the f64 brick table fits its HBM budget, so bricks stay chosen)
+        small = (40, 120, 120)
+        assert pack_mode_for(small, np.float64, grouped=True) == 'brick'
 
 
 class TestModeLadder:
