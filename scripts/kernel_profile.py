@@ -527,6 +527,19 @@ def main():
             fn = make_pallas2_fn(groups, pl, wy, wx, sc['ys'], sc['xs'],
                                  sc['zs'], tile_n=4096,
                                  barrier_depth=int(variant[8:]))
+        elif variant.startswith('prodi16'):
+            # the PRODUCTION pallas kernel over the QUANTIZED int16 brick
+            # table (brick_i16): same gathers, half the materialization and
+            # kernel brick-read bytes; in-kernel dequant + transpose
+            packed_f32 = packed2d           # ref check uses the f32 table
+            (packed2d, deq16), _m = rt.pack_cubes(
+                jnp.asarray(sc['wet']), jnp.asarray(sc['hydro']),
+                mode='brick_i16')
+            base = rt._static_brick_pallas_fn(
+                groups, pl, wy, wx, axes['ys'], axes['xs'], axes['zs'],
+                True, False, kernel_transpose=not variant.endswith('kt0'),
+                has_deq=True)
+            fn = lambda tbl, *ray: base(tbl, *ray, deq16)
         elif variant.startswith('prodpallas'):
             # the PRODUCTION pallas kernel (raytrace.py), kt0/kt1 selects
             # the XLA-side vs in-kernel brick transpose
@@ -543,15 +556,20 @@ def main():
                                          axes['xs'], axes['zs'], True, False)
             k = 4096
             sl = lambda a: a[..., :k]
+            i16 = variant.startswith('prodi16')
             got = fn(packed2d, sl(by_d), sl(bx_d), sl(bz_d), sl(d2_d),
                      sl(rl_d), sl(re_d))
-            want = ref_fn(packed2d, sl(by_d), sl(bx_d), sl(bz_d), sl(d2_d),
+            want = ref_fn(packed_f32 if i16 else packed2d,
+                          sl(by_d), sl(bx_d), sl(bz_d), sl(d2_d),
                           sl(rl_d), sl(re_d))
             for g, w in zip(jax.tree_util.tree_leaves(got),
                             jax.tree_util.tree_leaves(want)):
                 g, w = np.asarray(g), np.asarray(w)
                 assert np.array_equal(np.isnan(g), np.isnan(w))
                 m = ~np.isnan(g)
+                if i16:    # quantized: bound ABS delay error at 0.1 mm
+                    assert np.abs(g[m] - w[m]).max() < 1e-4
+                    continue
                 rel = np.abs(g[m] - w[m]) / np.maximum(np.abs(w[m]), 1e-9)
                 assert rel.max() < 1e-5, rel.max()
             print(json.dumps(dict(variant=variant, equiv_ok=True,
