@@ -170,6 +170,18 @@ class TestBrickI16:
                                      static_plan=True,
                                      cube_dtype=np.float32))
 
+    def test_static_plan_pallas_interpret_xla_transpose(self, monkeypatch):
+        # RAIDER_TPU_PALLAS_KT=0: the XLA-side-transpose kernel form gets
+        # the (width, tile_n) block and the pre-transposed (width, 2)
+        # dequant table
+        monkeypatch.setenv('RAIDER_TPU_PALLAS_INTEGRATE', '1')
+        monkeypatch.setenv('RAIDER_TPU_PALLAS_KT', '0')
+        heights = level_heights(self.ZS, 0.0, 25000.0)
+        self._assert_close(run_modes(self.ZS, heights,
+                                     ('brick', 'brick_i16'),
+                                     static_plan=True,
+                                     cube_dtype=np.float32))
+
     def test_nan_cells_poison_identically_static(self):
         heights = level_heights(self.ZS, 0.0, 25000.0)
 
