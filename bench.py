@@ -41,6 +41,7 @@ _PARTIAL = {
                        'that completed'},
 }
 _BENCH_DONE = _threading.Event()
+_CHILD_PROC = None      # in-flight setup-probe subprocess (holds the TPU)
 
 
 def _start_watchdog() -> None:
@@ -54,9 +55,29 @@ def _start_watchdog() -> None:
 
     def run():
         if not _BENCH_DONE.wait(deadline):
+            # the main thread may be mutating _PARTIAL['detail'] right now;
+            # retry the snapshot, then fall back to a minimal valid line —
+            # a dead watchdog would defeat the whole mechanism
+            for _ in range(5):
+                try:
+                    line = json.dumps(
+                        {**_PARTIAL, 'detail': dict(_PARTIAL['detail'])})
+                    break
+                except RuntimeError:
+                    time.sleep(0.05)
+            else:
+                line = json.dumps({
+                    'metric': _PARTIAL['metric'], 'value': None,
+                    'unit': _PARTIAL['unit'], 'vs_baseline': None,
+                    'detail': {'partial': True}})
+            # a still-running probe child holds the EXCLUSIVE TPU
+            # attachment; leaving it orphaned would hang the next launch
+            child = _CHILD_PROC
+            if child is not None and child.poll() is None:
+                child.kill()
             # exit 0: a partial artifact (honestly flagged by "partial")
             # recorded by the driver beats a timed-out run with no line
-            print(json.dumps(_PARTIAL), flush=True)
+            print(line, flush=True)
             _os._exit(0)
 
     _threading.Thread(target=run, daemon=True).start()
@@ -88,13 +109,25 @@ def main() -> None:
             # cold measured 526-692 s across tunnel regimes — a 720 s cap
             # was one bad regime away from killing the leg (and a dead cold
             # leg half-populates the cache, poisoning the warm criterion)
+            global _CHILD_PROC
             for _leg, _cap in (('cold', 1500), ('warm', 720)):
                 try:
-                    out = subprocess.run(
-                        [sys.executable, probe], env=env, timeout=_cap,
-                        capture_output=True, text=True)
+                    # Popen (not run) so the watchdog can kill the child:
+                    # it holds the exclusive TPU attachment
+                    p = subprocess.Popen(
+                        [sys.executable, probe], env=env, text=True,
+                        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+                    _CHILD_PROC = p
+                    try:
+                        stdout, _ = p.communicate(timeout=_cap)
+                    except subprocess.TimeoutExpired:
+                        p.kill()
+                        p.communicate()
+                        raise
+                    finally:
+                        _CHILD_PROC = None
                     legs.append(json.loads(
-                        out.stdout.strip().splitlines()[-1]))
+                        stdout.strip().splitlines()[-1]))
                 except Exception:  # noqa: BLE001 - probe legs are optional
                     legs.append(None)
             if legs[0]:

@@ -247,6 +247,15 @@ def _i16_column_deq(n_cols, deq, compute_dtype):
     return sc, of
 
 
+def _deq_brick(brick, deq, cdt):
+    """int16 brick (..., 2 fields last axis) -> cdt: per-field affine with
+    the NaN sentinel. The single source of the dequant form for the XLA
+    kernels (the Pallas kernel does the same in VMEM, _static_brick_pallas_fn)."""
+    sc2 = jnp.stack([deq[0], deq[2]]).astype(cdt)
+    of2 = jnp.stack([deq[1], deq[3]]).astype(cdt)
+    return jnp.where(brick == _I16_NAN, jnp.nan, brick.astype(cdt) * sc2 + of2)
+
+
 
 
 @partial(jax.jit, static_argnames=('ys', 'xs', 'zs', 'z_clip', 'mode'))
@@ -613,11 +622,7 @@ def _static_brick_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
             brick = jnp.take(table2d, lin, axis=0)
             brick = brick.reshape(n, planes, wy, wx, 2)
             if has_deq:
-                # int16 rows -> f32: per-field affine, NaN via the sentinel
-                sc2 = jnp.stack([deq[0], deq[2]]).astype(cdt)
-                of2 = jnp.stack([deq[1], deq[3]]).astype(cdt)
-                brick = jnp.where(brick == _I16_NAN, jnp.nan,
-                                  brick.astype(cdt) * sc2 + of2)
+                brick = _deq_brick(brick, deq, cdt)
             U = [[[None] * wx for _ in range(wy)] for _ in range(planes)]
             for (iy, ix, fy, fx, fz, ok, wt, dzo) in persample:
                 dyi = iy - ay
@@ -987,11 +992,7 @@ def _integrate_bricks(
         brick = jnp.take(table2d, lin, axis=0)          # (N, planes*wy*wx*2)
         brick = brick.reshape(n, planes, wy, wx, 2)
         if deq is not None:
-            # int16 rows -> f32: per-field affine, NaN via the sentinel
-            sc2 = jnp.stack([deq[0], deq[2]]).astype(compute_dtype)
-            of2 = jnp.stack([deq[1], deq[3]]).astype(compute_dtype)
-            brick = jnp.where(brick == _I16_NAN, jnp.nan,
-                              brick.astype(compute_dtype) * sc2 + of2)
+            brick = _deq_brick(brick, deq, compute_dtype)
 
         for s in range(G):
             fy, fx, fz, ok, rl = samples[s]

@@ -532,9 +532,12 @@ def main():
             # table (brick_i16): same gathers, half the materialization and
             # kernel brick-read bytes; in-kernel dequant + transpose
             packed_f32 = packed2d           # ref check uses the f32 table
-            (packed2d, deq16), _m = rt.pack_cubes(
-                jnp.asarray(sc['wet']), jnp.asarray(sc['hydro']),
-                mode='brick_i16')
+            # pack the SPEC UNDER TEST directly (pack_cubes' brick_i16
+            # branch would re-derive the ladder spec and ignore argv)
+            qw, sw, ow = rt._quantize_i16(jnp.asarray(sc['wet']))
+            qh, sh, oh = rt._quantize_i16(jnp.asarray(sc['hydro']))
+            deq16 = jnp.stack([sw, ow, sh, oh])
+            packed2d = rt._pack_bricks(qw, qh, planes, wy_s, wx_s)
             base = rt._static_brick_pallas_fn(
                 groups, pl, wy, wx, axes['ys'], axes['xs'], axes['zs'],
                 True, False, kernel_transpose=not variant.endswith('kt0'),
@@ -574,13 +577,20 @@ def main():
                 assert rel.max() < 1e-5, rel.max()
             print(json.dumps(dict(variant=variant, equiv_ok=True,
                                   checked=k)), flush=True)
+            if i16:
+                # free the f32 table before timing: it is ref-check-only,
+                # and holding ~4 GB f32 + 2 GB i16 through the timed run
+                # inflates HBM pressure in the measurement itself
+                del packed_f32, want, got
+                gc.collect()
         t = time_fn(lambda b: fn(packed2d, by_d + b, bx_d + b, bz_d,
                                  d2_d, rl_d, re_d))
         print(json.dumps(dict(spec=[planes, wy_s, wx_s, gmax],
                               tensor=tensor_mode,
                               n_groups=len(groups),
                               n_samples=plan.n_points,
-                              table_gb=round(packed2d.size * 4 / 1e9, 2),
+                              table_gb=round(packed2d.size
+                                             * packed2d.dtype.itemsize / 1e9, 2),
                               t_s=round(t, 4))), flush=True)
         del packed2d, fn
         gc.collect()
