@@ -187,9 +187,11 @@ def df64_backend_ok() -> bool:
     silently collapse double-single arithmetic to f32 precision (observed on
     XLA:CPU for some fusion shapes - module docstring). A failing probe
     means on-device geometry would silently lose mm precision, so callers
-    must fall back to the host-f64 path. The verdict persists in the
+    must fall back to the host-f64 path. A PASSING verdict persists in the
     compile-cache dir (see _probe_verdict_path) so warm processes skip the
-    device round trip. ``RAIDER_TPU_DF64_PROBE=skip`` bypasses the probe
+    device round trip; failures are never persisted (a transient device
+    hiccup must not durably pin the slow path — see tests).
+    ``RAIDER_TPU_DF64_PROBE=skip`` bypasses the probe
     (always trusted); ``=fresh`` re-runs it ignoring any persisted verdict.
     Note a tiny probe can't prove every fusion shape is safe - the
     cross-backend parity drive (scripts/xbackend_drive.py) remains the
@@ -203,13 +205,29 @@ def df64_backend_ok() -> bool:
     backend = jax.default_backend()
     if backend not in _PROBE_OK:
         path = None if mode == 'fresh' else _probe_verdict_path(backend)
-        if path is not None and path.is_file():
-            _PROBE_OK[backend] = path.read_text().strip() == '1'
+        # Only a persisted PASS is trusted: a '0' could be one transient
+        # device/runtime hiccup during a past probe, and trusting it would
+        # pin every future process to the slow host-f64 path until the
+        # cache dir is manually cleared. A failing backend re-probes per
+        # process (cheap on CPU, and on TPU a failure is transient anyway).
+        verdict = None
+        if path is not None:
+            try:
+                if path.is_file() and path.read_text().strip() == '1':
+                    verdict = True
+            except OSError:
+                verdict = None      # vanished/unreadable: just re-probe
+        if verdict is not None:
+            _PROBE_OK[backend] = verdict
         else:
             _PROBE_OK[backend] = _run_df64_probe()
-            if path is not None:
+            if path is not None and _PROBE_OK[backend]:
                 try:
-                    path.write_text('1' if _PROBE_OK[backend] else '0')
+                    # atomic: a concurrent reader must never see a partial
+                    # file and misread the verdict
+                    tmp = path.with_suffix(f'.tmp{os.getpid()}')
+                    tmp.write_text('1')
+                    os.replace(tmp, path)
                 except OSError:
                     pass
         if not _PROBE_OK[backend]:

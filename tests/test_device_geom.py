@@ -351,10 +351,23 @@ class TestDf64RuntimeGuard:
             'probe re-ran despite persisted verdict'))
         assert dg.df64_backend_ok() is True
 
-        # a persisted FAILURE is honored too (and not silently re-probed)
+        # a persisted FAILURE is NOT trusted: one transient hiccup must not
+        # pin every future process to the slow host-f64 path, so a '0' (or
+        # garbage) file re-runs the probe — and a pass overwrites it
         vpath.write_text('0')
+        reruns = []
+        monkeypatch.setattr(dg, '_run_df64_probe',
+                            lambda: reruns.append(1) or True)
+        monkeypatch.setattr(dg, '_PROBE_OK', {})
+        assert dg.df64_backend_ok() is True
+        assert len(reruns) == 1 and vpath.read_text() == '1'
+
+        # ...and a re-run that fails again does not persist the failure
+        vpath.unlink()
+        monkeypatch.setattr(dg, '_run_df64_probe', lambda: False)
         monkeypatch.setattr(dg, '_PROBE_OK', {})
         assert dg.df64_backend_ok() is False
+        assert not vpath.exists()
 
         # 'fresh' ignores the file and re-runs the probe
         monkeypatch.setenv('RAIDER_TPU_DF64_PROBE', 'fresh')
