@@ -70,10 +70,49 @@ def test_variogram_recovers_sill():
     x = rng.uniform(0, 10, n)
     y = rng.uniform(0, 10, n)
     v = rng.normal(0, 1.0, n)  # pure nugget: semivariance ~ variance
-    centers, gamma, counts = empirical_variogram(x, y, v, n_bins=12)
+    centers, gamma, counts, meta = empirical_variogram(x, y, v, n_bins=12)
     assert np.nanmean(gamma[2:]) == pytest.approx(1.0, rel=0.15)
     sill, rng_len = fit_variogram(centers, gamma, 'exponential')
     assert sill == pytest.approx(1.0, rel=0.3)
+    # 800 points = 319,600 pairs > the 200k budget: subsampled + recorded
+    assert meta['estimator'] == 'subsampled'
+    assert meta['n_pairs_total'] == n * (n - 1) // 2
+    assert 0 < meta['n_pairs_used'] <= 200000
+
+
+def test_variogram_small_n_matches_reference_all_pairs_estimator():
+    """VERDICT r4 item 7: when the pair budget covers every pair, the
+    estimator must EQUAL a direct all-pairs computation with the
+    reference's semantics (statsPlot.py:544-944: semivariance
+    0.5*(v_i-v_j)^2 over every unordered station pair, binned by
+    euclidean distance)."""
+    rng = np.random.default_rng(7)
+    n, n_bins = 60, 8
+    x = rng.uniform(0, 5, n)
+    y = rng.uniform(0, 5, n)
+    v = rng.normal(0, 0.3, n) + 0.1 * x
+    centers, gamma, counts, meta = empirical_variogram(x, y, v,
+                                                       n_bins=n_bins)
+    assert meta['estimator'] == 'all_pairs'
+    assert meta['n_pairs_used'] == meta['n_pairs_total'] == n * (n - 1) // 2
+
+    # direct mirror: explicit double loop over unordered pairs
+    d, sq = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d.append(np.hypot(x[i] - x[j], y[i] - y[j]))
+            sq.append(0.5 * (v[i] - v[j]) ** 2)
+    d, sq = np.asarray(d), np.asarray(sq)
+    max_dist = np.percentile(d, 95)
+    edges = np.linspace(0, max_dist, n_bins + 1)
+    which = np.clip(np.digitize(d, edges) - 1, 0, n_bins - 1)
+    inside = d <= max_dist
+    exp_counts = np.bincount(which[inside], minlength=n_bins).astype(float)
+    exp_gamma = np.bincount(which[inside], weights=sq[inside],
+                            minlength=n_bins) / exp_counts
+    np.testing.assert_array_equal(counts, exp_counts)
+    np.testing.assert_allclose(gamma, exp_gamma, rtol=1e-12)
+    np.testing.assert_allclose(centers, 0.5 * (edges[:-1] + edges[1:]))
 
 
 class TestRaiderStats:
