@@ -85,3 +85,79 @@ def run_production() -> dict:
         (np.isfinite(wr) == np.isfinite(wq)).all()
         and float(np.abs(wq[both] - wr[both]).max()) < 1e-4)
     return out
+
+
+def run_cli(workdir) -> dict:
+    """FULL CLI drive: calcDelays on a YAML config (raytraced cube product,
+    synthetic orbit statevector file + mocked weather prep) on whatever
+    device mesh is active. Returns content digests of the product files -
+    data variables, coords, and attrs except the run-timestamped 'history'
+    - so multi-process runs can be asserted bit-identical to the
+    single-process golden at the PRODUCT level (VERDICT r4 item 6)."""
+    import hashlib
+    import os
+    import pathlib
+
+    import yaml
+
+    import raider_tpu.workflows.calc_delays as cd
+    from raider_tpu.io import read_nc
+    from raider_tpu.io.ncdf import write_nc
+
+    wd = pathlib.Path(workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+    ds, orbit = build_inputs()
+    wm_path = wd / 'wm.nc'
+    write_nc(ds, str(wm_path))
+
+    # 7-column ISO statevector text (geometry/orbit.py::read_txt_file)
+    lines = []
+    for t, p, v in zip(orbit.times, orbit.pos, orbit.vel):
+        ts = (orbit.ref_time + dtm.timedelta(seconds=float(t))).isoformat()
+        lines.append(' '.join([ts] + [f'{c:.6f}' for c in (*p, *v)]))
+    orb_path = wd / 'orbit.txt'
+    orb_path.write_text('\n'.join(lines) + '\n')
+
+    cfg = {
+        'look_dir': 'right',
+        'weather_model': 'ERA5',
+        'date_group': {'date_start': 20200130},
+        'time_group': {'time': '13:52:45', 'interpolate_time': 'none'},
+        'aoi_group': {'bounding_box': list(BBOX)},
+        'height_group': {'height_levels': list(HEIGHTS)},
+        'los_group': {'ray_trace': True, 'orbit_file': str(orb_path),
+                      'zref': 25000.0},
+        'runtime_group': {'output_directory': str(wd),
+                          'weather_model_directory': str(wd),
+                          'cube_spacing_in_m': 5000,
+                          'verbose': False},
+    }
+    cfg_path = wd / 'cfg.yaml'
+    cfg_path.write_text(yaml.dump(cfg))
+
+    cd.prepareWeatherModel = lambda *a, **k: str(wm_path)
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        paths = cd.calcDelays([str(cfg_path)])
+    finally:
+        os.chdir(cwd)
+
+    out = {}
+    for pth in paths:
+        d = read_nc(pth)
+        h = hashlib.md5()
+        for name in sorted(d.variables):
+            h.update(np.ascontiguousarray(np.asarray(d[name].data)).tobytes())
+        for name in sorted(d.coords):
+            h.update(np.ascontiguousarray(
+                np.asarray(d.coords[name].data)).tobytes())
+        stable = {k: v for k, v in sorted(d.attrs.items())
+                  if k != 'history'}
+        h.update(repr(stable).encode())
+        key = os.path.basename(pth)
+        out[key] = h.hexdigest()
+        w = np.asarray(d['wet'].data, np.float64)
+        out[f'{key}_finite_frac'] = float(np.isfinite(w).mean())
+        out[f'{key}_sum'] = float(np.nansum(w))
+    return out

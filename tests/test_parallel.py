@@ -243,3 +243,64 @@ class TestMultiHost:
             else:
                 _os.environ['RAIDER_TPU_SHARD'] = old
         assert prod[0] == golden, (prod[0], golden)
+
+    @pytest.mark.slow
+    def test_four_process_cli_products(self, tmp_path):
+        """VERDICT r4 item 6: the FULL CLI (calcDelays on a YAML config,
+        raytraced cube product) across a 4-process x 2-device global mesh.
+        All four processes must write products whose content (data vars,
+        coords, stable attrs) is bit-identical to each other and to the
+        single-process unsharded golden."""
+        import json
+        import socket
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        with socket.socket() as s:
+            s.bind(('localhost', 0))
+            port = s.getsockname()[1]
+        worker = Path(__file__).parent / '_mh_cli_worker.py'
+        env = {k: v for k, v in __import__('os').environ.items()
+               if k not in ('XLA_FLAGS',)}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), '4', str(port),
+                 str(tmp_path)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env)
+            for i in range(4)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f'worker {i} failed:\n{out}'
+        digests = [json.loads(line.split(' ', 2)[2])
+                   for out in outs for line in out.splitlines()
+                   if line.startswith('MH_CLI')]
+        assert len(digests) == 4, f'missing CLI digests: {outs}'
+        assert all(d == digests[0] for d in digests[1:]), digests
+        prod_keys = [k for k in digests[0] if k.endswith('.nc')]
+        assert prod_keys, digests[0]
+
+        # single-process unsharded golden, same scene + config
+        import os as _os
+
+        from tests._mh_scene import run_cli
+        old = _os.environ.get('RAIDER_TPU_SHARD')
+        _os.environ['RAIDER_TPU_SHARD'] = '0'
+        try:
+            golden = run_cli(str(tmp_path / 'single'))
+        finally:
+            if old is None:
+                _os.environ.pop('RAIDER_TPU_SHARD', None)
+            else:
+                _os.environ['RAIDER_TPU_SHARD'] = old
+        assert digests[0] == golden, (digests[0], golden)
