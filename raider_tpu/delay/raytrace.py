@@ -766,16 +766,19 @@ def _static_brick_pallas_fn(groups, planes, wy, wx, ys, xs, zs, z_clip,
             # transpose the raw int16). Without it the block arrives
             # (width, tile_n) and deq_ref is passed pre-transposed
             # (width, 2) so scale/offset broadcast as (width, 1) columns.
-            raw = bt_ref[:]
+            # sentinel test AFTER the f32 convert: Mosaic on v5e rejects
+            # 16-bit vector compares ("Target does not support this
+            # comparison", measured round 5), the convert happens anyway,
+            # -32768 is exact in f32, and no other i16 value maps to it
+            rawf = bt_ref[:].astype(jnp.float32)
+            nanv = jnp.float32(_I16_NAN)
             if kernel_transpose:
-                g = jnp.where(raw == _I16_NAN, jnp.nan,
-                              raw.astype(jnp.float32) * deq_ref[0, :]
-                              + deq_ref[1, :])
+                g = jnp.where(rawf == nanv, jnp.nan,
+                              rawf * deq_ref[0, :] + deq_ref[1, :])
                 bt = g.T
             else:
-                bt = jnp.where(raw == _I16_NAN, jnp.nan,
-                               raw.astype(jnp.float32) * deq_ref[:, 0:1]
-                               + deq_ref[:, 1:2])
+                bt = jnp.where(rawf == nanv, jnp.nan,
+                               rawf * deq_ref[:, 0:1] + deq_ref[:, 1:2])
         else:
             bt = bt_ref[:].T if kernel_transpose else bt_ref
         for (lv_abs, f, wal_abs, wav, wbl_abs, wbv, zlo, zinv, dzo) in samples:
@@ -1057,17 +1060,29 @@ def pack_mode_for(cube_shape, dtype, grouped: bool = False) -> str:
     GROUP of samples, the biggest lever for this gather-count-bound kernel.
     The brick extent itself comes from :func:`_brick_spec_for`'s ladder.
     """
-    if grouped and _brick_spec_for(cube_shape, dtype) is not None:
-        # experimental: quantized int16 brick table (RAIDER_TPU_BRICK_I16=1)
-        # halves the hot kernel's HBM bytes — gather output materialization
-        # and the Pallas kernel's brick reads — at the same quantization
-        # bound as pack16_i16 (< 0.03 mm; the gathers themselves are
-        # count-bound so their wall time is unchanged). Default OFF until
-        # the on-chip win and the parity sweep are both demonstrated.
-        if (os.environ.get('RAIDER_TPU_BRICK_I16', '') == '1'
-                and np.dtype(dtype) == np.float32):
+    if grouped:
+        flag = os.environ.get('RAIDER_TPU_BRICK_I16', '')
+        if _brick_spec_for(cube_shape, dtype) is not None:
+            # f32 brick fits: f32 stays the default — the quantized table
+            # measured SLOWER here on v5e (prodi16 127.5 ms vs prodpallaskt1
+            # 119.2 ms, round 5, same regime: the kernel is gather-count
+            # bound and the in-kernel i16->f32 convert + sentinel select
+            # cost more than the halved brick bytes save). =1 forces i16
+            # for re-ablation.
+            if flag == '1' and np.dtype(dtype) == np.float32:
+                return 'brick_i16'
+            return 'brick'
+        # CAPACITY band: the f32 brick table is over budget but the int16
+        # one (half the bytes, ~12.6M-25.2M cells at the (7,3,3,6) spec)
+        # fits — brick's ~11 gathers/ray crush the pack16 fallback's ~58.
+        # Measured on v5e (50x640x640 = 20.5M cells, 1M rays, round 5):
+        # brick_i16 0.131 s vs pack16 0.839 s = 6.4x, max |dev| 0.019 mm
+        # (inside the < 0.03 mm pack16_i16 bound; same _quantize_i16).
+        # f32 compute only — f64 cubes are the exact-reference path and
+        # never silently quantize. =0 opts out (exact pack16/pack4 ladder).
+        if (flag != '0' and np.dtype(dtype) == np.float32
+                and _brick_spec_for(cube_shape, np.int16) is not None):
             return 'brick_i16'
-        return 'brick'
     n_cells = int(np.prod(cube_shape))
     nbytes16 = n_cells * 16 * np.dtype(dtype).itemsize
     if nbytes16 <= _PACK16_BYTE_LIMIT:
@@ -1157,9 +1172,12 @@ def integrate_rays(
     if mode in ('brick', 'brick_i16'):
         if not grouped_ok:
             raise ValueError("mode='brick' needs heights and hstep_max")
-        # the spec is a deterministic function of (cube shape, dtype), so
-        # this agrees with the layout pack_cubes built the table with
-        spec = _brick_spec_for(np.shape(cube_wet), dtype) or _BRICK_SPECS[-1][:4]
+        # the spec is a deterministic function of (cube shape, TABLE dtype),
+        # so this agrees with the layout pack_cubes built the table with
+        # (int16 for the quantized mode — its byte budget admits 2x cells)
+        spec = _brick_spec_for(
+            np.shape(cube_wet), np.int16 if mode == 'brick_i16' else dtype
+        ) or _BRICK_SPECS[-1][:4]
         planes_s, wy_s, wx_s, gmax_s = spec
         if packed2d.shape[1] != planes_s * wy_s * wx_s * 2:
             raise ValueError(
@@ -1267,9 +1285,10 @@ def pack_cubes(cube_wet, cube_hydro, mode=None, grouped: bool = False):
         planes, wy, wx, _ = spec
         return _pack_bricks(cube_wet, cube_hydro, planes, wy, wx), mode
     if mode == 'brick_i16':
-        # same spec (and therefore the same plan/width) as the f32 brick —
-        # quantization changes the table element type, nothing else
-        spec = (_brick_spec_for(cube_wet.shape, cube_wet.dtype)
+        # spec derives from the int16 TABLE dtype (the capacity band exists
+        # because the i16 byte-limit check admits 2x the cells); with the
+        # single-spec ladder this equals the f32 spec wherever both fit
+        spec = (_brick_spec_for(cube_wet.shape, np.int16)
                 or _BRICK_SPECS[-1][:4])
         planes, wy, wx, _ = spec
         qw, sw, ow = _quantize_i16(cube_wet)

@@ -471,6 +471,158 @@ def make_pallas2_fn(groups, planes, wy, wx, ys_np, xs_np, zs_np,
     return run
 
 
+
+def make_merged_fn(groups, planes, wy, wx, ys_np, xs_np, zs_np,
+                   tile_n=4096, interpret=False):
+    """Ablation (VERDICT r4 item 5): ONE merged ray-rows input per group.
+
+    The production kernel streams six separate row inputs per grid step
+    (by/bx/bz/d2/rl/aux) - six block-DMA descriptors per (group, tile) on
+    top of the brick block. This variant concatenates them XLA-side into a
+    single (3*nb + 2*nl + 3, N) array per group (identical sliced bytes,
+    ONE descriptor) to measure whether per-step DMA setup overhead is part
+    of the ~18 ms residual over the gather+materialization bound. In-kernel
+    transpose form (the production kt1 layout); exact integer window test
+    like the XLA kernel.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from raider_tpu.ops.interp import _locate as _loc
+
+    ny, nx = ys_np.size, xs_np.size
+    width = planes * wy * wx * 2
+    y_lo, y_hi = float(ys_np[0]), float(ys_np[-1])
+    x_lo, x_hi = float(xs_np[0]), float(xs_np[-1])
+    z_lo, z_hi = float(zs_np[0]), float(zs_np[-1])
+    inv_sy = (ny - 1) / (y_hi - y_lo)
+    inv_sx = (nx - 1) / (x_hi - x_lo)
+    for ax_ in (ys_np, xs_np):
+        d = np.diff(ax_)
+        assert np.allclose(d, d[0], rtol=1e-6), 'merged needs uniform y/x'
+
+    def group_kernel(bt_ref, m_ref, out_ref, *, samples, lv0, nb, nl):
+        oy, ox, oz = 0, nb, 2 * nb
+        od2, orl, oaux = 3 * nb, 3 * nb + nl, 3 * nb + 2 * nl
+        ay = m_ref[oaux, :]
+        ax = m_ref[oaux + 1, :]
+        re_local = m_ref[oaux + 2, :]
+        acc_w = jnp.zeros_like(ay)
+        acc_h = jnp.zeros_like(ay)
+        bt = bt_ref[:].T
+        for (lv_abs, f, wal_abs, wav, wbl_abs, wbv, zlo, zinv, dzo) in samples:
+            lv = lv_abs - lv0
+            wal = wal_abs - lv0
+            wbl = wbl_abs - lv0
+            ylo_r = m_ref[oy + lv, :]
+            xlo_r = m_ref[ox + lv, :]
+            zlo_r = m_ref[oz + lv, :]
+            py = ylo_r + f * (m_ref[oy + lv + 1, :] - ylo_r)
+            px = xlo_r + f * (m_ref[ox + lv + 1, :] - xlo_r)
+            zhi_r = m_ref[oz + lv + 1, :]
+            pz = zlo_r + f * (zhi_r - zlo_r)
+            hbar = 0.5 * (zlo_r + zhi_r)
+            pz = pz - f * (1.0 - f) * m_ref[od2 + lv, :] / (2.0 * (re_local + hbar))
+            bndy = (py >= y_lo) & (py <= y_hi)
+            bndx = (px >= x_lo) & (px <= x_hi)
+            pz = jnp.minimum(jnp.maximum(pz, z_lo), z_hi)
+            bndz = (pz >= z_lo) & (pz <= z_hi)
+            posy = (py - y_lo) * inv_sy
+            iyf = jnp.minimum(jnp.maximum(jnp.floor(posy), 0.0),
+                              float(ny - 2))
+            fy = posy - iyf
+            posx = (px - x_lo) * inv_sx
+            ixf = jnp.minimum(jnp.maximum(jnp.floor(posx), 0.0),
+                              float(nx - 2))
+            fx = posx - ixf
+            fz = (pz - zlo) * zinv
+            dyi = iyf - ay
+            dxi = ixf - ax
+            ok = (bndy & bndx & bndz
+                  & (dyi <= float(wy - 2)) & (dxi <= float(wx - 2)))
+            rl = wav * m_ref[orl + wal, :]
+            if wbv:
+                rl = rl + wbv * m_ref[orl + wbl, :]
+            wte = jnp.where(ok, 1.0e-6 * rl, jnp.nan)
+            gy = dyi + fy
+            gx = dxi + fx
+            hy = [jnp.maximum(0.0, 1.0 - jnp.abs(gy - k)) for k in range(wy)]
+            hx = [jnp.maximum(0.0, 1.0 - jnp.abs(gx - l)) for l in range(wx)]
+            q0 = [wte * (1.0 - fz) * hyk for hyk in hy]
+            q1 = [wte * fz * hyk for hyk in hy]
+            for k in range(wy):
+                for l in range(wx):
+                    w0 = q0[k] * hx[l]
+                    w1 = q1[k] * hx[l]
+                    r0 = ((dzo * wy + k) * wx + l) * 2
+                    r1 = (((dzo + 1) * wy + k) * wx + l) * 2
+                    acc_w = acc_w + bt[r0, :] * w0
+                    acc_h = acc_h + bt[r0 + 1, :] * w0
+                    acc_w = acc_w + bt[r1, :] * w1
+                    acc_h = acc_h + bt[r1 + 1, :] * w1
+        out_ref[0, :] = acc_w
+        out_ref[1, :] = acc_h
+
+    def group_call(brickT, merged, samples, lv0, nb, nl, n):
+        R = merged.shape[0]
+        rowspec = lambda r: pl.BlockSpec((r, tile_n), lambda i: (0, i))
+        return pl.pallas_call(
+            partial(group_kernel, samples=samples, lv0=lv0, nb=nb, nl=nl),
+            grid=(pl.cdiv(n, tile_n),),
+            in_specs=[pl.BlockSpec((tile_n, width), lambda i: (i, 0)),
+                      rowspec(R)],
+            out_specs=rowspec(2),
+            out_shape=jax.ShapeDtypeStruct((2, n), brickT.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary',)),
+            interpret=interpret,
+        )(brickT, merged)
+
+    @jax.jit
+    def run(table2d, bnd_y, bnd_x, bnd_z, d2, ray_len, re_local):
+        cdt = table2d.dtype
+        n = bnd_y.shape[1]
+        acc = jnp.zeros((2, n), cdt)
+        bnd_y32 = bnd_y.astype(cdt)
+        bnd_x32 = bnd_x.astype(cdt)
+        bnd_z32 = bnd_z.astype(cdt)
+        d2_32 = d2.astype(cdt)
+        rl_32 = ray_len.astype(cdt)
+        re32 = re_local.astype(cdt)
+        L = d2.shape[0]
+        for za, samples in groups:
+            ay = ax = None
+            for (lv, f, *_rest) in samples:
+                py = bnd_y[lv] + f * (bnd_y[lv + 1] - bnd_y[lv])
+                px = bnd_x[lv] + f * (bnd_x[lv + 1] - bnd_x[lv])
+                iy, _fy, _by = _loc(ys_np, py)
+                ix, _fx, _bx = _loc(xs_np, px)
+                ay = iy if ay is None else jnp.minimum(ay, iy)
+                ax = ix if ax is None else jnp.minimum(ax, ix)
+            lin = (za * ny + ay) * nx + ax
+            lin = jax.lax.optimization_barrier((lin, acc))[0]
+            brickT = jnp.take(table2d, lin, axis=0)     # (N, width), kt1
+            lv0 = min(min(s[0], s[2], s[4]) for s in samples)
+            hi1 = max(s[0] + 1 for s in samples)
+            hiL = min(max(max(s[0], s[2], s[4]) for s in samples), L - 1)
+            nb = hi1 + 1 - lv0
+            nl = hiL + 1 - lv0
+            merged = jnp.concatenate([
+                bnd_y32[lv0:hi1 + 1], bnd_x32[lv0:hi1 + 1],
+                bnd_z32[lv0:hi1 + 1], d2_32[lv0:hiL + 1],
+                rl_32[lv0:hiL + 1],
+                jnp.stack([ay.astype(cdt), ax.astype(cdt), re32]),
+            ])
+            with jax.enable_x64(False):
+                part = group_call(brickT, merged, samples, lv0, nb, nl, n)
+            acc = acc + part
+        return acc[0], acc[1]
+
+    return run
+
+
 def main():
     import gc
 
@@ -543,6 +695,9 @@ def main():
                 True, False, kernel_transpose=not variant.endswith('kt0'),
                 has_deq=True)
             fn = lambda tbl, *ray: base(tbl, *ray, deq16)
+        elif variant == 'prodmerged':
+            fn = make_merged_fn(groups, pl, wy, wx, sc['ys'], sc['xs'],
+                                sc['zs'])
         elif variant.startswith('prodpallas'):
             # the PRODUCTION pallas kernel (raytrace.py), kt0/kt1 selects
             # the XLA-side vs in-kernel brick transpose

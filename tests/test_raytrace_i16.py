@@ -308,3 +308,46 @@ def test_fuzz_i16_vs_f32(seed):
     if both.any():
         assert np.abs(w_q[both] - w_f[both]).max() < 1e-4
         assert np.abs(h_q[both] - h_f[both]).max() < 1e-4
+
+
+def test_pack_mode_brick_capacity_band(monkeypatch):
+    """Round-5 on-chip decision (VERDICT r4 item 2): f32 brick stays the
+    default where it fits (i16 measured SLOWER there: 127.5 vs 119.2 ms on
+    v5e); brick_i16 auto-selects only in the capacity band where the f32
+    table is over budget but the half-size i16 one fits (measured 6.4x
+    over the pack16 fallback: 0.131 vs 0.839 s, 20.5M cells, 1M rays,
+    max dev 0.019 mm)."""
+    import numpy as np
+
+    from raider_tpu.delay import raytrace as rt
+
+    small = (50, 400, 400)      # 8.0M cells: f32 brick table 4.0 GB fits
+    band = (50, 640, 640)       # 20.5M cells: f32 10.5 GB out, i16 5.2 GB in
+    huge = (50, 1059, 1799)     # 95.2M cells: no brick table fits
+    monkeypatch.delenv('RAIDER_TPU_BRICK_I16', raising=False)
+    assert rt.pack_mode_for(small, np.float32, grouped=True) == 'brick'
+    assert rt.pack_mode_for(band, np.float32, grouped=True) == 'brick_i16'
+    assert rt.pack_mode_for(huge, np.float32, grouped=True) == 'pack16_i16'
+    # f64 cubes are the exact-reference path: never quantized
+    assert rt.pack_mode_for(band, np.float64, grouped=True) == 'pack16'
+    # =0 opts out of every quantized mode ladder rung that needs the flag
+    monkeypatch.setenv('RAIDER_TPU_BRICK_I16', '0')
+    assert rt.pack_mode_for(band, np.float32, grouped=True) == 'pack16'
+    # =1 forces i16 even where f32 fits (re-ablation hook)
+    monkeypatch.setenv('RAIDER_TPU_BRICK_I16', '1')
+    assert rt.pack_mode_for(small, np.float32, grouped=True) == 'brick_i16'
+
+
+def test_brick_i16_capacity_band_spec_consistency():
+    """pack_cubes and integrate_rays derive the brick spec from the int16
+    TABLE dtype for brick_i16, so a capacity-band cube packs and integrates
+    with one agreed layout (f32-derived specs would disagree: the f32
+    lookup returns None there)."""
+    import numpy as np
+
+    from raider_tpu.delay import raytrace as rt
+
+    band = (50, 640, 640)
+    assert rt._brick_spec_for(band, np.float32) is None
+    spec = rt._brick_spec_for(band, np.int16)
+    assert spec == rt._BRICK_SPECS[-1][:4]
