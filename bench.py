@@ -683,8 +683,85 @@ def leg_bigcube() -> None:
     emit({'bigcube_kernel_pack4_s': round(time_big('pack4'), 4)})
 
 
+# ------------------------------------------------------------- leg: midcube
+def leg_midcube() -> None:
+    """Capacity-band cube (TPU only): 50x640x640 = 20.5M cells, where the
+    f32 brick table (10.5 GB) is over budget but the quantized int16 one
+    (5.2 GB) fits. Round 5 promoted brick_i16 to the auto mode here; this
+    leg records it against the pack16 ladder it replaced on the same rays
+    (measured 6.4x in the promotion run; the artifact keeps it honest)."""
+    import gc
+
+    import numpy as np
+
+    jax = _pin_backend()
+    import jax.numpy as jnp
+
+    import raider_tpu  # noqa: F401
+    from raider_tpu.delay.raytrace import (integrate_rays, pack_cubes,
+                                           pack_mode_for)
+
+    if jax.default_backend() != 'tpu':
+        emit({'midcube_auto_mode': None})
+        return
+    sc = _scene()
+    rng = np.random.default_rng(0)
+    n_rays = sc['n_rays']
+    zs, _, _ = _grid(sc)
+    dzv = zs[1:] - zs[:-1]
+    deg_per_m = 1.0 / 111000.0
+
+    nz_m, ny_m, nx_m = sc['nz'], 640, 640
+    if _smoke():
+        ny_m, nx_m = 96, 96
+    emit({'midcube_auto_mode': pack_mode_for((nz_m, ny_m, nx_m),
+                                             np.float32, grouped=True)})
+    ys_m = np.linspace(28.0, 42.0, ny_m)
+    xs_m = np.linspace(-127.0, -113.0, nx_m)
+    wet = np.asarray(rng.uniform(0.1, 100.0, (nz_m, ny_m, nx_m)),
+                     np.float32)
+    hydro = np.asarray(rng.uniform(50.0, 300.0, (nz_m, ny_m, nx_m)),
+                       np.float32)
+    zen = rng.uniform(np.deg2rad(25.0), np.deg2rad(45.0), n_rays)
+    azi = rng.uniform(0.0, 2.0 * np.pi, n_rays)
+    y0 = rng.uniform(30.0, 40.0, n_rays)
+    x0 = rng.uniform(-125.0, -115.0, n_rays)
+    plm = (dzv * float((1.0 / np.cos(zen)).max())).astype(np.float32)
+    hstep = dzv * float(np.tan(zen).max()) * deg_per_m
+    build_rays = _make_build_rays(jnp, np.float32, deg_per_m)
+    dev_m = jax.block_until_ready(build_rays(
+        jnp.asarray(zen), jnp.asarray(azi), jnp.asarray(y0),
+        jnp.asarray(x0), jnp.asarray(dzv), jnp.asarray(zs)))
+
+    def time_mode(mode_name):
+        packed, _ = pack_cubes(wet, hydro, mode=mode_name)
+
+        def run(bump):
+            by_d, bx_d, bz_d, d2_d, rl_d, re_d = dev_m
+            w_o, h_o = integrate_rays(
+                wet, hydro, ys_m, xs_m, zs,
+                by_d + bump, bx_d, bz_d, d2_d, rl_d, re_d,
+                plm, packed2d=packed, mode=mode_name,
+                heights=zs.copy(), hstep_max=hstep, static_plan=True)
+            return float(jnp.nansum(w_o) + jnp.nansum(h_o))
+
+        _ = run(jnp.float32(0.0))
+        ts = []
+        for k in range(1, 4):
+            t0 = time.perf_counter()
+            _ = run(jnp.float32(k) * 1e-7)
+            ts.append(time.perf_counter() - t0)
+        del packed
+        gc.collect()
+        return min(ts)
+
+    emit({'midcube_kernel_bricki16_s': round(time_mode('brick_i16'), 4)})
+    emit({'midcube_kernel_pack16_s': round(time_mode('pack16'), 4)})
+
+
 _LEGS = {'probe': leg_probe, 'headline': leg_headline, 'kernel': leg_kernel,
-         'extras': leg_extras, 'bigcube': leg_bigcube}
+         'extras': leg_extras, 'midcube': leg_midcube,
+         'bigcube': leg_bigcube}
 
 
 # ============================================================ parent side
@@ -873,6 +950,7 @@ def orchestrate() -> None:
             ('headline', 1500.0, 120.0),
             ('kernel', 650.0, 150.0),
             ('extras', 420.0, 120.0),
+            ('midcube', 500.0, 180.0),
             ('bigcube', 700.0, 200.0),
             ('setup', 1450.0, 400.0)]
     status = {}
