@@ -21,6 +21,13 @@ gather row per sample:
     worst-case quantization impact, NaN via the -32768 sentinel
   * PACK4: row(z, y, x) = {wet, hydro} x {x, x+1} -> 4 gathers per sample
     (2x memory floor for cubes past even the int16 window)
+  * BRICK / BRICK_I16: grouped-gather rows (planes x wy x wx x {wet,
+    hydro}); one gather serves a whole GROUP of samples (~11 gathers/ray
+    vs PACK16's ~58). f32 where its table fits (i16 measured slower
+    there: the in-kernel dequant outweighs the halved bytes); the int16
+    form auto-covers the CAPACITY band where only the half-size table
+    fits (~12.6M-25.2M cells: measured 6.4x over the pack16 fallback,
+    0.019 mm max dev, round 5)
 
 measured 3.4x (PACK4) to ~10x (PACK16) over the naive 16-gather form;
 16-bit rows gather at the same wall time as f32 rows (gather-count bound,
