@@ -351,3 +351,54 @@ def test_brick_i16_capacity_band_spec_consistency():
     assert rt._brick_spec_for(band, np.float32) is None
     spec = rt._brick_spec_for(band, np.int16)
     assert spec == rt._BRICK_SPECS[-1][:4]
+
+
+def test_build_cube_ray_brick_i16_capacity_band(monkeypatch):
+    """brick_i16 through the PRODUCTION engine (_build_cube_ray) in the
+    capacity band: the brick byte limit is monkeypatched so the f32 table
+    is over budget while the i16 one fits (the band only triggers
+    naturally past ~12.6M cells), exercising auto mode selection, the
+    (table, deq) tuple riding the slice loop, and cube parity vs the f32
+    brick engine run."""
+    import datetime as dt
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_raytrace import synthetic_orbit, synthetic_wm_dataset
+
+    import raider_tpu.delay.raytrace as rt
+    from raider_tpu.delay.engine import WeatherCube, _build_cube_ray
+    from raider_tpu.geodesy.crs import Geographic
+    from raider_tpu.geometry.los import Raytracing
+
+    rng = np.random.default_rng(13)
+    shape = (49, 13, 17)            # 10829 cells: f32 5.5 MB, i16 2.8 MB
+    wet_c = rng.uniform(0.1, 100.0, shape)
+    hydro_c = rng.uniform(50.0, 300.0, shape)
+    t = dt.datetime(2020, 1, 30, 13, 52, 45)
+    wm = WeatherCube(synthetic_wm_dataset(wet_cube=wet_c,
+                                          hydro_cube=hydro_c))
+    los = Raytracing(orbit=synthetic_orbit(t), time=t)
+    xpts = np.linspace(-118.4, -117.2, 8)
+    ypts = np.linspace(33.2, 33.8, 6)
+    hts = np.array([0.0, 4000.0])
+
+    def run():
+        return _build_cube_ray(wm, xpts, ypts, hts, los, Geographic(),
+                               zref=25000.0, compute_dtype=np.float32)
+
+    monkeypatch.delenv('RAIDER_TPU_BRICK_I16', raising=False)
+    w_f, h_f = run()                            # f32 brick (limit default)
+
+    limit = 4 * 1024 * 1024                     # between i16 and f32 table
+    monkeypatch.setattr(rt, '_BRICK_SPECS', ((7, 3, 3, 6, limit),))
+    assert rt.pack_mode_for(shape, np.float32, grouped=True) == 'brick_i16'
+    w_q, h_q = run()                            # auto-selected brick_i16
+
+    w_f, h_f = np.asarray(w_f), np.asarray(h_f)
+    w_q, h_q = np.asarray(w_q), np.asarray(h_q)
+    assert np.array_equal(np.isnan(w_f), np.isnan(w_q))
+    m = ~np.isnan(w_f)
+    assert np.abs(w_q[m] - w_f[m]).max() < 1e-4     # < 0.1 mm
+    assert np.abs(h_q[m] - h_f[m]).max() < 1e-4
