@@ -255,6 +255,97 @@ class TestWRF:
         assert isinstance(m._proj, LambertConformalConic)
         assert (m._rh > 0).all() and np.isfinite(m._rh).all()
 
+    def _write_plev(self, path, bad_units=False):
+        """Post-processed WRF pressure-level file (the reference's input:
+        P_PL 1-D, T_PL/RH_PL/GHT_PL cubes, units attrs, -999 nulls)."""
+        from scipy.io import netcdf_file
+
+        nz, ny, nx = 4, 3, 5
+        with netcdf_file(str(path), 'w') as f:
+            f.TRUELAT1 = 30.0
+            f.TRUELAT2 = 60.0
+            f.MOAD_CEN_LAT = 40.0
+            f.STAND_LON = -100.0
+            f.createDimension('Time', 1)
+            f.createDimension('num_press_levels_stag', nz)
+            f.createDimension('south_north', ny)
+            f.createDimension('west_east', nx)
+
+            p1d = np.array([1.0e5, 8.5e4, 7.0e4, 5.0e4])
+            v = f.createVariable('P_PL', 'f4', ('Time', 'num_press_levels_stag'))
+            v[:] = p1d[None]
+            v.units = b'hPa' if bad_units else b'Pa'
+
+            t = np.full((nz, ny, nx), 270.0)
+            t[0, 0, 0] = -999.0                     # null -> nan
+            v = f.createVariable('T_PL', 'f4',
+                                 ('Time', 'num_press_levels_stag',
+                                  'south_north', 'west_east'))
+            v[:] = t[None]
+            v.units = b'K'
+
+            rh = np.full((nz, ny, nx), 50.0)
+            v = f.createVariable('RH_PL', 'f4',
+                                 ('Time', 'num_press_levels_stag',
+                                  'south_north', 'west_east'))
+            v[:] = rh[None]
+            v.units = b'%'
+
+            gh = np.broadcast_to(
+                np.array([100.0, 1500.0, 3100.0, 5800.0])[:, None, None],
+                (nz, ny, nx)).copy()
+            gh[0, 1, 1] = -999.0                    # below-topography null
+            v = f.createVariable('GHT_PL', 'f4',
+                                 ('Time', 'num_press_levels_stag',
+                                  'south_north', 'west_east'))
+            v[:] = gh[None]
+            v.units = b'm'
+        return p1d
+
+    def test_two_file_reference_interface(self, tmp_path):
+        """The reference's load_weather(file1, file2) form (wrf.py:37-72):
+        nodes file + plev file in either order; nulls -> nan; per-level
+        nanmean height fill; 1-D pressure broadcast; spherical-LCC native
+        regular grid from averaged transformed coordinates."""
+        from raider_tpu.wx.wrf import WRF
+
+        nodes = tmp_path / 'wrfout_d01.nc'
+        plev = tmp_path / 'wrfplev_d01.nc'
+        self._write_wrfout(nodes)
+        p1d = self._write_plev(plev)
+
+        m = WRF()
+        m.load_weather(file1=str(nodes), file2=str(plev))
+        assert m._t.shape == (3, 5, 4)               # (y, x, z)
+        # -999 temperature decoded to nan
+        assert np.isnan(m._t[0, 0, 0]) and m._t[1, 1, 0] == 270.0
+        # null height filled with the level nanmean (all valid cells 100.0)
+        np.testing.assert_allclose(m._zs[1, 1, 0], 100.0)
+        # 1-D pressure broadcast across the grid
+        np.testing.assert_allclose(m._p[2, 3], p1d, rtol=1e-6)
+        # native regular grid: strictly monotonic 1-D LCC coordinates
+        assert m._xs.ndim == 1 and m._ys.ndim == 1
+        assert (np.diff(m._xs) > 0).all() and (np.diff(m._ys) > 0).all()
+        # sphere radius 6370 km (the reference's bug-fixed constant)
+        assert m._proj.ellipsoid.a == 6370e3
+
+        # swapped argument order resolves via the KeyError fallback
+        m2 = WRF()
+        m2.load_weather(file1=str(plev), file2=str(nodes))
+        np.testing.assert_array_equal(
+            np.isnan(m2._t), np.isnan(m._t))
+        np.testing.assert_allclose(m2._zs, m._zs)
+
+    def test_unit_check_raises(self, tmp_path):
+        from raider_tpu.wx.wrf import WRF, UnitTypeError
+
+        nodes = tmp_path / 'wrfout_d01.nc'
+        plev = tmp_path / 'wrfplev_d01.nc'
+        self._write_wrfout(nodes)
+        self._write_plev(plev, bad_units=True)
+        with pytest.raises(UnitTypeError, match='pressure'):
+            WRF().load_weather(file1=str(nodes), file2=str(plev))
+
     def test_fetch_refuses(self):
         from raider_tpu.wx.wrf import WRF
 
