@@ -86,6 +86,34 @@ class TestMakeRayPoints:
         out = native.make_ray_points(np.zeros(3), np.array([1.0, 0, 0]), 2.0, 5)
         np.testing.assert_allclose(out[0], [0, 2, 4, 6, 8])
 
+    def test_reference_makePoints3D_golden_matrix(self):
+        """Bit-level parity with the reference's CHECKED-IN 3-D golden
+        result (test/test_result_makePoints3D.txt, driven by
+        test/test_util.py:115-237): max_len=100, step=5 rays from the
+        fixture's start/direction grids must reproduce the stored
+        (3, 3, 3, 3, 20) matrix exactly."""
+        import pathlib
+
+        golden = pathlib.Path(
+            '/root/reference/test/test_result_makePoints3D.txt')
+        if not golden.exists():
+            pytest.skip('reference golden data unavailable')
+        true_rays = np.loadtxt(golden).reshape((3, 3, 3, 3, 20))
+
+        sp = np.zeros((3, 3, 3, 3))
+        sp[:, :, 1, 2] = 10
+        sp[:, :, 2, 2] = 100
+        slv = np.zeros((3, 3, 3, 3))
+        slv[0, :, :, 2] = 1
+        slv[1, :, :, 1] = 1
+        slv[2, :, :, 0] = 1
+        max_len, step = 100.0, 5
+        npts = int(max_len // step)
+
+        out = native.make_ray_points(sp, slv, float(step), npts)
+        assert out.shape == true_rays.shape
+        np.testing.assert_array_equal(out, true_rays)
+
 
 class TestInterpN:
     """Generic N-D interpolation vs scipy, mirroring the reference's
