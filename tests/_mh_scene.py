@@ -135,6 +135,7 @@ def run_cli(workdir) -> dict:
     cfg_path = wd / 'cfg.yaml'
     cfg_path.write_text(yaml.dump(cfg))
 
+    orig_prepare = cd.prepareWeatherModel
     cd.prepareWeatherModel = lambda *a, **k: str(wm_path)
     cwd = os.getcwd()
     os.chdir(wd)
@@ -142,6 +143,9 @@ def run_cli(workdir) -> dict:
         paths = cd.calcDelays([str(cfg_path)])
     finally:
         os.chdir(cwd)
+        # restore: an in-process golden run (test suite, dryrun) must not
+        # leak the mock into later calcDelays tests
+        cd.prepareWeatherModel = orig_prepare
 
     out = {}
     for pth in paths:
