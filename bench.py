@@ -18,6 +18,7 @@ imports jax. Every measurement leg runs as a killable subprocess
   kernel    - integrate-kernel-only + device-geometry slice timings (the
               tunnel-free compute floor), incl. the brick_i16 A/B
   extras    - production _getZTD Pallas-vs-XLA + 1M-station point query
+  midcube   - 20.5M-cell capacity band: brick_i16 (auto) vs pack16
   bigcube   - full-CONUS-HRRR 95M-cell kernel: pack16_i16 vs pack4
   setup     - cold/warm start probes (fresh compile-cache dir), LAST:
               they are the most expensive and least essential legs
@@ -407,9 +408,9 @@ def leg_kernel() -> None:
     # brick_i16 A/B (VERDICT r4 item 2): same rays, same plan, quantized
     # int16 brick table - predicted ~2x cut of the kernel's brick-read HBM
     # bytes. Recorded either way so the default decision is artifact-backed.
-    if mode == 'brick':
-        import gc
+    import gc
 
+    if mode == 'brick':
         try:
             packed_i16, _ = pack_cubes(wet, hydro, mode='brick_i16')
             # quantization impact: on-device max |Δdelay| vs the f32 brick
@@ -426,9 +427,10 @@ def leg_kernel() -> None:
             gc.collect()
         except Exception as e:  # noqa: BLE001 - A/B leg is optional
             emit({'std_kernel_i16_error': repr(e)})
-        del packed2d
-        gc.collect()
-    del dev
+    # free the table unconditionally (a forced-i16 run takes the non-brick
+    # branch) before the geometry section allocates its 1M-ray state
+    del packed2d, dev
+    gc.collect()
 
     # stable per-slice COMPUTE decomposition (no result stream, pure device
     # wall time): warm GeomSession geometry for one 1M-ray slice (the e2e

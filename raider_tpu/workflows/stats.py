@@ -878,8 +878,8 @@ def stats_analyses(iargs: Optional[List[str]] = None) -> None:
         logger.info('Wrote variogram sill/range maps to %s', args.workdir)
     if args.variogram_per_timeslice:
         for ts, sub in stats.df.groupby(stats.df['Datetime'].dt.date):
-            centers, gamma, _ = empirical_variogram(sub['Lon'], sub['Lat'],
-                                                    sub[stats.col_name])
+            centers, gamma, _, _ = empirical_variogram(
+                sub['Lon'], sub['Lat'], sub[stats.col_name])
             if centers is None:
                 continue
             sill, rng_ = fit_variogram(centers, gamma, args.variogram_model)

@@ -89,12 +89,16 @@ class WRF(WeatherModel):
         if file2 is None:
             self._load_raw_wrfout(file1)
             return
+        # probe ONLY the nodes read for the swapped-argument case: a
+        # malformed plev file must raise its own error, not a misleading
+        # KeyError('XLAT') from retrying the wrong file
         try:
             lons, lats = self._get_wm_nodes(file1)
-            self._read_netcdf(file2)
         except KeyError:
             lons, lats = self._get_wm_nodes(file2)
             self._read_netcdf(file1)
+        else:
+            self._read_netcdf(file2)
         self._finish_native_grid(lons, lats)
 
     def _get_wm_nodes(self, nodeFile):

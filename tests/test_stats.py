@@ -151,6 +151,24 @@ class TestRaiderStats:
         assert (tmp_path / 'grid_mean.png').exists()
         assert (tmp_path / 'grid_seasonal_amplitude.png').exists()
 
+    def test_cli_variogram_flags(self, tmp_path, caplog):
+        """The variogram flag family, incl. --variogram_per_timeslice (the
+        caller the round-5 4-tuple return initially missed)."""
+        import logging
+
+        from raider_tpu.workflows.stats import stats_analyses
+
+        csv = tmp_path / 'combined.csv'
+        synthetic_gnss_csv(csv, n_stations=10, n_days=40)
+        with caplog.at_level(logging.INFO, logger='RAiDER'):
+            stats_analyses([
+                '-f', str(csv), '-w', str(tmp_path),
+                '--variogramplot', '--variogram_per_timeslice',
+            ])
+        assert (tmp_path / 'variogram.png').exists()
+        assert (tmp_path / 'variogram_sill.npy').exists()
+        assert any('variogram' in r.getMessage() for r in caplog.records)
+
     def test_cli_breadth(self, tmp_path):
         """The reference parser's station/grid/raster flag families
         (statsPlot.py:242-382) all produce output."""
