@@ -274,7 +274,10 @@ class TestMultiHost:
         outs = []
         for p in procs:
             try:
-                out, _ = p.communicate(timeout=600)
+                # generous: 4 JAX processes compile concurrently and the
+                # test measured load-sensitive (94 s idle, timed out at 600
+                # once under a concurrent full-bench run)
+                out, _ = p.communicate(timeout=1200)
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
