@@ -208,16 +208,16 @@ def make_antimeridian_scene(rng):
 
 
 # Per-scene pass bars [mm]. Random scenes hold the 0.1 mm README promise.
-# The antimeridian-AK scene gets 0.15: at the NCEP-stereo 60N magnification
-# the kernel's f32 model-CRS coordinates quantize at ~0.25 m/ulp (absolute
-# coords ~4e6 m), a sampling-position noise BOTH geometry paths share
-# relative to truth; measured draws across seeds span 0.067-0.101 mm, and a
-# round-5 ablation pinned the tail draw (0.1006) as surrogate-independent
-# (ref_exact: 0.1006) and plan-independent (CUBE_PLAN=0: 0.1009) - i.e. the
-# scene class's legitimate f32 spread overlaps the nominal bar. The
-# identified future lever is origin-relative kernel coordinates (would cut
-# the ulp ~60x); until then the class-specific bar documents the physics
-# instead of failing on tail draws.
+# The antimeridian-AK scene gets 0.15: horizontal boundary positions are
+# BY DESIGN f32 (device_geom._boundary_xyz collapses ECEF hi at ~0.5 m/ulp
+# before the CRS transform; the host path quantizes equivalently at the
+# kernel's f32 entry), a sampling-position noise both geometry paths share
+# relative to truth; the NCEP-stereo 60N magnification amplifies it into a
+# measured 0.067-0.101 mm spread across seeds. A round-5 ablation pinned
+# the tail draw (0.1006) as surrogate-independent (ref_exact: 0.1006) and
+# plan-independent (CUBE_PLAN=0: 0.1009) - the scene class's legitimate
+# f32 spread overlaps the nominal bar, so the class bar documents the
+# physics instead of failing on tail draws (BASELINE.md round-5 note).
 _BAR_DEFAULT_MM = 0.1
 _BAR_ANTIMERIDIAN_MM = 0.15
 
