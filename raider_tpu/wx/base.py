@@ -387,6 +387,15 @@ class WeatherModel:
                 _zlevels = self._zlevels
             else:
                 _zlevels = np.nanmean(self._zs, axis=(0, 1))
+                # clamp the derived ladder inside EVERY column's native
+                # span: the mean of near-identical columns can land an ulp
+                # above the lowest column top (observed with WRF's
+                # destaggered heights), where the top node interpolates to
+                # NaN and the fill then zeroes that level's refractivity —
+                # a 1.7 mm hydro bias on a 30 km WRF column (round 5)
+                _zlevels = np.clip(_zlevels,
+                                   np.nanmax(self._zs[:, :, 0]),
+                                   np.nanmin(self._zs[:, :, -1]))
         _zlevels = np.asarray(_zlevels, dtype=np.float64)
         new_zs = np.broadcast_to(_zlevels, self._p.shape[:2] + (_zlevels.size,))
 

@@ -62,6 +62,12 @@ class WRF(WeatherModel):
         self._dataset = 'wrf'
         self._Name = 'WRF'
         self._time_res = TIME_RES['WRF']
+        # AOI-buffering resolution (set_latlon_bounds): WRF domains are
+        # user-run at km scale; 0.05 deg ~ a typical inner-domain spacing.
+        # (The reference's WRF leaves these None and its set_latlon_bounds
+        # would raise - one more unfinished edge its "TODO" covers.)
+        self._lat_res = 0.05
+        self._lon_res = 0.05
 
         # constants for the WRF refractivity formulation
         self._k1 = 0.776

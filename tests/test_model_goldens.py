@@ -24,6 +24,8 @@ Raw formats (cited so parity is checkable):
     utilFcns.py calcgeoh) - the same path test_ecmwf_raw.py closure-tests.
   MERRA2/NCMR: h/q/p/t cubes (the intermediate their _fetch writes from
     OpenDAP; reference merra2.py:140-178, ncmr.py:201-242).
+  WRF: a raw wrfout prognostic file (PH/PHB/T/P/PB/QVAPOR; rh humidity
+    type) through the single-file reader (wx/wrf.py).
 """
 
 import datetime as dt
@@ -47,10 +49,11 @@ BBOX = np.array([33.0, 34.0, -118.0, -117.0])
 # the NUMBERS, tiers (a)/(b) pin that the numbers are RIGHT.
 DIGEST = {
     'ERA5T': (2.273892, 0.254148),
-    'ERAI': (2.215347, 0.248294),
+    'ERAI': (2.215359, 0.248296),   # ladder-clamp round-5 re-pin
     'HRES': (2.273796, 0.254137),
     'MERRA2': (2.308765, 0.257483),
     'NCMR': (2.309069, 0.258282),
+    'WRF': (2.177287, 0.253182),
 }
 
 CASES = {
@@ -62,6 +65,7 @@ CASES = {
                    time=dt.datetime(2020, 1, 30, 12)),
     'NCMR': dict(kind='hqpt', z_top_first=False,
                  time=dt.datetime(2018, 7, 30, 12)),
+    'WRF': dict(kind='wrfout', time=dt.datetime(2020, 1, 30, 12)),
 }
 
 
@@ -118,6 +122,60 @@ def _write_hqpt_raw(path, z_top_first):
     write_nc(ds, str(path))
 
 
+def _write_wrfout_raw(path):
+    """Raw wrfout prognostic file: staggered geopotential, base+perturbation
+    pressure, potential-temperature perturbation chosen so the FULL
+    temperature is exactly T0 (Poisson inverted), constant QVAPOR."""
+    from scipy.io import netcdf_file
+
+    lats = np.arange(32.0, 35.01, 0.5)
+    lons = np.arange(-120.0, -114.99, 0.5)
+    ny, nx = lats.size, lons.size
+    nz = 60
+    g0 = 9.8066
+    zstag = np.linspace(0.0, 30000.0, nz + 1)
+    z_mass = 0.5 * (zstag[:-1] + zstag[1:])
+    H = R_D * T0 / _g0
+    p_full = P0 * np.exp(-z_mass / H)
+    theta = T0 * (1e5 / p_full) ** 0.2854          # Poisson inverse
+    qv = 0.004
+
+    with netcdf_file(str(path), 'w') as f:
+        f.TRUELAT1 = 30.0
+        f.TRUELAT2 = 60.0
+        f.MOAD_CEN_LAT = 33.5
+        f.STAND_LON = -117.5
+        f.createDimension('Time', 1)
+        f.createDimension('bottom_top', nz)
+        f.createDimension('bottom_top_stag', nz + 1)
+        f.createDimension('south_north', ny)
+        f.createDimension('west_east', nx)
+
+        def var(name, dims, data):
+            v = f.createVariable(name, 'f8', dims)
+            v[:] = data
+
+        lat2 = np.broadcast_to(lats[:, None], (ny, nx))
+        lon2 = np.broadcast_to(lons[None, :], (ny, nx))
+        var('XLAT', ('Time', 'south_north', 'west_east'), lat2[None])
+        var('XLONG', ('Time', 'south_north', 'west_east'), lon2[None])
+        var('PH', ('Time', 'bottom_top_stag', 'south_north', 'west_east'),
+            np.zeros((1, nz + 1, ny, nx)))
+        var('PHB', ('Time', 'bottom_top_stag', 'south_north', 'west_east'),
+            np.broadcast_to((zstag * g0)[None, :, None, None],
+                            (1, nz + 1, ny, nx)).copy())
+        var('T', ('Time', 'bottom_top', 'south_north', 'west_east'),
+            np.broadcast_to((theta - 300.0)[None, :, None, None],
+                            (1, nz, ny, nx)).copy())
+        var('P', ('Time', 'bottom_top', 'south_north', 'west_east'),
+            np.zeros((1, nz, ny, nx)))
+        var('PB', ('Time', 'bottom_top', 'south_north', 'west_east'),
+            np.broadcast_to(p_full[None, :, None, None],
+                            (1, nz, ny, nx)).copy())
+        var('QVAPOR', ('Time', 'bottom_top', 'south_north', 'west_east'),
+            np.full((1, nz, ny, nx), qv))
+
+
 def _load_pipeline(name, case, tmp_path):
     _, Model = get_wm_by_name(name)
     m = Model()
@@ -127,6 +185,8 @@ def _load_pipeline(name, case, tmp_path):
     raw = tmp_path / 'raw.nc'
     if case['kind'] == 'ecmwf':
         _write_ecmwf_raw(raw, case['nz'])
+    elif case['kind'] == 'wrfout':
+        _write_wrfout_raw(raw)
     else:
         _write_hqpt_raw(raw, case['z_top_first'])
     shutil.copy(raw, make_raw_weather_data_filename(
@@ -147,8 +207,13 @@ def _native_columns(name, case, tmp_path):
     z = np.asarray(m2._zs[0, 0], dtype=np.float64)
     p = np.asarray(m2._p[0, 0], dtype=np.float64)
     t = np.asarray(m2._t[0, 0], dtype=np.float64)
-    q = np.asarray(m2._q[0, 0], dtype=np.float64)
-    return z, p, t, q, m2
+    svp = np.asarray(find_svp(t), dtype=np.float64)
+    if m2._humidityType == 'rh':        # WRF: e = rh/100 * svp
+        e = np.asarray(m2._rh[0, 0], dtype=np.float64) / 100.0 * svp
+    else:                               # q models: w = q/(1-q); e = w Rv (p-svp)/Rd
+        q = np.asarray(m2._q[0, 0], dtype=np.float64)
+        e = (q / (1 - q)) * m2._R_v * (p - svp) / m2._R_d
+    return z, p, t, e, m2
 
 
 @pytest.mark.parametrize('name', sorted(CASES))
@@ -161,18 +226,17 @@ def test_model_delay_golden(name, tmp_path):
     # ladder (MERRA2 uses the column-mean of its native heights)
     zl = np.asarray(m._zs, dtype=np.float64)
     # first ladder node at/above the surface (ERAI's 25-level ladder has no
-    # exact 0 node - its lowest positive node is 9.4 m)
+    # exact 0 node - 9.4 m; WRF's column-mean ladder starts at its lowest
+    # mass level, 250 m for the fixture's 500 m staggered grid)
     i0 = int(np.searchsorted(zl, 0.0))
-    assert 0.0 <= zl[i0] < 50.0
+    assert 0.0 <= zl[i0] < 300.0
     hydro = float(np.asarray(m._hydrostatic_ztd)[0, 0][i0])
     wet = float(np.asarray(m._wet_ztd)[0, 0][i0])
 
     # ---- tier (a): independent numpy rebuild from native-level columns.
     # e from q exactly as the reference: w = q/(1-q);
     # e = w R_v (p - svp) / R_d (weatherModel.py _find_e_from_q)
-    z_nat, p_nat, t_nat, q_nat, m2 = _native_columns(name, case, tmp_path)
-    svp = np.asarray(find_svp(t_nat), dtype=np.float64)
-    e_nat = (q_nat / (1 - q_nat)) * m._R_v * (p_nat - svp) / m._R_d
+    z_nat, p_nat, t_nat, e_nat, m2 = _native_columns(name, case, tmp_path)
     hyd_n = 1e-6 * m._k1 * p_nat / t_nat
     wet_n = 1e-6 * (m._k2 * e_nat / t_nat + m._k3 * e_nat / t_nat**2)
     # the pipeline linearly interpolates native columns onto the ladder
@@ -191,7 +255,10 @@ def test_model_delay_golden(name, tmp_path):
     # reference pairs upper-half-level pressures with full-level heights,
     # biasing ECMWF columns ~1.4%; see test_ecmwf_raw.py)
     H = R_D * T0 * (1.0 + 0.61 * Q0) / _g0
-    approx = 1e-6 * m._k1 / T0 * P0 * H * (1.0 - np.exp(-zl[-1] / H))
+    if CASES[name]['kind'] == 'wrfout':      # dry-scale-height column
+        H = R_D * T0 / _g0
+    approx = (1e-6 * m._k1 / T0 * P0 * H
+              * (np.exp(-zl[i0] / H) - np.exp(-zl[-1] / H)))
     # ERAI measures ~4% low: the ECMWF upper-half-level pairing bias
     # (~1.4%, test_ecmwf_raw.py) compounds on its 60-level grid + 25-node
     # ladder; correctness at mm-scale is tiers (a)/(c), this is physics
