@@ -436,8 +436,24 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
                   for ht in zpts]
     # pack both fields + trilinear corners into gather rows once, reused by
     # every height slice (the kernel is gather-count bound); the grouped
-    # brick layout serves a whole group of samples with one gather
-    packed2d, pack_mode = pack_cubes(cube_wet, cube_hydro, grouped=True)
+    # brick layout serves a whole group of samples with one gather.
+    # Capacity escape hatch (round 5): when the replicated table would
+    # exceed the per-chip HBM budget and a multi-device mesh exists, the
+    # table z-slab-shards over the mesh instead (rays replicated, one psum
+    # - parallel/zshard.py); slabs pack ONCE here for the whole slice loop.
+    from raider_tpu.delay.raytrace import pack_mode_for
+    from raider_tpu.parallel.zshard import pack_cube_slabs, zshard_auto
+
+    pack_mode = pack_mode_for(np.shape(cube_wet),
+                              jnp.asarray(cube_wet).dtype, grouped=True)
+    zshard_packed = None
+    packed2d = None
+    if zshard_auto(np.shape(cube_wet), jnp.asarray(cube_wet).dtype,
+                   pack_mode):
+        zshard_packed = pack_cube_slabs(cube_wet, cube_hydro, pack_mode,
+                                        len(jax.devices()))
+    else:
+        packed2d, pack_mode = pack_cubes(cube_wet, cube_hydro, grouped=True)
 
     xx, yy = np.meshgrid(xpts, ypts)
     npix = xx.size
@@ -502,6 +518,18 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         transfers — 8 MB chunks measured ~12.8 MB/s vs 32 MB ~23.8 MB/s
         through the tunnel (scripts/fetch_overlap.py --batch)."""
         nonlocal packed2d
+        if zshard_packed is not None:
+            # capacity mode: table z-slab-sharded, rays REPLICATED (the
+            # ray-placement branch below must not fire), one psum
+            from raider_tpu.parallel.zshard import integrate_rays_z_sharded
+
+            with stage('raytrace.integrate', log=False):
+                w_z, h_z = integrate_rays_z_sharded(
+                    cube_wet, cube_hydro, wm.ys, wm.xs, wm.zs, *args,
+                    ray_lengths_max=per_level_max,
+                    max_segment_length=max_segment_length,
+                    mode=pack_mode, packed=zshard_packed)
+            return _stack2(w_z, h_z), None
         # shard the ray batch over all available devices (SPMD: replicated
         # packed cube, sharded indices, no collectives needed)
         n_dev = len(jax.devices())

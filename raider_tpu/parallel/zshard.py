@@ -49,6 +49,34 @@ from raider_tpu.parallel.mesh import get_mesh
 _Z_MODES = ('pack16', 'pack16_i16', 'pack4')
 
 
+def zshard_auto(cube_shape, dtype, pack_mode: str,
+                n_dev: Optional[int] = None) -> bool:
+    """Whether the engine should take the z-shard path for this cube.
+
+    ``RAIDER_TPU_ZSHARD=1`` forces it (multi-device only), ``=0`` disables;
+    default 'auto' engages when the REPLICATED packed table would exceed
+    the per-chip budget (``RAIDER_TPU_ZSHARD_BUDGET_GB``, default 10 — a
+    16 GB v5e must also hold rays, outputs, and the result stream)."""
+    import os
+
+    env = os.environ.get('RAIDER_TPU_ZSHARD', '')
+    if env == '0' or pack_mode not in _Z_MODES:
+        return False
+    n_dev = int(np.prod(get_mesh().devices.shape)) if n_dev is None else n_dev
+    if n_dev <= 1:
+        return False
+    if env == '1':
+        return True
+    itemsize = np.dtype(dtype).itemsize
+    bytes_per_cell = {'pack16': 16 * itemsize, 'pack16_i16': 32,
+                      'pack4': 4 * itemsize}[pack_mode]
+    try:
+        budget = float(os.environ.get('RAIDER_TPU_ZSHARD_BUDGET_GB', '10'))
+    except ValueError:
+        budget = 10.0
+    return int(np.prod(cube_shape)) * bytes_per_cell > budget * 1e9
+
+
 def _slab_bounds(n_cells: int, n_dev: int):
     """Contiguous anchor-cell slabs [lo_d, hi_d) covering [0, n_cells)."""
     edges = np.linspace(0, n_cells, n_dev + 1).round().astype(np.int64)
@@ -219,20 +247,24 @@ def integrate_rays_z_sharded(
     z_clip: bool = True,
     mode: str = 'pack16',
     mesh=None,
+    packed=None,
 ):
     """Raytrace integration with the CUBE z-slab-sharded over the mesh.
 
     Same sampling semantics as ``integrate_rays`` in the packed modes
     ('pack16' | 'pack16_i16' | 'pack4'); rays replicate, the table shards,
     one psum rides the ICI. Returns (wet, hydro) (N,) on every device.
+    ``packed`` accepts a prebuilt :func:`pack_cube_slabs` tuple so a slice
+    loop packs the slabs ONCE per cube.
     """
     mesh = mesh or get_mesh()
     axis = mesh.axis_names[0]
     n_dev = int(np.prod(mesh.devices.shape))
     ys_np, xs_np, zs_np = np.asarray(ys), np.asarray(xs), np.asarray(zs)
 
-    tables, z_lo, z_hi, deq = pack_cube_slabs(cube_wet, cube_hydro, mode,
-                                              n_dev)
+    tables, z_lo, z_hi, deq = (packed if packed is not None else
+                               pack_cube_slabs(cube_wet, cube_hydro, mode,
+                                               n_dev))
     compute_dtype = (deq.dtype if deq is not None
                      else jnp.asarray(cube_wet).dtype)
     coord_lvl, fracs, wa_lvl, wa, wb_lvl, wb = build_sampling_plan(

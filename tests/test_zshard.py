@@ -111,3 +111,70 @@ def test_slab_tables_shrink_per_device(rng):
     lo, hi = np.asarray(z_lo), np.asarray(z_hi)
     assert lo[0] == 0 and hi[-1] == nz - 1
     assert (lo[1:] == hi[:-1]).all()
+
+
+def test_engine_zshard_matches_replicated(monkeypatch):
+    """The PRODUCTION engine (_build_cube_ray) on the z-shard path
+    (RAIDER_TPU_ZSHARD=1, pack16 cube forced via the brick opt-out) vs the
+    replicated-table run: identical NaN masks, values equal up to the
+    psum's reassociation."""
+    import datetime as dt
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_raytrace import synthetic_orbit, synthetic_wm_dataset
+
+    from raider_tpu.delay.engine import WeatherCube, _build_cube_ray
+    from raider_tpu.geodesy.crs import Geographic
+    from raider_tpu.geometry.los import Raytracing
+
+    rng = np.random.default_rng(5)
+    shape = (49, 13, 17)
+    wet_c = rng.uniform(0.1, 100.0, shape)
+    hydro_c = rng.uniform(50.0, 300.0, shape)
+    t = dt.datetime(2020, 1, 30, 13, 52, 45)
+    wm = WeatherCube(synthetic_wm_dataset(wet_cube=wet_c, hydro_cube=hydro_c))
+    los = Raytracing(orbit=synthetic_orbit(t), time=t)
+    xpts = np.linspace(-118.4, -117.2, 8)
+    ypts = np.linspace(33.2, 33.8, 6)
+    hts = np.array([0.0, 4000.0])
+
+    def run():
+        return tuple(np.asarray(v) for v in _build_cube_ray(
+            wm, xpts, ypts, hts, los, Geographic(), zref=25000.0,
+            compute_dtype=np.float32))
+
+    # force the packed (non-brick) ladder so the z-shard modes apply
+    monkeypatch.setenv('RAIDER_TPU_BRICK_I16', '0')
+    import raider_tpu.delay.raytrace as rt
+    monkeypatch.setattr(rt, '_BRICK_SPECS', ((7, 3, 3, 6, 0),))  # no brick
+
+    monkeypatch.setenv('RAIDER_TPU_ZSHARD', '0')
+    w_rep, h_rep = run()
+    monkeypatch.setenv('RAIDER_TPU_ZSHARD', '1')
+    w_z, h_z = run()
+
+    np.testing.assert_array_equal(np.isnan(w_z), np.isnan(w_rep))
+    m = ~np.isnan(w_rep)
+    assert m.any()
+    np.testing.assert_allclose(w_z[m], w_rep[m], rtol=2e-6)
+    np.testing.assert_allclose(h_z[m], h_rep[m], rtol=2e-6)
+
+
+def test_zshard_auto_gate(monkeypatch):
+    from raider_tpu.parallel.zshard import zshard_auto
+
+    monkeypatch.delenv('RAIDER_TPU_ZSHARD', raising=False)
+    small = (50, 400, 400)          # pack16 f32 table 0.5 GB: replicate
+    giant = (137, 1801, 3600)       # ~888M cells: 28 GB even as pack4
+    assert not zshard_auto(small, np.float32, 'pack16', n_dev=8)
+    assert zshard_auto(giant, np.float32, 'pack4', n_dev=8)
+    assert zshard_auto(giant, np.float32, 'pack16_i16', n_dev=8)
+    # brick modes never z-shard; single device never z-shards
+    assert not zshard_auto(giant, np.float32, 'brick', n_dev=8)
+    assert not zshard_auto(giant, np.float32, 'pack4', n_dev=1)
+    monkeypatch.setenv('RAIDER_TPU_ZSHARD', '0')
+    assert not zshard_auto(giant, np.float32, 'pack4', n_dev=8)
+    monkeypatch.setenv('RAIDER_TPU_ZSHARD', '1')
+    assert zshard_auto(small, np.float32, 'pack16', n_dev=8)
