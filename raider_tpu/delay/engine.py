@@ -444,12 +444,14 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     from raider_tpu.delay.raytrace import pack_mode_for
     from raider_tpu.parallel.zshard import pack_cube_slabs, zshard_auto
 
-    pack_mode = pack_mode_for(np.shape(cube_wet),
-                              jnp.asarray(cube_wet).dtype, grouped=True)
+    # .dtype reads the attribute on np AND jnp arrays alike — never
+    # jnp.asarray here, which would round-trip the whole cube through the
+    # device just to learn its dtype
+    cube_dtype = np.dtype(cube_wet.dtype)
+    pack_mode = pack_mode_for(np.shape(cube_wet), cube_dtype, grouped=True)
     zshard_packed = None
     packed2d = None
-    if zshard_auto(np.shape(cube_wet), jnp.asarray(cube_wet).dtype,
-                   pack_mode):
+    if zshard_auto(np.shape(cube_wet), cube_dtype, pack_mode):
         zshard_packed = pack_cube_slabs(cube_wet, cube_hydro, pack_mode,
                                         len(jax.devices()))
     else:

@@ -33,7 +33,7 @@ RAM and threads over it (delayFcns.py:48-73); this is the TPU-native
 answer for the same giant-model scenario.
 """
 
-from functools import partial
+from functools import lru_cache
 from typing import Optional
 
 import jax
@@ -41,8 +41,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from raider_tpu.delay.raytrace import (MAX_SEGMENT_LENGTH, _I16_NAN,
-                                       _i16_column_deq, _locate_uniformish,
-                                       _pack_cubes, _quantize_i16,
+                                       _PLAN_BUCKET, _i16_column_deq,
+                                       _locate_uniformish, _pack_cubes,
+                                       _pad_point_plan, _quantize_i16,
                                        build_sampling_plan)
 from raider_tpu.parallel.mesh import get_mesh
 
@@ -83,7 +84,8 @@ def _slab_bounds(n_cells: int, n_dev: int):
     return edges[:-1], edges[1:]
 
 
-def pack_cube_slabs(cube_wet, cube_hydro, mode: str, n_dev: int):
+def pack_cube_slabs(cube_wet, cube_hydro, mode: str, n_dev: int,
+                    mesh=None):
     """Per-device packed tables, stacked (n_dev, R_max, width).
 
     Device d's rows cover z anchors [lo_d, hi_d) (+ one halo anchor plane
@@ -130,8 +132,25 @@ def pack_cube_slabs(cube_wet, cube_hydro, mode: str, n_dev: int):
     stacked = np.zeros((n_dev, r_max, width), tables[0].dtype)
     for d, t in enumerate(tables):
         stacked[d, : t.shape[0]] = t
-    return (jnp.asarray(stacked), jnp.asarray(lo, jnp.int32),
-            jnp.asarray(hi, jnp.int32), deq)
+    # create the table ALREADY SHARDED over the mesh: a plain jnp.asarray
+    # would materialize the full (n_dev, R, W) array on the default device
+    # - the exact OOM the capacity mode exists to avoid - and pay a full
+    # reshard on every slice. make_array_from_callback hands each device
+    # only its slab (and is the multi-process-safe construction: every
+    # process builds identical host data).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh or get_mesh()
+    axis = mesh.axis_names[0]
+
+    def _global(arr, spec):
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+
+    return (_global(stacked, P(axis)),
+            _global(np.asarray(lo, np.int32), P(axis)),
+            _global(np.asarray(hi, np.int32), P(axis)), deq)
 
 
 def _zshard_partial(table_d, z_lo, z_hi,
@@ -256,31 +275,64 @@ def integrate_rays_z_sharded(
     one psum rides the ICI. Returns (wet, hydro) (N,) on every device.
     ``packed`` accepts a prebuilt :func:`pack_cube_slabs` tuple so a slice
     loop packs the slabs ONCE per cube.
+
+    Multi-process note: the sharded table is built multi-process-safe
+    (make_array_from_callback), but the replicated RAY inputs here are
+    plain per-process arrays — on a multi-host mesh callers must pass
+    global arrays; the engine's auto path is single-controller for now.
     """
     mesh = mesh or get_mesh()
-    axis = mesh.axis_names[0]
     n_dev = int(np.prod(mesh.devices.shape))
-    ys_np, xs_np, zs_np = np.asarray(ys), np.asarray(xs), np.asarray(zs)
 
     tables, z_lo, z_hi, deq = (packed if packed is not None else
                                pack_cube_slabs(cube_wet, cube_hydro, mode,
-                                               n_dev))
+                                               n_dev, mesh=mesh))
+    # the TABLE dtype (the exact analogue of _integrate_packed's rule);
+    # never jnp.asarray(cube) - that would round-trip the full cube
+    # through the device once per slice just to learn a dtype
     compute_dtype = (deq.dtype if deq is not None
-                     else jnp.asarray(cube_wet).dtype)
-    coord_lvl, fracs, wa_lvl, wa, wb_lvl, wb = build_sampling_plan(
-        np.asarray(ray_lengths_max), max_segment_length)
+                     else np.dtype(tables.dtype))
+    # bucket the plan length so redo/per-slice plans reuse executables
+    plan_np = _pad_point_plan(
+        build_sampling_plan(np.asarray(ray_lengths_max),
+                            max_segment_length), _PLAN_BUCKET)
     plan = (
-        jnp.asarray(coord_lvl, jnp.int32),
-        jnp.asarray(fracs, compute_dtype),
-        jnp.asarray(wa_lvl, jnp.int32),
-        jnp.asarray(wa, compute_dtype),
-        jnp.asarray(wb_lvl, jnp.int32),
-        jnp.asarray(wb, compute_dtype),
+        jnp.asarray(plan_np[0], jnp.int32),
+        jnp.asarray(plan_np[1], compute_dtype),
+        jnp.asarray(plan_np[2], jnp.int32),
+        jnp.asarray(plan_np[3], compute_dtype),
+        jnp.asarray(plan_np[4], jnp.int32),
+        jnp.asarray(plan_np[5], compute_dtype),
     )
 
+    fn = _zshard_call(mesh, mode, bool(z_clip),
+                      tuple(np.asarray(ys).tolist()),
+                      tuple(np.asarray(xs).tolist()),
+                      tuple(np.asarray(zs).tolist()),
+                      deq is not None, np.dtype(compute_dtype).name)
+    deq_args = () if deq is None else (deq,)
+    out = fn(tables, z_lo, z_hi,
+             jnp.asarray(bnd_y, compute_dtype),
+             jnp.asarray(bnd_x, compute_dtype),
+             jnp.asarray(bnd_z, compute_dtype),
+             jnp.asarray(d2, compute_dtype),
+             jnp.asarray(ray_len, compute_dtype),
+             jnp.asarray(re_local, compute_dtype), *plan, *deq_args)
+    return out[0], out[1]
+
+
+@lru_cache(maxsize=32)
+def _zshard_call(mesh, mode, z_clip, ys_t, xs_t, zs_t, has_deq, dtype_name):
+    """Cached jitted shard_map: rebuilding the wrap per slice would
+    re-trace the scan kernel ~50x per cube (the replicated path jits once;
+    this cache is its analogue - jit then reuses executables per shape)."""
     from jax.sharding import PartitionSpec as P
 
-    deq_args = () if deq is None else (deq,)
+    axis = mesh.axis_names[0]
+    ys_np = np.asarray(ys_t)
+    xs_np = np.asarray(xs_t)
+    zs_np = np.asarray(zs_t)
+    compute_dtype = np.dtype(dtype_name)
 
     def shard_body(table_b, zlo_b, zhi_b, by, bx, bz, dd2, rl, re,
                    *plan_and_deq):
@@ -295,14 +347,6 @@ def integrate_rays_z_sharded(
     in_specs = ((P(axis), P(axis), P(axis))
                 + (P(None, None),) * 5 + (P(None),)
                 + (P(None),) * 6
-                + ((P(None),) if deq_args else ()))
-    fn = jax.shard_map(shard_body, mesh=mesh, in_specs=in_specs,
-                       out_specs=P(None, None), check_vma=False)
-    out = fn(tables, z_lo, z_hi,
-             jnp.asarray(bnd_y, compute_dtype),
-             jnp.asarray(bnd_x, compute_dtype),
-             jnp.asarray(bnd_z, compute_dtype),
-             jnp.asarray(d2, compute_dtype),
-             jnp.asarray(ray_len, compute_dtype),
-             jnp.asarray(re_local, compute_dtype), *plan, *deq_args)
-    return out[0], out[1]
+                + ((P(None),) if has_deq else ()))
+    return jax.jit(jax.shard_map(shard_body, mesh=mesh, in_specs=in_specs,
+                                 out_specs=P(None, None), check_vma=False))

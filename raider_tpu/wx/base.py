@@ -387,15 +387,18 @@ class WeatherModel:
                 _zlevels = self._zlevels
             else:
                 _zlevels = np.nanmean(self._zs, axis=(0, 1))
-                # clamp the derived ladder inside EVERY column's native
-                # span: the mean of near-identical columns can land an ulp
-                # above the lowest column top (observed with WRF's
-                # destaggered heights), where the top node interpolates to
-                # NaN and the fill then zeroes that level's refractivity —
-                # a 1.7 mm hydro bias on a 30 km WRF column (round 5)
-                _zlevels = np.clip(_zlevels,
-                                   np.nanmax(self._zs[:, :, 0]),
-                                   np.nanmin(self._zs[:, :, -1]))
+                # TOP-only clamp: the mean of near-identical columns can
+                # land an ulp above the lowest column top (observed with
+                # WRF's destaggered heights), where the top node
+                # interpolates to NaN and the fill then zeroes that
+                # level's refractivity — a 1.7 mm hydro bias on a 30 km
+                # WRF column (round 5). The BOTTOM is deliberately NOT
+                # clamped: raising it to the highest column bottom would
+                # collapse every near-surface ladder node in a
+                # terrain-varying domain, and below-native-bottom nodes
+                # are already handled by the flat surface-gap fill.
+                _zlevels = np.minimum(_zlevels,
+                                      np.nanmin(self._zs[:, :, -1]))
         _zlevels = np.asarray(_zlevels, dtype=np.float64)
         new_zs = np.broadcast_to(_zlevels, self._p.shape[:2] + (_zlevels.size,))
 

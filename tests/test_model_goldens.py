@@ -49,7 +49,7 @@ BBOX = np.array([33.0, 34.0, -118.0, -117.0])
 # the NUMBERS, tiers (a)/(b) pin that the numbers are RIGHT.
 DIGEST = {
     'ERA5T': (2.273892, 0.254148),
-    'ERAI': (2.215359, 0.248296),   # ladder-clamp round-5 re-pin
+    'ERAI': (2.215347, 0.248294),
     'HRES': (2.273796, 0.254137),
     'MERRA2': (2.308765, 0.257483),
     'NCMR': (2.309069, 0.258282),
