@@ -395,6 +395,24 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
     cube_wet = wm.field('wet', compute_dtype)
     cube_hydro = wm.field('hydro', compute_dtype)
 
+    # Origin-relative horizontal frame (round 5): boundary coords and the
+    # kernel's static y/x axes are both shifted by the grid origin BEFORE
+    # the f32 entry, so coordinates quantize at the grid-EXTENT ulp
+    # (~0.01-0.06 m) instead of the absolute-coordinate ulp (~0.25-1.7 m
+    # for stereo/UTM meters or antimeridian degrees). The device path
+    # subtracts in df64 inside _finish_slice (sphere-stereo runs the whole
+    # CRS transform in df64 — see device_geom._stereo_rel_from_df); the
+    # host path subtracts in f64 below. RAIDER_TPU_ORIGIN_REL=0 restores
+    # the absolute frame (the pre-round-5 behavior).
+    origin_rel = os.environ.get('RAIDER_TPU_ORIGIN_REL', '') != '0'
+    y_org = float(np.asarray(wm.ys).ravel()[0]) if origin_rel else 0.0
+    x_org = float(np.asarray(wm.xs).ravel()[0]) if origin_rel else 0.0
+    if origin_rel:
+        ys_k = np.asarray(wm.ys, np.float64) - y_org
+        xs_k = np.asarray(wm.xs, np.float64) - x_org
+    else:
+        ys_k, xs_k = wm.ys, wm.xs
+
     # On-device geometry (df64): the host-f64 path is serial-CPU bound
     # (geo2rdr + level Newton + CRS transforms dominate end-to-end time on
     # few-core hosts); on TPU backends the whole slice geometry runs on
@@ -480,7 +498,9 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
 
         # uploads ground ECEF + surface normals ONCE; per-slice targets are
         # derived on device and geo2rdr warm-starts from the previous slice
-        geom_session = GeomSession(los._orbit, lat, lon, wm.crs)
+        geom_session = GeomSession(
+            los._orbit, lat, lon, wm.crs,
+            origin=(y_org, x_org) if origin_rel else None)
     # Device geometry processes slices bottom-up so the FIRST contributing
     # slice (the lowest) seeds the cube-global sampling plan: its per-level
     # maxima bound every higher slice's (clamping only shortens segments),
@@ -527,7 +547,7 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
 
             with stage('raytrace.integrate', log=False):
                 w_z, h_z = integrate_rays_z_sharded(
-                    cube_wet, cube_hydro, wm.ys, wm.xs, wm.zs, *args,
+                    cube_wet, cube_hydro, ys_k, xs_k, wm.zs, *args,
                     ray_lengths_max=per_level_max,
                     max_segment_length=max_segment_length,
                     mode=pack_mode, packed=zshard_packed)
@@ -550,7 +570,7 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
         with stage('raytrace.integrate', log=False):
             out = integrate_rays(
                 cube_wet, cube_hydro,
-                wm.ys, wm.xs, wm.zs,
+                ys_k, xs_k, wm.zs,
                 *args,
                 ray_lengths_max=per_level_max,
                 max_segment_length=max_segment_length,
@@ -733,6 +753,11 @@ def _build_cube_ray(wm: WeatherCube, xpts, ypts, zpts, los, pts_crs,
             bounds_xyz = np.concatenate([low_xyzs, high_xyzs[-1:]], axis=0)
             L = ray_lengths.shape[0]
             bnd_yxz = to_model(bounds_xyz).reshape(L + 1, npix, 3)
+            if origin_rel:
+                # f64 shift before the f32 kernel entry (frame matches the
+                # shifted static axes ys_k/xs_k)
+                bnd_yxz[..., 0] -= y_org
+                bnd_yxz[..., 1] -= x_org
             seg_flat = ray_lengths.reshape(L, npix)
 
             # squared horizontal chord for the sagitta correction

@@ -467,20 +467,21 @@ def _toa_newton_s(pos_hi, pos_lo, look, heights_f32, factor, max_iter: int):
 
 
 def _boundary_xyz(pos_hi, pos_lo, look, s_hi, s_lo):
-    """ECEF hi parts of boundary points p(s) = pos + s*look: 3 x (L, N) f32.
+    """df64 boundary points p(s) = pos + s*look: 6 x (L, N) f32 (hi + lo).
 
-    f32 hi precision (~0.5 m at earth radius) is plenty: these feed only the
-    HORIZONTAL model coordinates (grid cells are km); heights and lengths
-    come from the df64 Newton itself.
+    The hi parts alone (~0.5 m/ulp at earth radius) feed the f32 CRS
+    transforms; the lo parts let the df64 origin-relative transform
+    (:func:`_stereo_rel_from_df`) keep sub-cm horizontal positions.
     """
     def one(level_s_hi, level_s_lo):
         s = DF(level_s_hi, level_s_lo)
-        out = []
+        hi, lo = [], []
         for i in range(3):
             c = df64.add(DF(pos_hi[:, i], pos_lo[:, i]),
                          df64.mul(s, df64.df(look[:, i])))
-            out.append(c.hi)
-        return tuple(out)
+            hi.append(c.hi)
+            lo.append(c.lo)
+        return (*hi, *lo)
 
     return jax.vmap(one)(s_hi, s_lo)
 
@@ -684,30 +685,146 @@ def _look_from_sat(p_hi, p_lo, t_hi, t_lo, sr):
     return jnp.stack(comps, axis=-1)
 
 
-@partial(jax.jit, static_argnames=('crs', 'is_geo'))
-def _finish_slice(lengths, bx, by, bz, z_levels, crs, is_geo: bool):
+def _stereo_df_supported(crs) -> bool:
+    """True when the df64 origin-relative CRS path covers this projection.
+
+    Sphere-datum polar stereographic (HRRR-Alaska: NCEP sphere, reference
+    models/hrrr.py:22-25) is fully algebraic in ECEF — the conformal factor
+    ((1-e sin)/(1+e sin))^(e/2) degenerates to 1 — so the whole forward
+    runs in df64 with no transcendentals. Ellipsoidal stereo / LCC / TM
+    need pow/trig and keep the f32 forward.
+    """
+    from raider_tpu.geodesy.crs import PolarStereographic
+
+    return (isinstance(crs, PolarStereographic)
+            and float(crs.ellipsoid.e2) == 0.0)
+
+
+def _geodetic_half_tan_df(x: DF, y: DF, z: DF, h_f32):
+    """t = tan(pi/4 - phi/2) of the WGS84 geodetic latitude, df64.
+
+    Uses the point's KNOWN geodetic height (the chain Newton pinned the
+    boundary point to ``h_f32``), which turns ecef2lla's hard part into a
+    fast fixed point: z = (N(1-e2) + h) sin(phi) and p = (N + h) cos(phi)
+    hold exactly, so sin(phi) = z / (N(1-e2) + h) contracts at ~e2/2 per
+    sweep. Three f32 sweeps from the geocentric seed land at the f32 noise
+    floor (~1e-7); two df64 polish sweeps reach ~1e-11 rad (~1e-4 m).
+    The half-angle form t = cos(phi)/(1 + sin(phi)) is algebraic — no
+    trig round-trip, so precision is set by df64, not by f32 atan/tan.
+
+    Returns (t DF, p DF) with p = sqrt(x^2 + y^2).
+    """
+    p2 = df64.add(df64.sqr(x), df64.sqr(y))
+    p = df64.sqrt(p2)
+    r_hi = jnp.sqrt(p2.hi + z.hi * z.hi)
+    a_c = df64.const(float(WGS84_A))
+    e2_c = df64.const(_E2)
+    one = df64.const(1.0)
+    one_m_e2 = df64.const(1.0 - _E2)
+    h_df = df64.df(h_f32)
+    # f32 sweeps (cheap): geocentric seed -> ~1e-7 rad
+    a32 = np.float32(float(WGS84_A))
+    e2_32 = np.float32(_E2)
+    me2_32 = np.float32(1.0 - _E2)
+    s32 = z.hi / r_hi
+    for _ in range(3):
+        n32 = a32 / jnp.sqrt(1.0 - e2_32 * s32 * s32)
+        s32 = z.hi / (n32 * me2_32 + h_f32)
+    # df64 polish: contraction ~5e-3 per sweep
+    s = df64.df(s32)
+    for _ in range(2):
+        nn = df64.div(a_c, df64.sqrt(
+            df64.sub(one, df64.mul(e2_c, df64.sqr(s)))))
+        s = df64.div(z, df64.add(df64.mul(nn, one_m_e2), h_df))
+    nn = df64.div(a_c, df64.sqrt(
+        df64.sub(one, df64.mul(e2_c, df64.sqr(s)))))
+    cosphi = df64.div(p, df64.add(nn, h_df))
+    return df64.div(cosphi, df64.add(one, s)), p
+
+
+def _stereo_rel_from_df(bx, by, bz, blx, bly, blz, z_levels, crs,
+                        org_hi, org_lo):
+    """Origin-relative polar-stereographic model coords from df64 ECEF.
+
+    Snyder ch. 21 on a sphere datum with WGS84 geodetic input latitude
+    (matching the f32 chain: ecef2lla -> crs.forward), evaluated entirely
+    in df64 and collapsed to f32 only AFTER subtracting the grid origin:
+    x - x_org = aF * t * sin(lam - lam0) + (x_0 - x_org), with
+    sin(lam - lam0) = (y cos(lam0) - x sin(lam0)) / p algebraic in ECEF —
+    the absolute-coordinate and absolute-longitude f32 ulps (~0.25-1.7 m
+    at the Alaska antimeridian) never enter. ``org_hi/org_lo`` is the
+    split-f64 (y_org, x_org) grid origin.
+
+    Returns (xs_rel, ys_rel) f32 arrays shaped like ``bx``.
+    """
+    x = DF(bx, blx)
+    y = DF(by, bly)
+    z = DF(bz, blz)
+    south = crs.lat_0 < 0
+    lon0 = -float(crs.lon_0) if south else float(crs.lon_0)
+    if south:
+        y = df64.neg(y)
+        z = df64.neg(z)
+    lam0 = float(np.deg2rad(lon0))
+    sin0 = df64.const(float(np.sin(lam0)))
+    cos0 = df64.const(float(np.cos(lam0)))
+    t, p = _geodetic_half_tan_df(x, y, z, z_levels)
+    a_f = float(crs.ellipsoid.a) * crs._scale()
+    rp = df64.div(df64.mul(df64.const(a_f), t), p)   # rho / p
+    sin_part = df64.sub(df64.mul(y, cos0), df64.mul(x, sin0))
+    cos_part = df64.add(df64.mul(x, cos0), df64.mul(y, sin0))
+    xm = df64.mul(rp, sin_part)
+    ym = df64.neg(df64.mul(rp, cos_part))
+    if south:
+        xm = df64.neg(xm)
+        ym = df64.neg(ym)
+    xm = df64.add(xm, df64.const(float(crs.x_0)))
+    ym = df64.add(ym, df64.const(float(crs.y_0)))
+    xm = df64.sub(xm, DF(org_hi[1], org_lo[1]))
+    ym = df64.sub(ym, DF(org_hi[0], org_lo[0]))
+    return xm.hi + xm.lo, ym.hi + ym.lo
+
+
+@partial(jax.jit, static_argnames=('crs', 'is_geo', 'hiprec'))
+def _finish_slice(lengths, bx, by, bz, blx, bly, blz, z_levels,
+                  org_hi, org_lo, crs, is_geo: bool, hiprec: bool = True):
     """Model-CRS kernel inputs from chain boundary points (see caller).
 
-    ``bx/by/bz``: (L+1, N) ECEF f32 components of the boundary points
-    (sub-meter precision is plenty: they feed only horizontal coordinates).
-    ``z_levels``: (L+1, N) the model-z coordinate of each boundary point —
-    the static chain heights for the exactly-converged 'scan'/'quad' algos,
-    or the ACTUAL heights of the points for the reference-exact 'ref'
-    algo (whose intersections, like the reference's, sit up to ~0.5 m off
-    the nominal level at high incidence; sampling must happen where the
-    points really are or delays drift ~1 mm from the reference).
+    ``bx/by/bz`` (+``blx/bly/blz`` lo parts): (L+1, N) ECEF df64 components
+    of the boundary points. ``z_levels``: (L+1, N) the model-z coordinate of
+    each boundary point — the static chain heights for the exactly-converged
+    'scan'/'quad' algos, or the ACTUAL heights of the points for the
+    reference-exact 'ref' algo (whose intersections, like the reference's,
+    sit up to ~0.5 m off the nominal level at high incidence; sampling must
+    happen where the points really are or delays drift ~1 mm from the
+    reference).
+
+    Horizontal coordinates are emitted ORIGIN-RELATIVE: ``org_hi/org_lo``
+    is the split-f64 (y_org, x_org) grid origin the engine also subtracts
+    from the kernel's static axes, so the kernel's f32 entry quantizes at
+    the grid-extent ulp instead of the absolute-coordinate ulp. The
+    sphere-datum stereo CRS runs the transform itself in df64
+    (:func:`_stereo_rel_from_df`); other CRSs keep the f32 forward (whose
+    own noise dominates) and just shift frames.
 
     Returns boundary COMPONENTS (bnd_y, bnd_x, bnd_z) of shape (L+1, N)
     plus d2 / per_level_max / hstep_max — the raytrace.integrate_rays
     contract (contiguous segments share boundaries; no low/high stacks)."""
     from raider_tpu.geodesy.ellipsoid import ecef2lla
 
-    # horizontal model coords from the f32 hi parts (sub-meter is plenty)
-    lat, lon, _ = ecef2lla(bx, by, bz)
-    if is_geo:
-        xs_m, ys_m = lon, lat
+    if hiprec and (not is_geo) and _stereo_df_supported(crs):
+        xs_m, ys_m = _stereo_rel_from_df(bx, by, bz, blx, bly, blz,
+                                         z_levels, crs, org_hi, org_lo)
     else:
-        xs_m, ys_m = crs.forward(lon, lat)
+        # f32 hi parts (sub-meter), f32 transform; shift after
+        lat, lon, _ = ecef2lla(bx, by, bz)
+        if is_geo:
+            xs_m, ys_m = lon, lat
+        else:
+            xs_m, ys_m = crs.forward(lon, lat)
+        if hiprec:
+            xs_m = (xs_m - org_hi[1]) - org_lo[1]
+            ys_m = (ys_m - org_hi[0]) - org_lo[0]
     z_pts = z_levels
     # NaN rays: coordinate NaNs must reach every level's coords
     bad = jnp.isnan(lengths).any(axis=0) | jnp.isnan(xs_m).any(axis=0)
@@ -779,10 +896,12 @@ def _toa_quadratic(p0_hi, p0_lo, look, ab_hi, ab_lo, heights_f32):
         jnp.stack([ab_hi, ab_lo], axis=-1).reshape(-1, 2, 2), heights_f32)
 
 
-@partial(jax.jit, static_argnames=('crs', 'is_geo', 'maxiter', 'algo'))
+@partial(jax.jit,
+         static_argnames=('crs', 'is_geo', 'maxiter', 'algo', 'hiprec'))
 def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
-                      heights_f32, i0, ab_hi, ab_lo, crs, is_geo: bool,
-                      maxiter: int, algo: str = 'scan'):
+                      heights_f32, i0, ab_hi, ab_lo, origin2, crs,
+                      is_geo: bool, maxiter: int, algo: str = 'scan',
+                      hiprec: bool = True):
     """The WHOLE slice geometry as one compiled program.
 
     Fusing geo2rdr + look vectors + the level-chain Newton + lengths +
@@ -874,14 +993,16 @@ def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
         z_pts = jax.lax.dynamic_update_slice_in_dim(z_pts, z01, i0, axis=0)
         d = df64.sub(DF(s_hi[1:], s_lo[1:]), DF(s_hi[:-1], s_lo[:-1]))
         lengths = d.hi
-        bx, by, bz = _boundary_xyz(targ_hi, targ_lo, look, s_hi, s_lo)
+        bx, by, bz, blx, bly, blz = _boundary_xyz(
+            targ_hi, targ_lo, look, s_hi, s_lo)
         # pad levels (below the first real pair) are NOT part of the
         # reference's chain: force their contribution to exactly zero
         lvl_idx = jnp.arange(lengths.shape[0], dtype=jnp.int32)[:, None]
         lengths = jnp.where(lvl_idx < i0, 0.0, lengths)
         bnd_y, bnd_x, bnd_z, d2, per_level_max, hstep_max = \
-            _finish_slice.__wrapped__(lengths, bx, by, bz, z_pts,
-                                      crs=crs, is_geo=is_geo)
+            _finish_slice.__wrapped__(lengths, bx, by, bz, blx, bly, blz,
+                                      z_pts, origin2[:, 0], origin2[:, 1],
+                                      crs=crs, is_geo=is_geo, hiprec=hiprec)
         return bnd_y, bnd_x, bnd_z, d2, lengths, per_level_max, hstep_max, t_out
 
     p01 = _toa_newton_df.__wrapped__(targ_hi, targ_lo, look, h01, ones, 10)
@@ -936,7 +1057,9 @@ def _slice_geom_fused(times_f32, t_c, coeffs, targ_hi, targ_lo, t_init,
     bnd_y, bnd_x, bnd_z, d2, per_level_max, hstep_max = \
         _finish_slice.__wrapped__(
             lengths, pts[..., 0, 0], pts[..., 1, 0], pts[..., 2, 0],
-            z_levels, crs=crs, is_geo=is_geo)
+            pts[..., 0, 1], pts[..., 1, 1], pts[..., 2, 1],
+            z_levels, origin2[:, 0], origin2[:, 1],
+            crs=crs, is_geo=is_geo, hiprec=hiprec)
     return bnd_y, bnd_x, bnd_z, d2, lengths, per_level_max, hstep_max, t_out
 
 
@@ -1027,7 +1150,8 @@ class GeomSession:
     """
 
     def __init__(self, orbit: Orbit, lat, lon, crs,
-                 maxiter_cold: int = 15, maxiter_warm: int = 3) -> None:
+                 maxiter_cold: int = 15, maxiter_warm: int = 3,
+                 origin=None) -> None:
         # warm=3 measured BIT-IDENTICAL to warm=5 on LEO scenes with slice
         # spacing up to 500 m (the zero-Doppler root moves << 1e-3 s per
         # slice; quadratic Newton re-converges in 2): scripts note, r2
@@ -1038,6 +1162,13 @@ class GeomSession:
         self.is_geo = crs == Geographic()
         self.maxiter_cold = maxiter_cold
         self.maxiter_warm = maxiter_warm
+        # origin-relative horizontal frame: (y_org, x_org) split to df64
+        # operand pairs; None keeps the legacy absolute-frame emission
+        self.hiprec = origin is not None
+        o = np.zeros(2) if origin is None else np.asarray(origin, np.float64)
+        o_hi = o.astype(np.float32)
+        o_lo = (o - o_hi.astype(np.float64)).astype(np.float32)
+        self._origin2 = jnp.asarray(np.stack([o_hi, o_lo], axis=-1))
 
         lat = np.asarray(lat, dtype=np.float64).ravel()
         lon = np.asarray(lon, dtype=np.float64).ravel()
@@ -1077,10 +1208,10 @@ class GeomSession:
                 self._t_prev if warm else self._t_cold,
                 jnp.asarray(heights_chain, jnp.float32),
                 jnp.int32(_chain_i0(heights_chain)),
-                jnp.asarray(ab_hi), jnp.asarray(ab_lo),
+                jnp.asarray(ab_hi), jnp.asarray(ab_lo), self._origin2,
                 crs=self.crs, is_geo=self.is_geo,
                 maxiter=self.maxiter_warm if warm else self.maxiter_cold,
-                algo=algo,
+                algo=algo, hiprec=self.hiprec,
             )
         if not cold:
             self._t_prev = t_out
@@ -1123,7 +1254,9 @@ def raytrace_slice_device_fused(poly: OrbitPoly, xyz_f64: np.ndarray,
             jnp.asarray(heights_chain, jnp.float32),
             jnp.int32(_chain_i0(heights_chain)),
             jnp.asarray(ab_hi), jnp.asarray(ab_lo),
+            jnp.zeros((2, 2), jnp.float32),
             crs=crs, is_geo=crs == Geographic(), maxiter=maxiter, algo=algo,
+            hiprec=False,
         )
     return {
         'bnd_y': bnd_y, 'bnd_x': bnd_x, 'bnd_z': bnd_z,

@@ -207,19 +207,16 @@ def make_antimeridian_scene(rng):
     return wm, xq, yq, hts, los, zref, label
 
 
-# Per-scene pass bars [mm]. Random scenes hold the 0.1 mm README promise.
-# The antimeridian-AK scene gets 0.15: horizontal boundary positions are
-# BY DESIGN f32 (device_geom._boundary_xyz collapses ECEF hi at ~0.5 m/ulp
-# before the CRS transform; the host path quantizes equivalently at the
-# kernel's f32 entry), a sampling-position noise both geometry paths share
-# relative to truth; the NCEP-stereo 60N magnification amplifies it into a
-# measured 0.067-0.101 mm spread across seeds. A round-5 ablation pinned
-# the tail draw (0.1006) as surrogate-independent (ref_exact: 0.1006) and
-# plan-independent (CUBE_PLAN=0: 0.1009) - the scene class's legitimate
-# f32 spread overlaps the nominal bar, so the class bar documents the
-# physics instead of failing on tail draws (BASELINE.md round-5 note).
+# Per-scene pass bars [mm]: every scene class holds the 0.1 mm README
+# promise. The antimeridian-AK scene carried a diagnosed 0.15 mm class bar
+# through most of round 5 (absolute-frame f32 coordinate entry ~0.25-1.7 m
+# /ulp, amplified by the NCEP-stereo 60N magnification into a measured
+# 0.067-0.101 mm spread across seeds); the origin-relative frame + df64
+# sphere-stereo transform (device_geom._stereo_rel_from_df) removed the
+# term — re-measured 0.0246 mm worst across 5 seeds on a v5e
+# (scripts/antimeridian_soak.py, 2026-08-20), so the class bar is retired.
 _BAR_DEFAULT_MM = 0.1
-_BAR_ANTIMERIDIAN_MM = 0.15
+_BAR_ANTIMERIDIAN_MM = 0.1
 
 
 def main():

@@ -118,6 +118,7 @@ def main():
         out = dg._slice_geom_fused(
             times_f32, poly.t_c, poly.coeffs, hi, los[i % K],
             t_warm, heights_f32, jnp.int32(0), ab_hi, ab_lo,
+            jnp.zeros((2, 2), jnp.float32),
             crs=Geographic(), is_geo=True, maxiter=3, algo='ref')
         return out[3]
     t_full = slope(full)
@@ -168,15 +169,19 @@ def main():
     t_bx = slope(bxyz)
     print(f'boundary xyz:           {t_bx*1e3:8.1f} ms')
 
-    bx, by, bz = jax.block_until_ready(dg._boundary_xyz(hi, lo, look, s_hi, s_lo))
+    bx, by, bz, blx, bly, blz = jax.block_until_ready(
+        dg._boundary_xyz(hi, lo, look, s_hi, s_lo))
     d = df64.sub(DF(s_hi[1:], s_lo[1:]), DF(s_hi[:-1], s_lo[:-1]))
     lengths = jax.block_until_ready(d.hi)
     bxs = jax.block_until_ready([bx + np.float32(i) * 1e-4 for i in range(K2)])
+    org2 = jnp.zeros((2, 2), jnp.float32)
 
     # ---- finish_slice (ecef2lla f32 + NaN masks + plan maxima)
     def fin(i):
-        return dg._finish_slice(lengths, bxs[i % K2], by, bz, z_pts,
-                                crs=Geographic(), is_geo=True)[0]
+        return dg._finish_slice(lengths, bxs[i % K2], by, bz, blx, bly, blz,
+                                z_pts, org2[:, 0], org2[:, 1],
+                                crs=Geographic(), is_geo=True,
+                                hiprec=False)[0]
     t_fin = slope(fin)
     print(f'finish_slice:           {t_fin*1e3:8.1f} ms')
 

@@ -1,0 +1,144 @@
+"""Origin-relative coordinate frame + df64 sphere-stereo CRS transform.
+
+Round-5 precision item (BASELINE.md antimeridian-AK diagnosis): horizontal
+kernel coordinates used to collapse to f32 in the ABSOLUTE model frame
+(~0.25-1.7 m/ulp for stereo meters / antimeridian degrees, amplified by the
+NCEP-stereo 60N magnification into the scene class's 0.067-0.101 mm parity
+spread). The engine now shifts boundary coords and the kernel's static y/x
+axes by the grid origin before the f32 entry, and the sphere-datum stereo
+device path runs the whole CRS transform in df64
+(device_geom._stereo_rel_from_df — algebraic, no trig: reference CRS
+behavior is pyproj's, reference models/hrrr.py:22-25 for the projection).
+"""
+
+import datetime as dt
+import os
+
+import numpy as np
+import pytest
+
+from raider_tpu.geodesy.crs import Geographic, PolarStereographic
+from raider_tpu.geodesy.ellipsoid import ecef2lla, lla2ecef
+from raider_tpu.geometry.device_geom import (
+    _stereo_df_supported, _stereo_rel_from_df, split_f64)
+from raider_tpu.wx.hrrr import HRRR_AK_PROJ
+
+
+def _host_forward_f64(crs, x, y, z):
+    """f64 host truth: ecef2lla -> crs.forward (numpy, eager)."""
+    lat, lon, _ = (np.asarray(v) for v in ecef2lla(x, y, z))
+    gx, gy = (np.asarray(v) for v in crs.forward(lon, lat))
+    return gx.astype(np.float64), gy.astype(np.float64)
+
+
+def _scene_points(rng, lon_lo, lon_hi, lat_lo, lat_hi, n=400):
+    lon = rng.uniform(lon_lo, lon_hi, n)
+    lat = rng.uniform(lat_lo, lat_hi, n)
+    h = rng.uniform(-200.0, 26000.0, n)
+    x, y, z = (np.asarray(v) for v in lla2ecef(lat, lon, h))
+    return x, y, z, h
+
+
+def _rel_coords_df(crs, x, y, z, h, org_yx):
+    import jax.numpy as jnp
+
+    hi, lo = split_f64(np.stack([x, y, z], axis=-1))
+    o = np.asarray(org_yx, np.float64)
+    o_hi = o.astype(np.float32)
+    o_lo = (o - o_hi.astype(np.float64)).astype(np.float32)
+    xs, ys = _stereo_rel_from_df(
+        jnp.asarray(hi[:, 0]), jnp.asarray(hi[:, 1]), jnp.asarray(hi[:, 2]),
+        jnp.asarray(lo[:, 0]), jnp.asarray(lo[:, 1]), jnp.asarray(lo[:, 2]),
+        jnp.asarray(h.astype(np.float32)), crs,
+        jnp.asarray(o_hi), jnp.asarray(o_lo))
+    return np.asarray(xs, np.float64), np.asarray(ys, np.float64)
+
+
+class TestStereoDf:
+    def test_supported_matrix(self):
+        assert _stereo_df_supported(HRRR_AK_PROJ)
+        assert not _stereo_df_supported(Geographic())
+        # ellipsoidal stereo needs the conformal pow: f32 path retained
+        assert not _stereo_df_supported(PolarStereographic(
+            lat_0=90.0, lon_0=225.0, lat_ts=60.0))
+
+    def test_antimeridian_ak_matches_f64_host(self, rng):
+        """The diagnosed scene class: AK stereo across the antimeridian."""
+        x, y, z, h = _scene_points(rng, 177.0, 183.0, 58.0, 62.5)
+        gx, gy = _host_forward_f64(HRRR_AK_PROJ, x, y, z)
+        org = (gy.min(), gx.min())
+        xs, ys = _rel_coords_df(HRRR_AK_PROJ, x, y, z, h, org)
+        # budget: df64 transform ~1e-4 m + origin-relative f32 collapse
+        # (~0.03 m at the 5e5 m grid extent). The absolute-frame f32 path
+        # this replaces carries ~1-2 m here.
+        err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
+        assert err.max() < 0.05, err.max()
+
+    def test_far_from_pole_and_low_lat(self, rng):
+        """Mid-latitude edge of a stereo domain (larger rho, t not small)."""
+        x, y, z, h = _scene_points(rng, 150.0, 160.0, 45.0, 50.0)
+        gx, gy = _host_forward_f64(HRRR_AK_PROJ, x, y, z)
+        org = (gy.min(), gx.min())
+        xs, ys = _rel_coords_df(HRRR_AK_PROJ, x, y, z, h, org)
+        err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
+        # rho ~ 5e6 m here: relative f32 collapse dominated by the ~1e6 m
+        # extent of this box
+        assert err.max() < 0.15, err.max()
+
+    def test_south_polar_branch(self, rng):
+        crs = PolarStereographic(lat_0=-90.0, lon_0=0.0, lat_ts=-71.0,
+                                 ellipsoid=HRRR_AK_PROJ.ellipsoid)
+        assert _stereo_df_supported(crs)
+        x, y, z, h = _scene_points(rng, -30.0, 30.0, -75.0, -68.0)
+        gx, gy = _host_forward_f64(crs, x, y, z)
+        org = (gy.min(), gx.min())
+        xs, ys = _rel_coords_df(crs, x, y, z, h, org)
+        err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
+        assert err.max() < 0.3, err.max()  # ~4e6 m extent at 70S
+
+    def test_false_easting_northing(self, rng):
+        crs = PolarStereographic(lat_0=90.0, lon_0=225.0, lat_ts=60.0,
+                                 x_0=2.0e6, y_0=-1.5e6,
+                                 ellipsoid=HRRR_AK_PROJ.ellipsoid)
+        x, y, z, h = _scene_points(rng, 200.0, 210.0, 58.0, 62.0)
+        gx, gy = _host_forward_f64(crs, x, y, z)
+        org = (gy.min(), gx.min())
+        xs, ys = _rel_coords_df(crs, x, y, z, h, org)
+        err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
+        assert err.max() < 0.1, err.max()
+
+
+class TestEngineOriginRel:
+    @pytest.mark.parametrize('scene_kind', ['geo', 'stereo'])
+    def test_host_path_frame_equivalence(self, scene_kind, monkeypatch):
+        """ORIGIN_REL on/off: same physics, only f32 sampling jitter.
+
+        The two frames round sampling coordinates differently at the f32
+        kernel entry; the delay difference is bounded by that coordinate
+        noise times the field gradient — far under the parity promise.
+        """
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                        'scripts'))
+        from parity_sweep import make_antimeridian_scene, make_scene
+
+        from raider_tpu.delay.engine import _build_cube_ray
+
+        if scene_kind == 'geo':
+            wm, xq, yq, hts, los, zref, _ = make_scene(
+                np.random.default_rng(7), 0)
+        else:
+            wm, xq, yq, hts, los, zref, _ = make_antimeridian_scene(
+                np.random.default_rng(7))
+        monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', '0')
+        monkeypatch.setenv('RAIDER_TPU_ORIGIN_REL', '0')
+        w0, h0 = _build_cube_ray(wm, xq, yq, hts, los, Geographic(),
+                                 zref=zref, compute_dtype=np.float32)
+        monkeypatch.setenv('RAIDER_TPU_ORIGIN_REL', '1')
+        w1, h1 = _build_cube_ray(wm, xq, yq, hts, los, Geographic(),
+                                 zref=zref, compute_dtype=np.float32)
+        for a, b in ((w0, w1), (h0, h1)):
+            a, b = np.asarray(a), np.asarray(b)
+            assert (np.isnan(a) == np.isnan(b)).all()
+            assert np.nanmax(np.abs(a - b)) < 1e-4  # 0.1 mm

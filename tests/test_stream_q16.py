@@ -154,8 +154,17 @@ class TestEnginePath:
                 if not sl_ok.any():
                     continue
                 rng_sl = exact[hh][sl_ok].max() - exact[hh][sl_ok].min()
-                bound = (rng_sl / 131068.0
-                         + 4 * np.spacing(np.abs(exact[hh][sl_ok]).max()))
+                # range/131068 is the round-to-quantum half-step; the rest
+                # is the chain's f32 arithmetic: quant (v-lo subtract +
+                # divide) and dequant (q*scale product) each round at
+                # ~0.5 ulp of the RANGE (1.5 roundings total ~ 1.8e-7 *
+                # range, allow 2.5e-7), plus the final lo + m addition at
+                # the value's own f32 ulp. (An earlier version used
+                # np.spacing on the f64 exact values — ~2e-16, i.e. no
+                # headroom at all — and passed on rounding luck.)
+                bound = (rng_sl / 131068.0 + 2.5e-7 * rng_sl
+                         + 4 * np.spacing(np.float32(
+                             np.abs(exact[hh][sl_ok]).max())))
                 worst = np.abs(quant[hh][sl_ok] - exact[hh][sl_ok]).max()
                 assert worst <= bound, (
                     f'slice {hh}: {worst * 1e3:.5f} mm > {bound * 1e3:.5f} mm')
