@@ -685,23 +685,37 @@ def _look_from_sat(p_hi, p_lo, t_hi, t_lo, sr):
     return jnp.stack(comps, axis=-1)
 
 
-def _stereo_df_supported(crs) -> bool:
-    """True when the df64 origin-relative CRS path covers this projection.
+def _crs_df_mode(crs):
+    """Which df64 origin-relative CRS transform covers this projection.
 
-    Sphere-datum polar stereographic (HRRR-Alaska: NCEP sphere, reference
-    models/hrrr.py:22-25) is fully algebraic in ECEF — the conformal factor
-    ((1-e sin)/(1+e sin))^(e/2) degenerates to 1 — so the whole forward
-    runs in df64 with no transcendentals. Ellipsoidal stereo / LCC / TM
-    need pow/trig and keep the f32 forward.
+    'stereo': polar stereographic (HRRR-Alaska: NCEP sphere, reference
+    models/hrrr.py:22-25) — fully algebraic on a sphere datum (the
+    conformal factor degenerates to 1); the ellipsoidal factor rides the
+    df64 exp/log added in ops/df64.
+    'lcc': Lambert conformal conic (HRRR CONUS, reference hrrr.py:18-21;
+    WRF) — t^n = exp(n ln t) and sin/cos(n dlon) via the df64
+    transcendentals.
+    None: transverse Mercator / geographic keep the f32 forward (TM's
+    series would need a full df64 port; geographic wrap semantics are
+    host-defined — see _finish_slice).
     """
-    from raider_tpu.geodesy.crs import PolarStereographic
+    from raider_tpu.geodesy.crs import (LambertConformalConic,
+                                        PolarStereographic)
 
-    return (isinstance(crs, PolarStereographic)
-            and float(crs.ellipsoid.e2) == 0.0)
+    if isinstance(crs, PolarStereographic):
+        return 'stereo'
+    if isinstance(crs, LambertConformalConic):
+        return 'lcc'
+    return None
 
 
-def _geodetic_half_tan_df(x: DF, y: DF, z: DF, h_f32):
-    """t = tan(pi/4 - phi/2) of the WGS84 geodetic latitude, df64.
+def _stereo_df_supported(crs) -> bool:
+    """Back-compat shim: True when the stereo df64 path applies."""
+    return _crs_df_mode(crs) == 'stereo'
+
+
+def _geodetic_trig_df(x: DF, y: DF, z: DF, h_f32):
+    """(sin phi, cos phi, p) of the WGS84 geodetic latitude, df64.
 
     Uses the point's KNOWN geodetic height (the chain Newton pinned the
     boundary point to ``h_f32``), which turns ecef2lla's hard part into a
@@ -709,10 +723,8 @@ def _geodetic_half_tan_df(x: DF, y: DF, z: DF, h_f32):
     hold exactly, so sin(phi) = z / (N(1-e2) + h) contracts at ~e2/2 per
     sweep. Three f32 sweeps from the geocentric seed land at the f32 noise
     floor (~1e-7); two df64 polish sweeps reach ~1e-11 rad (~1e-4 m).
-    The half-angle form t = cos(phi)/(1 + sin(phi)) is algebraic — no
-    trig round-trip, so precision is set by df64, not by f32 atan/tan.
-
-    Returns (t DF, p DF) with p = sqrt(x^2 + y^2).
+    cos phi = p / (N + h) is exact algebra (no sqrt cancellation near the
+    equator), so precision is set by df64, not by f32 trig.
     """
     p2 = df64.add(df64.sqr(x), df64.sqr(y))
     p = df64.sqrt(p2)
@@ -739,21 +751,43 @@ def _geodetic_half_tan_df(x: DF, y: DF, z: DF, h_f32):
     nn = df64.div(a_c, df64.sqrt(
         df64.sub(one, df64.mul(e2_c, df64.sqr(s)))))
     cosphi = df64.div(p, df64.add(nn, h_df))
-    return df64.div(cosphi, df64.add(one, s)), p
+    return s, cosphi, p
+
+
+def _conformal_t_df(s: DF, cosphi: DF, e_proj: float) -> DF:
+    """Snyder 15-9 t(phi) in df64 from (sin phi, cos phi).
+
+    tan(pi/4 - phi/2) = cos(phi)/(1 + sin(phi)) is algebraic; the
+    ellipsoidal factor ((1 - e s)/(1 + e s))^(e/2) rides df64 exp/log
+    (identical to crs._conformal_t's f32 form, e_proj = the PROJECTION
+    datum's eccentricity — 0 for the NCEP sphere, where it's skipped).
+    """
+    one = df64.const(1.0)
+    t = df64.div(cosphi, df64.add(one, s))
+    if e_proj == 0.0:
+        return t
+    es = df64.mul(df64.const(e_proj), s)
+    # / ((1-es)/(1+es))^(e/2)  ==  * exp((e/2) (ln(1+es) - ln(1-es)))
+    expo = df64.mul(df64.const(0.5 * e_proj),
+                    df64.sub(df64.log(df64.add(one, es)),
+                             df64.log(df64.sub(one, es))))
+    return df64.mul(t, df64.exp(expo))
 
 
 def _stereo_rel_from_df(bx, by, bz, blx, bly, blz, z_levels, crs,
                         org_hi, org_lo):
     """Origin-relative polar-stereographic model coords from df64 ECEF.
 
-    Snyder ch. 21 on a sphere datum with WGS84 geodetic input latitude
-    (matching the f32 chain: ecef2lla -> crs.forward), evaluated entirely
-    in df64 and collapsed to f32 only AFTER subtracting the grid origin:
+    Snyder ch. 21 with WGS84 geodetic input latitude (matching the f32
+    chain: ecef2lla -> crs.forward), evaluated entirely in df64 and
+    collapsed to f32 only AFTER subtracting the grid origin:
     x - x_org = aF * t * sin(lam - lam0) + (x_0 - x_org), with
     sin(lam - lam0) = (y cos(lam0) - x sin(lam0)) / p algebraic in ECEF —
     the absolute-coordinate and absolute-longitude f32 ulps (~0.25-1.7 m
-    at the Alaska antimeridian) never enter. ``org_hi/org_lo`` is the
-    split-f64 (y_org, x_org) grid origin.
+    at the Alaska antimeridian) never enter. On a sphere datum (HRRR-AK)
+    the whole transform is trig-free; the ellipsoidal conformal factor
+    rides df64 exp/log. ``org_hi/org_lo`` is the split-f64
+    (y_org, x_org) grid origin.
 
     Returns (xs_rel, ys_rel) f32 arrays shaped like ``bx``.
     """
@@ -768,7 +802,8 @@ def _stereo_rel_from_df(bx, by, bz, blx, bly, blz, z_levels, crs,
     lam0 = float(np.deg2rad(lon0))
     sin0 = df64.const(float(np.sin(lam0)))
     cos0 = df64.const(float(np.cos(lam0)))
-    t, p = _geodetic_half_tan_df(x, y, z, z_levels)
+    s, cosphi, p = _geodetic_trig_df(x, y, z, z_levels)
+    t = _conformal_t_df(s, cosphi, float(crs.ellipsoid.e))
     a_f = float(crs.ellipsoid.a) * crs._scale()
     rp = df64.div(df64.mul(df64.const(a_f), t), p)   # rho / p
     sin_part = df64.sub(df64.mul(y, cos0), df64.mul(x, sin0))
@@ -778,6 +813,43 @@ def _stereo_rel_from_df(bx, by, bz, blx, bly, blz, z_levels, crs,
     if south:
         xm = df64.neg(xm)
         ym = df64.neg(ym)
+    xm = df64.add(xm, df64.const(float(crs.x_0)))
+    ym = df64.add(ym, df64.const(float(crs.y_0)))
+    xm = df64.sub(xm, DF(org_hi[1], org_lo[1]))
+    ym = df64.sub(ym, DF(org_hi[0], org_lo[0]))
+    return xm.hi + xm.lo, ym.hi + ym.lo
+
+
+def _lcc_rel_from_df(bx, by, bz, blx, bly, blz, z_levels, crs,
+                     org_hi, org_lo):
+    """Origin-relative Lambert-conformal-conic model coords, df64.
+
+    Snyder ch. 15 with WGS84 geodetic input latitude (matching the f32
+    chain ecef2lla -> crs.forward): rho = a F t^n via df64 exp/log,
+    theta = n * dlon with dlon from df64 atan2 of ECEF ratios (absolute
+    longitude never appears — the wrap matches forward()'s
+    mod-to-[-pi,pi) except exactly AT the cone seam dlon = +/-pi, where
+    atan2 returns +pi instead of -pi; scenes on the seam meridian of
+    their own weather model's cone do not occur). Collapsed to f32 only
+    after subtracting the grid origin. Returns (xs_rel, ys_rel).
+    """
+    x = DF(bx, blx)
+    y = DF(by, bly)
+    z = DF(bz, blz)
+    e_proj, a, n, big_f, rho0 = crs._params()
+    lam0 = float(np.deg2rad(float(crs.lon_0)))
+    sin0 = df64.const(float(np.sin(lam0)))
+    cos0 = df64.const(float(np.cos(lam0)))
+    s, cosphi, _p = _geodetic_trig_df(x, y, z, z_levels)
+    t = _conformal_t_df(s, cosphi, float(e_proj))
+    rho = df64.mul(df64.const(float(a * big_f)),
+                   df64.exp(df64.mul(df64.const(float(n)), df64.log(t))))
+    sin_part = df64.sub(df64.mul(y, cos0), df64.mul(x, sin0))  # p sin(dlon)
+    cos_part = df64.add(df64.mul(x, cos0), df64.mul(y, sin0))  # p cos(dlon)
+    dlon = df64.atan2(sin_part, cos_part)
+    st, ct = df64.sincos(df64.mul(df64.const(float(n)), dlon))
+    xm = df64.mul(rho, st)
+    ym = df64.sub(df64.const(float(rho0)), df64.mul(rho, ct))
     xm = df64.add(xm, df64.const(float(crs.x_0)))
     ym = df64.add(ym, df64.const(float(crs.y_0)))
     xm = df64.sub(xm, DF(org_hi[1], org_lo[1]))
@@ -812,9 +884,13 @@ def _finish_slice(lengths, bx, by, bz, blx, bly, blz, z_levels,
     contract (contiguous segments share boundaries; no low/high stacks)."""
     from raider_tpu.geodesy.ellipsoid import ecef2lla
 
-    if hiprec and (not is_geo) and _stereo_df_supported(crs):
+    mode_df = _crs_df_mode(crs) if (hiprec and not is_geo) else None
+    if mode_df == 'stereo':
         xs_m, ys_m = _stereo_rel_from_df(bx, by, bz, blx, bly, blz,
                                          z_levels, crs, org_hi, org_lo)
+    elif mode_df == 'lcc':
+        xs_m, ys_m = _lcc_rel_from_df(bx, by, bz, blx, bly, blz,
+                                      z_levels, crs, org_hi, org_lo)
     else:
         # f32 hi parts (sub-meter), f32 transform; shift after
         lat, lon, _ = ecef2lla(bx, by, bz)

@@ -16,6 +16,7 @@ The public type is a (hi, lo) pair pytree; helpers are vectorized over any
 array shape.
 """
 
+import math
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -201,6 +202,136 @@ def norm3(x: DF, y: DF, z: DF) -> DF:
 def lt(x: DF, y: DF):
     """x < y comparison (hi dominates; ties broken by lo)."""
     return (x.hi < y.hi) | ((x.hi == y.hi) & (x.lo < y.lo))
+
+
+# --------------------------------------------------------- transcendentals
+#
+# QD-library-style double-single elementary functions (Hida/Li/Bailey
+# 2001 scheme adapted to float32 pairs): range-reduce with two-part
+# constants, short Taylor/atanh series in df64, exact power-of-two
+# rescales. Added for the df64 CRS transforms (LCC needs t^n = exp(n ln t)
+# and sin/cos(n * dlon) — see geometry/device_geom._lcc_rel_from_df);
+# accuracy ~1e-13..1e-14 relative, verified against float64 in
+# tests/test_df64.py::TestDf64Transcendental.
+
+_LN2 = 0.6931471805599453
+_HALF_PI = 1.5707963267948966
+_SQRT_HALF = 0.7071067811865476
+_SQRT_TWO = 1.4142135623730951
+
+
+def _ldexp(x: DF, k) -> DF:
+    """x * 2^k for integer-valued k in [-126, 127] — exact.
+
+    jnp.exp2 is an APPROXIMATION (measured ~10 ulp off even at integer
+    arguments on XLA:CPU), so the power of two is built exactly from the
+    float32 exponent field instead.
+    """
+    from jax import lax
+
+    ki = jnp.clip(jnp.asarray(k, jnp.int32), -126, 127)
+    s = lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
+    return DF(x.hi * s, x.lo * s)
+
+
+def log(x: DF) -> DF:
+    """Natural log for x > 0 (NaN propagates for x <= 0).
+
+    Reduction: x = m * 2^k with m in [sqrt(1/2), sqrt(2)), then
+    ln m = 2 atanh(z), z = (m-1)/(m+1) in [-0.1716, 0.1716] — a 10-term
+    odd series whose truncation sits at ~3e-16 relative.
+    """
+    k = jnp.round(jnp.log2(x.hi))
+    m = _ldexp(x, -k)
+    low = m.hi < _SQRT_HALF
+    m = where(low, _ldexp(m, 1.0), m)
+    k = jnp.where(low, k - 1.0, k)
+    high = m.hi >= _SQRT_TWO
+    m = where(high, _ldexp(m, -1.0), m)
+    k = jnp.where(high, k + 1.0, k)
+
+    one = const(1.0)
+    z = div(sub(m, one), add(m, one))
+    u = sqr(z)
+    # Horner over u: sum_{j=0..9} u^j / (2j+1)
+    acc = const(1.0 / 19.0)
+    for j in range(8, -1, -1):
+        acc = add(mul(acc, u), const(1.0 / (2 * j + 1)))
+    ln_m = scale(mul(z, acc), 2.0)
+    return add(ln_m, mul(df(k), const(_LN2)))
+
+
+def exp(x: DF) -> DF:
+    """e^x for |x| <~ 80 (exact-f32-integer k range; plenty for t^n).
+
+    Reduction: x = k ln2 + r, |r| <= ln2/2; 14-term Taylor for e^r
+    (truncation ~2e-17 relative); exact 2^k rescale.
+    """
+    k = jnp.round(x.hi / jnp.float32(_LN2))
+    r = sub(x, mul(df(k), const(_LN2)))
+    acc = const(1.0 / math.factorial(13))
+    for j in range(12, -1, -1):
+        acc = add(mul(acc, r), const(1.0 / math.factorial(j)))
+    return _ldexp(acc, k)
+
+
+def _sin_poly(r: DF) -> DF:
+    """sin r for |r| <= pi/4 + ulp: r * P(r^2), truncation ~9e-20."""
+    u = sqr(r)
+    acc = const(1.0 / math.factorial(17))
+    for j in range(7, 0, -1):
+        acc = add(mul(acc, neg(u)), const(1.0 / math.factorial(2 * j + 1)))
+    acc = add(mul(acc, neg(u)), const(1.0))
+    return mul(r, acc)
+
+
+def _cos_poly(r: DF) -> DF:
+    """cos r for |r| <= pi/4 + ulp: Q(r^2), truncation ~1.6e-18."""
+    u = sqr(r)
+    acc = const(1.0 / math.factorial(16))
+    for j in range(7, 0, -1):
+        acc = add(mul(acc, neg(u)), const(1.0 / math.factorial(2 * j)))
+    acc = add(mul(acc, neg(u)), const(1.0))
+    return acc
+
+
+def sincos(x: DF):
+    """(sin x, cos x) for |x| <~ 1000 (reduction exactness degrades with
+    |k|: k * halfpi_lo error ~ |k| * 2e-15; the CRS use has |x| <= pi)."""
+    k = jnp.round(x.hi / jnp.float32(_HALF_PI))
+    r = sub(x, mul(df(k), const(_HALF_PI)))
+    s, c = _sin_poly(r), _cos_poly(r)
+    quad = k - 4.0 * jnp.floor(k / 4.0)               # {0, 1, 2, 3}
+    sin_x = where(quad == 0.0, s,
+                  where(quad == 1.0, c,
+                        where(quad == 2.0, neg(s), neg(c))))
+    cos_x = where(quad == 0.0, c,
+                  where(quad == 1.0, neg(s),
+                        where(quad == 2.0, neg(c), s)))
+    return sin_x, cos_x
+
+
+def sin(x: DF) -> DF:
+    return sincos(x)[0]
+
+
+def cos(x: DF) -> DF:
+    return sincos(x)[1]
+
+
+def atan2(y: DF, x: DF) -> DF:
+    """atan2(y, x) in (-pi, pi]: f32 seed + one exact-trig refinement.
+
+    The residual d = atan2(y, x) - th0 is ~1e-6 rad (f32 seed ulp), and
+    tan(d) = (y cos th0 - x sin th0) / (x cos th0 + y sin th0) is formed
+    in df64 from the seed's EXACT df64 sin/cos; atan(tan d) = d to ~1e-18
+    at that magnitude, so one correction lands at df64 precision.
+    """
+    th0 = jnp.arctan2(y.hi, x.hi)
+    s0, c0 = sincos(df(th0))
+    num = sub(mul(y, c0), mul(x, s0))
+    den = add(mul(x, c0), mul(y, s0))
+    return add(df(th0), div(num, den))
 
 
 def where(pred, x: DF, y: DF) -> DF:

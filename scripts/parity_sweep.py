@@ -127,6 +127,83 @@ def make_scene(rng, idx):
     return wm, xq, yq, hts, los, zref, label
 
 
+def make_lcc_scene(rng):
+    """HRRR-CONUS regime: Lambert conformal conic on the NCEP sphere
+    (lat_0 = lat_1 = lat_2 = 38.5, lon_0 = 262.5 — reference
+    models/hrrr.py:18-21) with the output grid at the domain's western
+    edge (~113W, far from the central meridian, where the absolute
+    projected x approaches -2e6 m and theta = n*dlon magnifies longitude
+    representation noise). Exercises: projected-CRS containment in LCC
+    meters and the f32 LCC forward under the origin-relative frame.
+    Returns the same tuple shape as make_scene.
+    """
+    from raider_tpu.delay.engine import WeatherCube
+    from raider_tpu.geodesy import transform_points
+    from raider_tpu.geodesy.crs import Geographic
+    from raider_tpu.geometry.los import Raytracing
+    from raider_tpu.geometry.orbit import Orbit
+    from raider_tpu.io.ncdf import Dataset, Variable
+    from raider_tpu.wx.hrrr import HRRR_CONUS_PROJ
+
+    t_ref = dt.datetime(2020, 1, 1, 12, 0, 0)
+    # near-polar orbit over (40N, 247E), heading north (same construction
+    # as the antimeridian scene): base track rotated to lat 40 then lon 247
+    alt = rng.uniform(550e3, 750e3)
+    tt = np.arange(-600.0, 601.0, 30.0)
+    r_orb = 6378137.0 + alt
+    om = 2.0 * np.pi / (5400.0 + alt / 1e3)
+    ang = om * tt
+    base = np.stack([r_orb * np.cos(ang), np.zeros_like(ang),
+                     r_orb * np.sin(ang)], -1)
+    th = np.deg2rad(-40.0)
+    ry = np.array([[np.cos(th), 0.0, np.sin(th)],
+                   [0.0, 1.0, 0.0],
+                   [-np.sin(th), 0.0, np.cos(th)]])
+    ph = np.deg2rad(247.0)
+    rz = np.array([[np.cos(ph), -np.sin(ph), 0.0],
+                   [np.sin(ph), np.cos(ph), 0.0],
+                   [0.0, 0.0, 1.0]])
+    pos = base @ ry.T @ rz.T
+    vel = np.gradient(pos, 30.0, axis=0)
+    orbit = Orbit(times=tt, pos=pos, vel=vel, ref_time=t_ref)
+
+    # weather grid in LCC METERS covering 246..252.5E, 37.5..42.5N
+    # (generous slant margin east of the track)
+    lon_b = np.linspace(246.0, 252.5, 41)
+    lat_b = np.linspace(37.5, 42.5, 41)
+    blon = np.concatenate([lon_b, lon_b, np.full(41, lon_b[0]),
+                           np.full(41, lon_b[-1])])
+    blat = np.concatenate([np.full(41, lat_b[0]), np.full(41, lat_b[-1]),
+                           lat_b, lat_b])
+    gx, gy, _ = transform_points(Geographic(), HRRR_CONUS_PROJ,
+                                 blon, blat, np.zeros_like(blon))
+    gx, gy = np.asarray(gx), np.asarray(gy)
+    nz, ny, nx = 30, 52, 52
+    top = rng.uniform(19000.0, 26000.0)
+    zs = -500.0 + (top + 500.0) * np.linspace(0, 1, nz) ** 1.4
+    xs_m = np.linspace(gx.min(), gx.max(), nx)
+    ys_m = np.linspace(gy.min(), gy.max(), ny)
+    wet = rng.uniform(0.1, 100.0, (nz, ny, nx))
+    hydro = rng.uniform(50.0, 300.0, (nz, ny, nx))
+    wm = WeatherCube(Dataset(
+        coords={'x': Variable(('x',), xs_m, {}),
+                'y': Variable(('y',), ys_m, {}),
+                'z': Variable(('z',), zs, {})},
+        variables={'wet': Variable(('z', 'y', 'x'), wet, {}),
+                   'hydro': Variable(('z', 'y', 'x'), hydro, {}),
+                   'proj': Variable((), np.int64(0), HRRR_CONUS_PROJ.to_cf())},
+        attrs={}))
+
+    yq = np.linspace(39.0, 40.2, 12)
+    xq = np.linspace(-112.9, -111.5, 15)
+    hts = np.array([0.0, 1200.0, 3000.0])
+    zref = float(min(18000.0, zs[-1] - 1.0))
+    los = Raytracing(orbit=orbit, time=t_ref)
+    label = ('lcc-CONUS: LCC-NCEP grid '
+             f'{ny}x{nx} xq 112.9..111.5W zref={zref:.0f}')
+    return wm, xq, yq, hts, los, zref, label
+
+
 def make_antimeridian_scene(rng):
     """HRRR-Alaska regime: polar-stereographic weather CRS on the NCEP
     sphere (lat_0=90, lon_0=225, lat_ts=60 — reference models/hrrr.py:22-25)
@@ -230,6 +307,7 @@ def main():
     failures = []
     scenes = [make_scene(rng, idx) for idx in range(n_scenes)]
     scenes.append(make_antimeridian_scene(rng))   # always: HRRR-AK regime
+    scenes.append(make_lcc_scene(rng))            # always: HRRR-CONUS regime
     for wm, xq, yq, hts, los, zref, label in scenes:
         t0 = time.perf_counter()
         os.environ['RAIDER_TPU_DEVICE_GEOMETRY'] = '0'

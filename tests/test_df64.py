@@ -86,3 +86,73 @@ class TestDf64Ops:
         hi, lo = f(x.hi, x.lo, y.hi, y.lo)
         out = np.asarray(hi, dtype=np.float64) + np.asarray(lo, dtype=np.float64)
         assert _rel(out, a * b).max() < 5e-14
+
+
+class TestDf64Transcendental:
+    """QD-style elementary functions (added for the df64 CRS transforms).
+
+    CPU-backend df64 holds op-level precision (see TestDf64Ops), so these
+    bounds are a few 1e-14 — the real-TPU behavior is additionally pinned
+    by the on-chip parity sweep's stereo/LCC scenes.
+    """
+
+    def test_log(self, rng):
+        # spans several binades incl. the conformal-t range (0.05..1)
+        a = np.concatenate([rng.uniform(1e-4, 1.0, 1500),
+                            rng.uniform(1.0, 1e4, 500)])
+        r = df64.to_f64(df64.log(df64.from_f64(a)))
+        # absolute error is what the t^n chain amplifies (|n ln t| <= ~10);
+        # relative error blows up only across the ln x = 0 crossing where
+        # the absolute bound is the meaningful one
+        assert np.abs(r - np.log(a)).max() < 5e-13
+        big = np.abs(np.log(a)) > 1e-2
+        assert _rel(r[big], np.log(a)[big]).max() < 5e-13
+
+    def test_log_domain(self):
+        r = df64.to_f64(df64.log(df64.from_f64(np.array([-1.0, 0.0]))))
+        assert np.isnan(r[0]) and not np.isfinite(r[1])
+
+    def test_exp(self, rng):
+        a = rng.uniform(-12.0, 6.0, 2000)
+        r = df64.to_f64(df64.exp(df64.from_f64(a)))
+        assert _rel(r, np.exp(a)).max() < 1e-13
+
+    def test_exp_log_roundtrip_pow(self, rng):
+        # t^n as the LCC forward computes it (n = sin(38.5 deg))
+        t = rng.uniform(0.05, 0.95, 2000)
+        n = 0.6225146366376195
+        r = df64.to_f64(df64.exp(df64.mul(df64.const(n),
+                                          df64.log(df64.from_f64(t)))))
+        assert _rel(r, t ** n).max() < 2e-13
+
+    def test_sincos(self, rng):
+        a = rng.uniform(-np.pi, np.pi, 4000)
+        s, c = df64.sincos(df64.from_f64(a))
+        assert np.abs(df64.to_f64(s) - np.sin(a)).max() < 1e-13
+        assert np.abs(df64.to_f64(c) - np.cos(a)).max() < 1e-13
+        # quadrant boundaries land exactly on the reduction seams
+        b = np.array([-np.pi, -np.pi / 2, 0.0, np.pi / 2, np.pi])
+        s, c = df64.sincos(df64.from_f64(b))
+        assert np.abs(df64.to_f64(s) - np.sin(b)).max() < 1e-13
+        assert np.abs(df64.to_f64(c) - np.cos(b)).max() < 1e-13
+
+    def test_atan2(self, rng):
+        y = rng.uniform(-2.0, 2.0, 4000)
+        x = rng.uniform(-2.0, 2.0, 4000)
+        r = df64.to_f64(df64.atan2(df64.from_f64(y), df64.from_f64(x)))
+        assert np.abs(r - np.arctan2(y, x)).max() < 1e-13
+
+    def test_under_jit(self, rng):
+        import jax
+
+        a = rng.uniform(0.05, 0.95, 512)
+
+        @jax.jit
+        def f(h, l):
+            r = df64.exp(df64.mul(df64.const(0.5), df64.log(df64.DF(h, l))))
+            return r.hi, r.lo
+
+        x = df64.from_f64(a)
+        hi, lo = f(x.hi, x.lo)
+        out = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        assert _rel(out, np.sqrt(a)).max() < 2e-13

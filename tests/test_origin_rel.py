@@ -17,11 +17,12 @@ import os
 import numpy as np
 import pytest
 
-from raider_tpu.geodesy.crs import Geographic, PolarStereographic
+from raider_tpu.geodesy.crs import (Geographic, LambertConformalConic,
+                                    PolarStereographic, TransverseMercator)
 from raider_tpu.geodesy.ellipsoid import ecef2lla, lla2ecef
 from raider_tpu.geometry.device_geom import (
-    _stereo_df_supported, _stereo_rel_from_df, split_f64)
-from raider_tpu.wx.hrrr import HRRR_AK_PROJ
+    _crs_df_mode, _lcc_rel_from_df, _stereo_rel_from_df, split_f64)
+from raider_tpu.wx.hrrr import HRRR_AK_PROJ, HRRR_CONUS_PROJ
 
 
 def _host_forward_f64(crs, x, y, z):
@@ -42,11 +43,13 @@ def _scene_points(rng, lon_lo, lon_hi, lat_lo, lat_hi, n=400):
 def _rel_coords_df(crs, x, y, z, h, org_yx):
     import jax.numpy as jnp
 
+    fn = {'stereo': _stereo_rel_from_df,
+          'lcc': _lcc_rel_from_df}[_crs_df_mode(crs)]
     hi, lo = split_f64(np.stack([x, y, z], axis=-1))
     o = np.asarray(org_yx, np.float64)
     o_hi = o.astype(np.float32)
     o_lo = (o - o_hi.astype(np.float64)).astype(np.float32)
-    xs, ys = _stereo_rel_from_df(
+    xs, ys = fn(
         jnp.asarray(hi[:, 0]), jnp.asarray(hi[:, 1]), jnp.asarray(hi[:, 2]),
         jnp.asarray(lo[:, 0]), jnp.asarray(lo[:, 1]), jnp.asarray(lo[:, 2]),
         jnp.asarray(h.astype(np.float32)), crs,
@@ -56,11 +59,13 @@ def _rel_coords_df(crs, x, y, z, h, org_yx):
 
 class TestStereoDf:
     def test_supported_matrix(self):
-        assert _stereo_df_supported(HRRR_AK_PROJ)
-        assert not _stereo_df_supported(Geographic())
-        # ellipsoidal stereo needs the conformal pow: f32 path retained
-        assert not _stereo_df_supported(PolarStereographic(
-            lat_0=90.0, lon_0=225.0, lat_ts=60.0))
+        assert _crs_df_mode(HRRR_AK_PROJ) == 'stereo'
+        assert _crs_df_mode(HRRR_CONUS_PROJ) == 'lcc'
+        # ellipsoidal datums ride df64 exp/log for the conformal factor
+        assert _crs_df_mode(PolarStereographic(
+            lat_0=90.0, lon_0=225.0, lat_ts=60.0)) == 'stereo'
+        assert _crs_df_mode(Geographic()) is None
+        assert _crs_df_mode(TransverseMercator(lon_0=-117.0)) is None
 
     def test_antimeridian_ak_matches_f64_host(self, rng):
         """The diagnosed scene class: AK stereo across the antimeridian."""
@@ -88,7 +93,7 @@ class TestStereoDf:
     def test_south_polar_branch(self, rng):
         crs = PolarStereographic(lat_0=-90.0, lon_0=0.0, lat_ts=-71.0,
                                  ellipsoid=HRRR_AK_PROJ.ellipsoid)
-        assert _stereo_df_supported(crs)
+        assert _crs_df_mode(crs) == 'stereo'
         x, y, z, h = _scene_points(rng, -30.0, 30.0, -75.0, -68.0)
         gx, gy = _host_forward_f64(crs, x, y, z)
         org = (gy.min(), gx.min())
@@ -107,9 +112,63 @@ class TestStereoDf:
         err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
         assert err.max() < 0.1, err.max()
 
+    def test_ellipsoidal_stereo_wgs84(self, rng):
+        """EPSG-3413-style stereo on WGS84: conformal factor via exp/log."""
+        crs = PolarStereographic(lat_0=90.0, lon_0=-45.0, lat_ts=70.0)
+        x, y, z, h = _scene_points(rng, -60.0, -30.0, 65.0, 75.0)
+        gx, gy = _host_forward_f64(crs, x, y, z)
+        org = (gy.min(), gx.min())
+        xs, ys = _rel_coords_df(crs, x, y, z, h, org)
+        err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
+        assert err.max() < 0.3, err.max()  # ~3e6 m extent
+
+
+class TestLccDf:
+    def test_hrrr_conus_matches_f64_host(self, rng):
+        """The headline model's CRS: NCEP-sphere LCC at the western edge
+        (the measured 0.09-0.12 mm parity regime before this path)."""
+        x, y, z, h = _scene_points(rng, 244.0, 250.0, 37.0, 43.0)
+        gx, gy = _host_forward_f64(HRRR_CONUS_PROJ, x, y, z)
+        org = (gy.min(), gx.min())
+        xs, ys = _rel_coords_df(HRRR_CONUS_PROJ, x, y, z, h, org)
+        err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
+        assert err.max() < 0.1, err.max()  # ~6e5 m extent
+
+    def test_central_meridian_and_east_edge(self, rng):
+        for lon_lo, lon_hi in ((260.0, 265.0), (285.0, 292.0)):
+            x, y, z, h = _scene_points(rng, lon_lo, lon_hi, 30.0, 45.0)
+            gx, gy = _host_forward_f64(HRRR_CONUS_PROJ, x, y, z)
+            org = (gy.min(), gx.min())
+            xs, ys = _rel_coords_df(HRRR_CONUS_PROJ, x, y, z, h, org)
+            err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
+            assert err.max() < 0.35, err.max()  # up to ~2e6 m extent
+
+    def test_two_parallel_ellipsoidal_lcc(self, rng):
+        """Two standard parallels on WGS84 (n from the log ratio)."""
+        crs = LambertConformalConic(lat_0=40.0, lon_0=-96.0,
+                                    lat_1=33.0, lat_2=45.0)
+        x, y, z, h = _scene_points(rng, -110.0, -100.0, 35.0, 44.0)
+        gx, gy = _host_forward_f64(crs, x, y, z)
+        org = (gy.min(), gx.min())
+        xs, ys = _rel_coords_df(crs, x, y, z, h, org)
+        err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
+        assert err.max() < 0.3, err.max()
+
+    def test_southern_cone(self, rng):
+        """Negative n: southern-hemisphere LCC."""
+        crs = LambertConformalConic(lat_0=-35.0, lon_0=140.0,
+                                    lat_1=-30.0, lat_2=-40.0,
+                                    ellipsoid=HRRR_CONUS_PROJ.ellipsoid)
+        x, y, z, h = _scene_points(rng, 130.0, 150.0, -42.0, -28.0)
+        gx, gy = _host_forward_f64(crs, x, y, z)
+        org = (gy.min(), gx.min())
+        xs, ys = _rel_coords_df(crs, x, y, z, h, org)
+        err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
+        assert err.max() < 0.5, err.max()  # ~3.5e6 m extents
+
 
 class TestEngineOriginRel:
-    @pytest.mark.parametrize('scene_kind', ['geo', 'stereo'])
+    @pytest.mark.parametrize('scene_kind', ['geo', 'stereo', 'lcc'])
     def test_host_path_frame_equivalence(self, scene_kind, monkeypatch):
         """ORIGIN_REL on/off: same physics, only f32 sampling jitter.
 
@@ -121,16 +180,15 @@ class TestEngineOriginRel:
 
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
                                         'scripts'))
-        from parity_sweep import make_antimeridian_scene, make_scene
+        from parity_sweep import (make_antimeridian_scene, make_lcc_scene,
+                                  make_scene)
 
         from raider_tpu.delay.engine import _build_cube_ray
 
-        if scene_kind == 'geo':
-            wm, xq, yq, hts, los, zref, _ = make_scene(
-                np.random.default_rng(7), 0)
-        else:
-            wm, xq, yq, hts, los, zref, _ = make_antimeridian_scene(
-                np.random.default_rng(7))
+        maker = {'geo': lambda r: make_scene(r, 0),
+                 'stereo': make_antimeridian_scene,
+                 'lcc': make_lcc_scene}[scene_kind]
+        wm, xq, yq, hts, los, zref, _ = maker(np.random.default_rng(7))
         monkeypatch.setenv('RAIDER_TPU_DEVICE_GEOMETRY', '0')
         monkeypatch.setenv('RAIDER_TPU_ORIGIN_REL', '0')
         w0, h0 = _build_cube_ray(wm, xq, yq, hts, los, Geographic(),
