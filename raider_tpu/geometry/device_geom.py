@@ -695,9 +695,11 @@ def _crs_df_mode(crs):
     'lcc': Lambert conformal conic (HRRR CONUS, reference hrrr.py:18-21;
     WRF) — t^n = exp(n ln t) and sin/cos(n dlon) via the df64
     transcendentals.
-    None: transverse Mercator / geographic keep the f32 forward (TM's
-    series would need a full df64 port; geographic wrap semantics are
-    host-defined — see _finish_slice).
+    None: transverse Mercator keeps the f32 forward (its series expansion
+    would need a full df64 port; no production weather model uses TM —
+    it appears only in user AOI grids). Geographic grids take the
+    separate _geo_rel_from_df path (dispatched on is_geo in
+    _finish_slice, not through this function).
     """
     from raider_tpu.geodesy.crs import (LambertConformalConic,
                                         PolarStereographic)
@@ -820,6 +822,31 @@ def _stereo_rel_from_df(bx, by, bz, blx, bly, blz, z_levels, crs,
     return xm.hi + xm.lo, ym.hi + ym.lo
 
 
+def _geo_rel_from_df(bx, by, bz, blx, bly, blz, z_levels, org_hi, org_lo):
+    """Origin-relative geographic (lon, lat in degrees) from df64 ECEF.
+
+    Matches the host path's semantics exactly: lon = atan2(y, x) in
+    (-180, 180] (numpy and df64.atan2 share the convention, so there is
+    no wrap seam between the legs), lat from the known-height fixed point
+    (geodetic — identical mathematical value to the host Vermeille).
+    Absolute degrees collapse to f32 only AFTER the origin subtraction,
+    so the representation ulp is the grid-extent's (~0.03 m at 4 deg)
+    instead of the absolute longitude's (~0.85-1.7 m near +/-180).
+
+    Returns (lon_rel_deg, lat_rel_deg) f32 arrays shaped like ``bx``.
+    """
+    x = DF(bx, blx)
+    y = DF(by, bly)
+    z = DF(bz, blz)
+    s, cosphi, _p = _geodetic_trig_df(x, y, z, z_levels)
+    rad2deg = df64.const(180.0 / float(np.pi))
+    lat = df64.mul(df64.atan2(s, cosphi), rad2deg)
+    lon = df64.mul(df64.atan2(y, x), rad2deg)
+    lon = df64.sub(lon, DF(org_hi[1], org_lo[1]))
+    lat = df64.sub(lat, DF(org_hi[0], org_lo[0]))
+    return lon.hi + lon.lo, lat.hi + lat.lo
+
+
 def _lcc_rel_from_df(bx, by, bz, blx, bly, blz, z_levels, crs,
                      org_hi, org_lo):
     """Origin-relative Lambert-conformal-conic model coords, df64.
@@ -874,18 +901,24 @@ def _finish_slice(lengths, bx, by, bz, blx, bly, blz, z_levels,
     Horizontal coordinates are emitted ORIGIN-RELATIVE: ``org_hi/org_lo``
     is the split-f64 (y_org, x_org) grid origin the engine also subtracts
     from the kernel's static axes, so the kernel's f32 entry quantizes at
-    the grid-extent ulp instead of the absolute-coordinate ulp. The
-    sphere-datum stereo CRS runs the transform itself in df64
-    (:func:`_stereo_rel_from_df`); other CRSs keep the f32 forward (whose
-    own noise dominates) and just shift frames.
+    the grid-extent ulp instead of the absolute-coordinate ulp.
+    Geographic, polar-stereographic, and LCC grids run the whole CRS
+    transform in df64 (:func:`_geo_rel_from_df` /
+    :func:`_stereo_rel_from_df` / :func:`_lcc_rel_from_df` — measured
+    FASTER than the f32 forwards they replace, BASELINE.md round 5);
+    transverse Mercator keeps the f32 forward (whose own noise dominates)
+    and just shifts frames.
 
     Returns boundary COMPONENTS (bnd_y, bnd_x, bnd_z) of shape (L+1, N)
     plus d2 / per_level_max / hstep_max — the raytrace.integrate_rays
     contract (contiguous segments share boundaries; no low/high stacks)."""
     from raider_tpu.geodesy.ellipsoid import ecef2lla
 
-    mode_df = _crs_df_mode(crs) if (hiprec and not is_geo) else None
-    if mode_df == 'stereo':
+    mode_df = ('geo' if is_geo else _crs_df_mode(crs)) if hiprec else None
+    if mode_df == 'geo':
+        xs_m, ys_m = _geo_rel_from_df(bx, by, bz, blx, bly, blz,
+                                      z_levels, org_hi, org_lo)
+    elif mode_df == 'stereo':
         xs_m, ys_m = _stereo_rel_from_df(bx, by, bz, blx, bly, blz,
                                          z_levels, crs, org_hi, org_lo)
     elif mode_df == 'lcc':

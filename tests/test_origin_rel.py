@@ -21,7 +21,8 @@ from raider_tpu.geodesy.crs import (Geographic, LambertConformalConic,
                                     PolarStereographic, TransverseMercator)
 from raider_tpu.geodesy.ellipsoid import ecef2lla, lla2ecef
 from raider_tpu.geometry.device_geom import (
-    _crs_df_mode, _lcc_rel_from_df, _stereo_rel_from_df, split_f64)
+    _crs_df_mode, _geo_rel_from_df, _lcc_rel_from_df, _stereo_rel_from_df,
+    split_f64)
 from raider_tpu.wx.hrrr import HRRR_AK_PROJ, HRRR_CONUS_PROJ
 
 
@@ -165,6 +166,54 @@ class TestLccDf:
         xs, ys = _rel_coords_df(crs, x, y, z, h, org)
         err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
         assert err.max() < 0.5, err.max()  # ~3.5e6 m extents
+
+
+class TestGeoDf:
+    def _rel_geo(self, x, y, z, h, org_yx):
+        import jax.numpy as jnp
+
+        hi, lo = split_f64(np.stack([x, y, z], axis=-1))
+        o = np.asarray(org_yx, np.float64)
+        o_hi = o.astype(np.float32)
+        o_lo = (o - o_hi.astype(np.float64)).astype(np.float32)
+        xs, ys = _geo_rel_from_df(
+            jnp.asarray(hi[:, 0]), jnp.asarray(hi[:, 1]),
+            jnp.asarray(hi[:, 2]),
+            jnp.asarray(lo[:, 0]), jnp.asarray(lo[:, 1]),
+            jnp.asarray(lo[:, 2]),
+            jnp.asarray(h.astype(np.float32)),
+            jnp.asarray(o_hi), jnp.asarray(o_lo))
+        return np.asarray(xs, np.float64), np.asarray(ys, np.float64)
+
+    # NOTE: no antimeridian-CROSSING geographic case: a geographic grid
+    # crossing +/-180 has discontinuous axes in the (-180, 180] host
+    # convention (the engine's locate needs monotonic axes, so loaders
+    # never produce one — AK-regime models use stereo METERS instead),
+    # and "relative to the min" would span ~360 deg, putting the f32
+    # collapse back at the absolute ulp. df64 and host share the atan2
+    # seam convention, so near-seam NON-crossing grids are exact.
+    @pytest.mark.parametrize('lon_lo,lon_hi,lat_lo,lat_hi', [
+        (-120.6, -115.4, 32.0, 35.0),     # the LA regime
+        (175.0, 179.95, 58.0, 62.5),      # west of the antimeridian
+        (-179.95, -174.0, -5.0, 5.0),     # east of it, at the equator
+        (-3.0, 3.0, -35.0, -28.0),        # prime meridian, southern
+    ])
+    def test_matches_f64_host(self, rng, lon_lo, lon_hi, lat_lo, lat_hi):
+        x, y, z, h = _scene_points(rng, lon_lo, lon_hi, lat_lo, lat_hi)
+        lat_t, lon_t, _ = (np.asarray(v, np.float64)
+                           for v in ecef2lla(x, y, z))
+        org = (lat_t.min(), lon_t.min())
+        xs, ys = self._rel_geo(x, y, z, h, org)
+        # degrees -> meters at this latitude for an honest position bound:
+        # the floor is the f32 collapse of the origin-relative value, i.e.
+        # ~1 ulp of the grid EXTENT (plus the ~1e-4 m df64 fixed point)
+        m_per_deg = 111.3e3
+        extent = max(lon_hi - lon_lo, lat_hi - lat_lo)
+        bound = m_per_deg * extent * 1.2e-7 * 1.5 + 0.01
+        err_m = np.hypot(
+            (xs - (lon_t - org[1])) * m_per_deg * np.cos(np.deg2rad(lat_t)),
+            (ys - (lat_t - org[0])) * m_per_deg)
+        assert err_m.max() < bound, (err_m.max(), bound)
 
 
 class TestEngineOriginRel:
