@@ -695,19 +695,21 @@ def _crs_df_mode(crs):
     'lcc': Lambert conformal conic (HRRR CONUS, reference hrrr.py:18-21;
     WRF) — t^n = exp(n ln t) and sin/cos(n dlon) via the df64
     transcendentals.
-    None: transverse Mercator keeps the f32 forward (its series expansion
-    would need a full df64 port; no production weather model uses TM —
-    it appears only in user AOI grids). Geographic grids take the
-    separate _geo_rel_from_df path (dispatched on is_geo in
-    _finish_slice, not through this function).
+    'tm': transverse Mercator / UTM (user AOI grids) — the full Krueger
+    series in df64 (_tm_rel_from_df).
+    Geographic grids take the separate _geo_rel_from_df path (dispatched
+    on is_geo in _finish_slice, not through this function).
     """
     from raider_tpu.geodesy.crs import (LambertConformalConic,
-                                        PolarStereographic)
+                                        PolarStereographic,
+                                        TransverseMercator)
 
     if isinstance(crs, PolarStereographic):
         return 'stereo'
     if isinstance(crs, LambertConformalConic):
         return 'lcc'
+    if isinstance(crs, TransverseMercator):
+        return 'tm'
     return None
 
 
@@ -822,6 +824,92 @@ def _stereo_rel_from_df(bx, by, bz, blx, bly, blz, z_levels, crs,
     return xm.hi + xm.lo, ym.hi + ym.lo
 
 
+def _tm_rel_from_df(bx, by, bz, blx, bly, blz, z_levels, crs,
+                    org_hi, org_lo):
+    """Origin-relative transverse-Mercator model coords, df64.
+
+    The Krueger series (crs.TransverseMercator.forward) in df64:
+    conformal latitude via t = sinh(atanh(sin phi) - e atanh(e sin phi))
+    (atanh/sinh ride df64 log/exp), xi'/eta' from atan2/asinh of ECEF
+    ratios (atan2 is scale-invariant, so the p-scaled sin/cos(dlon)
+    parts are used directly — absolute longitude never appears), and the
+    six alpha terms via sin/cos/sinh/cosh angle-addition recurrences
+    from ONE df64 sincos + ONE exp. Valid over the UTM domain
+    (|lat| <= ~84: the atanh(sin phi) cancellation keeps ~6e-13 rel
+    there). Returns (xs_rel, ys_rel).
+    """
+    from raider_tpu.geodesy.crs import _tm_series
+
+    x = DF(bx, blx)
+    y = DF(by, bly)
+    z = DF(bz, blz)
+    ell = crs.ellipsoid
+    n_flat = ell.f / (2.0 - ell.f)
+    alpha, _, a_cap = _tm_series(n_flat)
+    e_proj = float(ell.e)
+    one = df64.const(1.0)
+    half = 0.5
+
+    s, cosphi, p = _geodetic_trig_df(x, y, z, z_levels)
+    # t = sinh(atanh(s) - e atanh(e s));  atanh(u) = ln((1+u)/(1-u)) / 2
+    at_s = df64.scale(df64.log(df64.div(df64.add(one, s),
+                                        df64.sub(one, s))), half)
+    es = df64.mul(df64.const(e_proj), s)
+    at_es = df64.scale(df64.log(df64.div(df64.add(one, es),
+                                         df64.sub(one, es))), half)
+    w = df64.sub(at_s, df64.mul(df64.const(e_proj), at_es))
+    ew = df64.exp(w)
+    iew = df64.div(one, ew)
+    t = df64.scale(df64.sub(ew, iew), half)               # sinh(w)
+
+    lam0 = float(np.deg2rad(float(crs.lon_0)))
+    sin0 = df64.const(float(np.sin(lam0)))
+    cos0 = df64.const(float(np.cos(lam0)))
+    sin_part = df64.sub(df64.mul(y, cos0), df64.mul(x, sin0))  # p sin(dlon)
+    cos_part = df64.add(df64.mul(x, cos0), df64.mul(y, sin0))  # p cos(dlon)
+    tp = df64.mul(t, p)
+    xi_p = df64.atan2(tp, cos_part)
+    # eta' = asinh(sin dlon / hypot(t, cos dlon)) — p-scaled throughout;
+    # asinh(u) = sign(u) ln(|u| + sqrt(u^2 + 1))
+    hyp = df64.sqrt(df64.add(df64.sqr(tp), df64.sqr(cos_part)))
+    u = df64.div(sin_part, hyp)
+    sign_u = jnp.where(u.hi < 0.0, -1.0, 1.0)
+    au = DF(u.hi * sign_u, u.lo * sign_u)
+    eta_p = df64.log(df64.add(au, df64.sqrt(df64.add(df64.sqr(au), one))))
+    eta_p = DF(eta_p.hi * sign_u, eta_p.lo * sign_u)
+
+    # Krueger terms: sin/cos(2k xi') and sinh/cosh(2k eta') by recurrence
+    s2x, c2x = df64.sincos(df64.scale(xi_p, 2.0))
+    e2 = df64.exp(df64.scale(eta_p, 2.0))
+    ie2 = df64.div(one, e2)
+    ch2 = df64.scale(df64.add(e2, ie2), half)
+    sh2 = df64.scale(df64.sub(e2, ie2), half)
+    sk, ck, shk, chk = s2x, c2x, sh2, ch2
+    xi, eta = xi_p, eta_p
+    for j in range(6):
+        if j > 0:
+            sk, ck = (df64.add(df64.mul(sk, c2x), df64.mul(ck, s2x)),
+                      df64.sub(df64.mul(ck, c2x), df64.mul(sk, s2x)))
+            shk, chk = (df64.add(df64.mul(shk, ch2), df64.mul(chk, sh2)),
+                        df64.add(df64.mul(chk, ch2), df64.mul(shk, sh2)))
+        a_j = df64.const(float(alpha[j]))
+        xi = df64.add(xi, df64.mul(a_j, df64.mul(sk, chk)))
+        eta = df64.add(eta, df64.mul(a_j, df64.mul(ck, shk)))
+
+    k0a = float(crs.k0) * float(a_cap) * float(ell.a)
+    xm = df64.mul(df64.const(k0a), eta)
+    ym = df64.mul(df64.const(k0a), xi)
+    y0_eff = float(crs.y_0)
+    if crs.lat_0 != 0.0:
+        y0_eff -= float(crs.k0) * float(a_cap) * float(ell.a) \
+            * crs._xi_of_lat0()
+    xm = df64.add(xm, df64.const(float(crs.x_0)))
+    ym = df64.add(ym, df64.const(y0_eff))
+    xm = df64.sub(xm, DF(org_hi[1], org_lo[1]))
+    ym = df64.sub(ym, DF(org_hi[0], org_lo[0]))
+    return xm.hi + xm.lo, ym.hi + ym.lo
+
+
 def _geo_rel_from_df(bx, by, bz, blx, bly, blz, z_levels, org_hi, org_lo):
     """Origin-relative geographic (lon, lat in degrees) from df64 ECEF.
 
@@ -902,12 +990,12 @@ def _finish_slice(lengths, bx, by, bz, blx, bly, blz, z_levels,
     is the split-f64 (y_org, x_org) grid origin the engine also subtracts
     from the kernel's static axes, so the kernel's f32 entry quantizes at
     the grid-extent ulp instead of the absolute-coordinate ulp.
-    Geographic, polar-stereographic, and LCC grids run the whole CRS
-    transform in df64 (:func:`_geo_rel_from_df` /
-    :func:`_stereo_rel_from_df` / :func:`_lcc_rel_from_df` — measured
-    FASTER than the f32 forwards they replace, BASELINE.md round 5);
-    transverse Mercator keeps the f32 forward (whose own noise dominates)
-    and just shifts frames.
+    Every supported CRS runs the whole transform in df64
+    (:func:`_geo_rel_from_df` / :func:`_stereo_rel_from_df` /
+    :func:`_lcc_rel_from_df` / :func:`_tm_rel_from_df` — geo/stereo/LCC
+    measured FASTER than the f32 forwards they replace, BASELINE.md
+    round 5); an unrecognized CRS falls back to the f32 forward with a
+    frame shift.
 
     Returns boundary COMPONENTS (bnd_y, bnd_x, bnd_z) of shape (L+1, N)
     plus d2 / per_level_max / hstep_max — the raytrace.integrate_rays
@@ -924,6 +1012,9 @@ def _finish_slice(lengths, bx, by, bz, blx, bly, blz, z_levels,
     elif mode_df == 'lcc':
         xs_m, ys_m = _lcc_rel_from_df(bx, by, bz, blx, bly, blz,
                                       z_levels, crs, org_hi, org_lo)
+    elif mode_df == 'tm':
+        xs_m, ys_m = _tm_rel_from_df(bx, by, bz, blx, bly, blz,
+                                     z_levels, crs, org_hi, org_lo)
     else:
         # f32 hi parts (sub-meter), f32 transform; shift after
         lat, lon, _ = ecef2lla(bx, by, bz)

@@ -22,7 +22,7 @@ from raider_tpu.geodesy.crs import (Geographic, LambertConformalConic,
 from raider_tpu.geodesy.ellipsoid import ecef2lla, lla2ecef
 from raider_tpu.geometry.device_geom import (
     _crs_df_mode, _geo_rel_from_df, _lcc_rel_from_df, _stereo_rel_from_df,
-    split_f64)
+    _tm_rel_from_df, split_f64)
 from raider_tpu.wx.hrrr import HRRR_AK_PROJ, HRRR_CONUS_PROJ
 
 
@@ -45,7 +45,8 @@ def _rel_coords_df(crs, x, y, z, h, org_yx):
     import jax.numpy as jnp
 
     fn = {'stereo': _stereo_rel_from_df,
-          'lcc': _lcc_rel_from_df}[_crs_df_mode(crs)]
+          'lcc': _lcc_rel_from_df,
+          'tm': _tm_rel_from_df}[_crs_df_mode(crs)]
     hi, lo = split_f64(np.stack([x, y, z], axis=-1))
     o = np.asarray(org_yx, np.float64)
     o_hi = o.astype(np.float32)
@@ -65,8 +66,8 @@ class TestStereoDf:
         # ellipsoidal datums ride df64 exp/log for the conformal factor
         assert _crs_df_mode(PolarStereographic(
             lat_0=90.0, lon_0=225.0, lat_ts=60.0)) == 'stereo'
-        assert _crs_df_mode(Geographic()) is None
-        assert _crs_df_mode(TransverseMercator(lon_0=-117.0)) is None
+        assert _crs_df_mode(Geographic()) is None  # is_geo dispatch instead
+        assert _crs_df_mode(TransverseMercator(lon_0=-117.0)) == 'tm'
 
     def test_antimeridian_ak_matches_f64_host(self, rng):
         """The diagnosed scene class: AK stereo across the antimeridian."""
@@ -166,6 +167,49 @@ class TestLccDf:
         xs, ys = _rel_coords_df(crs, x, y, z, h, org)
         err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
         assert err.max() < 0.5, err.max()  # ~3.5e6 m extents
+
+
+class TestTmDf:
+    def test_utm_11n_matches_f64_host(self, rng):
+        """UTM zone 11N (the LA regime's zone)."""
+        crs = TransverseMercator(lon_0=-117.0, utm_zone=11)
+        x, y, z, h = _scene_points(rng, -120.6, -115.4, 32.0, 35.0)
+        gx, gy = _host_forward_f64(crs, x, y, z)
+        org = (gy.min(), gx.min())
+        xs, ys = _rel_coords_df(crs, x, y, z, h, org)
+        err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
+        assert err.max() < 0.1, err.max()  # ~5e5 m extent
+
+    def test_far_from_central_meridian(self, rng):
+        """dlon up to ~12 deg: eta' large, the sinh/cosh recurrence tail."""
+        crs = TransverseMercator(lon_0=-117.0, utm_zone=11)
+        x, y, z, h = _scene_points(rng, -130.0, -105.0, 30.0, 60.0)
+        gx, gy = _host_forward_f64(crs, x, y, z)
+        org = (gy.min(), gx.min())
+        xs, ys = _rel_coords_df(crs, x, y, z, h, org)
+        err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
+        assert err.max() < 1.5, err.max()  # ~3.5e6 m extents
+
+    def test_southern_hemisphere_with_lat0(self, rng):
+        """Non-UTM TM with lat_0 != 0 (the _xi_of_lat0 offset) + south."""
+        crs = TransverseMercator(lon_0=145.0, lat_0=-37.0, k0=1.0,
+                                 x_0=2.5e6, y_0=2.5e6)
+        x, y, z, h = _scene_points(rng, 141.0, 149.0, -43.0, -34.0)
+        gx, gy = _host_forward_f64(crs, x, y, z)
+        org = (gy.min(), gx.min())
+        xs, ys = _rel_coords_df(crs, x, y, z, h, org)
+        err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
+        assert err.max() < 0.5, err.max()
+
+    def test_high_latitude_edge(self, rng):
+        """UTM validity edge (~lat 80): atanh(sin) cancellation regime."""
+        crs = TransverseMercator(lon_0=15.0, utm_zone=33)
+        x, y, z, h = _scene_points(rng, 10.0, 20.0, 75.0, 80.0)
+        gx, gy = _host_forward_f64(crs, x, y, z)
+        org = (gy.min(), gx.min())
+        xs, ys = _rel_coords_df(crs, x, y, z, h, org)
+        err = np.hypot(xs - (gx - org[1]), ys - (gy - org[0]))
+        assert err.max() < 0.3, err.max()
 
 
 class TestGeoDf:
